@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Lww, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator/capability from SURVEY §2; the
+  * matching [[oracleSql]] is the DuckDB twin the driver runs on the same
+  * parquet tables (sf0.01) for the row/schema/hash correctness gate.
+  * Column names and types are aligned pairwise (BIGINT integers, rounded
+  * doubles, string timestamps-as-epoch-millis) — see Relational's scaladoc.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: O1 point scan by subject (`MongoDBConnector.py:26-43`,
+    * `MasterServer.py:292-330`) on sf0.001; `<order_42>` has 3 triples. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TripleStore.search(spark, "/root/testdata/sf0.001", "<order_42>")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_subject_scan" -> ((s, dir) =>
+      TripleStore.search(s, dir, "<order_42>").orderBy("predicate", "object")),
+    "q2_lww_upsert" -> ((s, dir) =>
+      Lww.upsert(TripleStore.triples(s, dir), TripleStore.updates(s, dir))
+        .orderBy("subject", "predicate")),
+    "q3_lww_merge" -> ((s, dir) =>
+      Lww.merge(TripleStore.triples(s, dir), TripleStore.remoteChangelog(s, dir))
+        .orderBy("subject", "predicate")),
+    "q4_scan_counts"  -> (Relational.q4ScanCounts(_, _)),
+    "q5_join_agg"     -> (Relational.q5JoinAgg(_, _)),
+    "q5_two_hop"      -> (Relational.q5TwoHop(_, _)),
+    "q5_semi_anti"    -> (Relational.q5SemiAnti(_, _)),
+    "q6_group_aggs"   -> (Relational.q6GroupAggs(_, _)),
+    "q7_windows"      -> (Relational.q7Windows(_, _)),
+    "q8_sort_limit"   -> (Relational.q8SortLimit(_, _)),
+    "q8_topk_group"   -> (Relational.q8TopkGroup(_, _)),
+    "q9_set_ops"      -> (Relational.q9SetOps(_, _)),
+    "q10_scalar_funcs" -> (Relational.q10ScalarFuncs(_, _)),
+    "q11_tumbling"    -> (Relational.q11Tumbling(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_subject_scan" ->
+      s"""WITH ${TripleStore.TriplesCte}
+         |SELECT subject, predicate, object, ts_ms FROM triples
+         |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
+    "q2_lww_upsert" ->
+      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.UpdatesCte}
+         |SELECT subject, predicate, object, ts_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
+         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
+         |  FROM (SELECT t.*, 0 AS prio FROM triples t
+         |        UNION ALL SELECT u.*, 1 FROM updates u))
+         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q3_lww_merge" ->
+      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
+         |SELECT subject, predicate, object, ts_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
+         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
+         |  FROM (SELECT t.*, 1 AS prio FROM triples t
+         |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
+         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q4_scan_counts"   -> Relational.q4Sql,
+    "q5_join_agg"      -> Relational.q5JoinAggSql,
+    "q5_two_hop"       -> Relational.q5TwoHopSql,
+    "q5_semi_anti"     -> Relational.q5SemiAntiSql,
+    "q6_group_aggs"    -> Relational.q6Sql,
+    "q7_windows"       -> Relational.q7Sql,
+    "q8_sort_limit"    -> Relational.q8SortLimitSql,
+    "q8_topk_group"    -> Relational.q8TopkGroupSql,
+    "q9_set_ops"       -> Relational.q9Sql,
+    "q10_scalar_funcs" -> Relational.q10Sql,
+    "q11_tumbling"     -> Relational.q11TumblingSql,
+  )
 }

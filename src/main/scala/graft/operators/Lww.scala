@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins kernel — the semantic heart of the reference store.
+  *
+  * The reference implements two subtly different comparators:
+  *   - **Upsert** (O2, `MongoDBConnector.py:46-102`): an explicit update
+  *     always overwrites the existing `(subject, predicate)` row — there is
+  *     no timestamp guard on the direct-update path (`MongoDBConnector.py:73`).
+  *   - **Anti-entropy merge** (O3, `MongoDBConnector.py:116-165`): an incoming
+  *     row wins only if its timestamp is STRICTLY newer
+  *     (`MongoDBConnector.py:150`); on an equal timestamp the local row is
+  *     kept.
+  *
+  * Both are one aggregation here: tag each side with a `prio` bit and take
+  * `max_by` over the lexicographic key `(ts_ms, prio, object)`. The final
+  * `object` leg makes equal-(ts, prio) duplicates deterministic — a
+  * documented strengthening of the reference, whose replicas each keep their
+  * own row on such ties (SURVEY §7.3).
+  *
+  * Scale notes: `max_by` is a hash aggregate with partial (map-side)
+  * combine, so per-key state is one row and the single shuffle moves only
+  * pre-combined winners — strictly better at 100 TB than a
+  * `row_number()` window, which must shuffle **all** rows and sort each
+  * partition. The reference's per-key HTTP probe loop
+  * (`MongoDBConnector.py:131-157`) becomes one distributed shuffle on the
+  * logical key.
+  */
+object Lww {
+
+  private val out = Seq("subject", "predicate", "object", "ts_ms")
+
+  /** One winner per (subject, predicate): max over (ts_ms, prio, object). */
+  private def resolve(tagged: DataFrame): DataFrame =
+    tagged
+      .groupBy("subject", "predicate")
+      .agg(max_by(
+        struct(col("object"), col("ts_ms")),
+        struct(col("ts_ms"), col("prio"), col("object"))).as("w"))
+      .select(col("subject"), col("predicate"),
+        col("w.object").as("object"), col("w.ts_ms").as("ts_ms"))
+
+  /** Q2 batch upsert: updates beat base even on an equal timestamp
+    * (`MongoDBConnector.py:73`). */
+  def upsert(base: DataFrame, updates: DataFrame): DataFrame =
+    resolve(base.withColumn("prio", lit(0))
+      .unionByName(updates.withColumn("prio", lit(1))))
+
+  /** Q3 anti-entropy merge: remote wins only with a strictly newer timestamp
+    * (`MongoDBConnector.py:150`); ties keep local. Symmetric pairwise merge
+    * (O10, `MasterServer.py:384-432`) is `merge(a,b)` ∪ `merge(b,a)` — which
+    * converge to the same winners, so one call suffices. */
+  def merge(local: DataFrame, remote: DataFrame): DataFrame =
+    resolve(local.withColumn("prio", lit(1))
+      .unionByName(remote.withColumn("prio", lit(0))))
+
+  /** O12 changelog union (`MasterServer.py:106-115`): the reference lets the
+    * second dict win unconditionally on key collision; expressed here as an
+    * upsert so the newer changelog's rows take precedence. */
+  def changelogUnion(older: DataFrame, newer: DataFrame): DataFrame =
+    upsert(older, newer)
+
+  /** O5 shard-membership range predicate (`MongoDBConnector.py:105-114`):
+    * `(s,p)` inside an inclusive string-range box. As a Column it pushes down
+    * to parquet min/max skipping on a [[graft.TripleStore.writeSharded]]
+    * layout. */
+  def shardPredicate(sLo: String, pLo: String, sHi: String, pHi: String) =
+    col("subject").between(sLo, sHi) && col("predicate").between(pLo, pHi)
+}

@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+import graft.TripleStore
+
+/** Relational capability closure Q4–Q10 (+ batch tumbling windows, the batch
+  * twin of Q11) over the driver tables — SURVEY §2.2/§2.3. The reference only
+  * ever filters by subject and counts (`MongoDBConnector.py:38-40`,
+  * `len(rows)` at `:40`); everything here is the declarative closure any
+  * "same capabilities, Spark-native" engine inherits from the DataFrame API.
+  *
+  * Every query has a DuckDB oracle twin (the `*Sql` constants) with
+  * column-name and column-type parity (BIGINT for all integer outputs,
+  * doubles rounded to 2 at the boundary) so the driver's hash compare is
+  * exact.
+  */
+object Relational {
+
+  import TripleStore.{table, triples}
+
+  /** events.ts is nanosecond-precision parquet; normalize to epoch millis the
+    * same way DuckDB's `epoch_ms(CAST(ts AS TIMESTAMP))` does (floor to ms)
+    * whether Spark surfaces it as a (truncated) timestamp or as raw ns longs. */
+  private def eventTsMs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000")
+      case _        => unix_millis(col("ts").cast(TimestampType))
+    }
+
+  // --- Q4: full scan + counts by predicate (rollup gives the <ALL> row) -----
+
+  def q4ScanCounts(spark: SparkSession, dir: String): DataFrame =
+    triples(spark, dir)
+      .rollup(col("predicate"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("subject")).as("n_subj"))
+      .select(coalesce(col("predicate"), lit("<ALL>")).as("predicate"),
+        col("cnt"), col("n_subj"))
+      .orderBy("predicate")
+
+  val q4Sql: String =
+    s"""WITH ${TripleStore.TriplesCte}
+       |SELECT COALESCE(predicate, '<ALL>') AS predicate,
+       |       CAST(count(*) AS BIGINT) AS cnt,
+       |       CAST(count(DISTINCT subject) AS BIGINT) AS n_subj
+       |FROM triples GROUP BY ROLLUP(predicate) ORDER BY predicate""".stripMargin
+
+  // --- Q5a: 3-way equi join + aggregate (broadcast the small dims) ----------
+
+  def q5JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o  = table(spark, dir, "orders")
+    val c  = table(spark, dir, "customer")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_li"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q5JoinAggSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_li,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --- Q5b: 2-hop graph traversal as a triple self-join ---------------------
+
+  def q5TwoHop(spark: SparkSession, dir: String): DataFrame = {
+    val t = triples(spark, dir)
+    val a = t.filter(col("predicate") === "<orderedBy>")
+      .select(col("subject").as("order_subj"), col("object").as("mid"))
+    val b = t.filter(col("predicate") === "<inNation>")
+      .select(col("subject").as("mid2"), col("object").as("nation"))
+    a.join(broadcast(b), col("mid") === col("mid2"))
+      .select(col("order_subj"), col("nation"))
+      .orderBy("order_subj", "nation")
+  }
+
+  val q5TwoHopSql: String =
+    s"""WITH ${TripleStore.TriplesCte}
+       |SELECT a.subject AS order_subj, b.object AS nation
+       |FROM triples a JOIN triples b ON a.object = b.subject
+       |WHERE a.predicate = '<orderedBy>' AND b.predicate = '<inNation>'
+       |ORDER BY order_subj, nation""".stripMargin
+
+  // --- Q5c: semi + anti joins ----------------------------------------------
+
+  def q5SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+    val semi = c.join(o.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("has_f_order").as("tag"), col("c_custkey"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("tag"), col("c_custkey"))
+    semi.unionByName(anti).orderBy("tag", "c_custkey")
+  }
+
+  val q5SemiAntiSql: String =
+    """SELECT 'has_f_order' AS tag, c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT 'no_orders', c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  // --- Q6: grouped aggregates incl. exact distinct --------------------------
+
+  def q6GroupAggs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        unix_millis(min(col("l_shipdate").cast(TimestampType))).as("min_ship_ms"),
+        unix_millis(max(col("l_shipdate").cast(TimestampType))).as("max_ship_ms"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q6Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_price,
+      |       epoch_ms(min(l_shipdate)) AS min_ship_ms,
+      |       epoch_ms(max(l_shipdate)) AS max_ship_ms
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- Q7: window functions: ranking, lag, running frame --------------------
+
+  def q7Windows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast(LongType).as("rn"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        round(sum(col("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("run_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q7Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |       row_number() OVER w AS rn,
+      |       lag(l_quantity, 1) OVER w AS prev_qty,
+      |       round(sum(l_quantity) OVER
+      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- Q8: global sort + limit; top-k per group -----------------------------
+
+  def q8SortLimit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q8SortLimitSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  def q8TopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    table(spark, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  val q8TopkGroupSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin
+
+  // --- Q9: set operations + distinct ----------------------------------------
+
+  def q9SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val s1 = c.filter(col("c_acctbal") > 0).select(col("c_custkey"))
+    val s2 = c.filter(col("c_nationkey") < 13).select(col("c_custkey"))
+    def tagCount(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt")).select(lit(tag).as("op"), col("cnt"))
+    tagCount("distinct_seg", c.select(col("c_mktsegment")).distinct())
+      .unionByName(tagCount("except", s1.except(s2)))
+      .unionByName(tagCount("intersect", s1.intersect(s2)))
+      .unionByName(tagCount("union", s1.union(s2).distinct()))
+      .orderBy("op")
+  }
+
+  val q9Sql: String =
+    """SELECT 'distinct_seg' AS op,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |       FROM (SELECT DISTINCT c_mktsegment FROM customer)
+      |UNION ALL SELECT 'except', CAST(count(*) AS BIGINT) FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |  EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 13)
+      |UNION ALL SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |  INTERSECT SELECT c_custkey FROM customer WHERE c_nationkey < 13)
+      |UNION ALL SELECT 'union', CAST(count(*) AS BIGINT) FROM (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      |  UNION SELECT c_custkey FROM customer WHERE c_nationkey < 13)
+      |ORDER BY op""".stripMargin
+
+  // --- Q10: string/date scalar functions ------------------------------------
+
+  def q10ScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ts = col("o_orderdate").cast(TimestampType)
+    table(spark, dir, "orders").select(
+      col("o_orderkey"),
+      regexp_replace(
+        concat(lit("<order_"), col("o_orderkey").cast("string"), lit(">")),
+        "^<|>$", "").as("munged"),
+      date_format(ts, "yyyy-MM-dd").as("d_str"),
+      year(ts).cast(LongType).as("y"),
+      month(ts).cast(LongType).as("m"),
+      unix_millis(to_timestamp(
+        date_format(ts, "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"))
+        .as("ts_rt"),
+      lower(col("o_orderstatus")).as("status_lc"),
+      split(col("o_orderpriority"), "-").getItem(0).as("pri_key"))
+      .orderBy("o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_orderkey,
+      |       regexp_replace('<order_' || o_orderkey || '>', '^<|>$', '', 'g') AS munged,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+      |       CAST(year(o_orderdate) AS BIGINT) AS y,
+      |       CAST(month(o_orderdate) AS BIGINT) AS m,
+      |       epoch_ms(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+      |                         '%Y-%m-%d %H:%M:%S')) AS ts_rt,
+      |       lower(o_orderstatus) AS status_lc,
+      |       string_split(o_orderpriority, '-')[1] AS pri_key
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --- Q11 (batch twin): tumbling 1-minute windows over events --------------
+
+  def q11Tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.select(eventTsMs(ev).as("ts_ms"), col("event_type"), col("value"))
+      .withColumn("window_start", expr("ts_ms div 60000") * 60000L)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val q11TumblingSql: String =
+    """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) * 60000 AS window_start,
+      |       event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+}
