@@ -46,11 +46,12 @@ object SparkEntry {
       s"""WITH ${TripleStore.TriplesCte}
          |SELECT subject, predicate, object, ts_ms FROM triples
          |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
+    // prio leads: an explicit update always overwrites (MongoDBConnector.py:73)
     "q2_lww_upsert" ->
       s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.UpdatesCte}
          |SELECT subject, predicate, object, ts_ms FROM (
          |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
-         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
+         |            ORDER BY prio DESC, ts_ms DESC, object DESC) AS rn
          |  FROM (SELECT t.*, 0 AS prio FROM triples t
          |        UNION ALL SELECT u.*, 1 FROM updates u))
          |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Last-writer-wins kernel — the semantic heart of the reference store.
@@ -30,31 +30,34 @@ import org.apache.spark.sql.functions._
   */
 object Lww {
 
-  private val out = Seq("subject", "predicate", "object", "ts_ms")
-
-  /** One winner per (subject, predicate): max over (ts_ms, prio, object). */
-  private def resolve(tagged: DataFrame): DataFrame =
+  /** One winner per (subject, predicate): max over the given ordering key. */
+  private def resolve(tagged: DataFrame, orderKey: Column): DataFrame =
     tagged
       .groupBy("subject", "predicate")
-      .agg(max_by(
-        struct(col("object"), col("ts_ms")),
-        struct(col("ts_ms"), col("prio"), col("object"))).as("w"))
+      .agg(max_by(struct(col("object"), col("ts_ms")), orderKey).as("w"))
       .select(col("subject"), col("predicate"),
         col("w.object").as("object"), col("w.ts_ms").as("ts_ms"))
 
-  /** Q2 batch upsert: updates beat base even on an equal timestamp
-    * (`MongoDBConnector.py:73`). */
+  /** Q2 batch upsert: an explicit update ALWAYS overwrites the base row —
+    * the reference's direct-update path has no timestamp guard
+    * (`MongoDBConnector.py:73`) — so `prio` leads the comparator; `ts_ms`
+    * only arbitrates among multiple updates to the same key, and `object`
+    * makes full ties deterministic. */
   def upsert(base: DataFrame, updates: DataFrame): DataFrame =
-    resolve(base.withColumn("prio", lit(0))
-      .unionByName(updates.withColumn("prio", lit(1))))
+    resolve(
+      base.withColumn("prio", lit(0))
+        .unionByName(updates.withColumn("prio", lit(1))),
+      struct(col("prio"), col("ts_ms"), col("object")))
 
   /** Q3 anti-entropy merge: remote wins only with a strictly newer timestamp
     * (`MongoDBConnector.py:150`); ties keep local. Symmetric pairwise merge
     * (O10, `MasterServer.py:384-432`) is `merge(a,b)` ∪ `merge(b,a)` — which
     * converge to the same winners, so one call suffices. */
   def merge(local: DataFrame, remote: DataFrame): DataFrame =
-    resolve(local.withColumn("prio", lit(1))
-      .unionByName(remote.withColumn("prio", lit(0))))
+    resolve(
+      local.withColumn("prio", lit(1))
+        .unionByName(remote.withColumn("prio", lit(0))),
+      struct(col("ts_ms"), col("prio"), col("object")))
 
   /** O12 changelog union (`MasterServer.py:106-115`): the reference lets the
     * second dict win unconditionally on key collision; expressed here as an

@@ -47,14 +47,18 @@ object Relational {
        |       CAST(count(DISTINCT subject) AS BIGINT) AS n_subj
        |FROM triples GROUP BY ROLLUP(predicate) ORDER BY predicate""".stripMargin
 
-  // --- Q5a: 3-way equi join + aggregate (broadcast the small dims) ----------
+  // --- Q5a: 3-way equi join + aggregate -------------------------------------
+  // No broadcast hints: customer scales with the data (billions of rows at
+  // 100 TB), so a forced broadcast is an executor-OOM hazard. AQE picks
+  // broadcast at small SFs from observed sizes and shuffle joins at scale;
+  // only genuinely bounded dims (nation=25, region=5) would earn a hint.
 
   def q5JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = table(spark, dir, "lineitem")
     val o  = table(spark, dir, "orders")
     val c  = table(spark, dir, "customer")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_li"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -78,7 +82,7 @@ object Relational {
       .select(col("subject").as("order_subj"), col("object").as("mid"))
     val b = t.filter(col("predicate") === "<inNation>")
       .select(col("subject").as("mid2"), col("object").as("nation"))
-    a.join(broadcast(b), col("mid") === col("mid2"))
+    a.join(b, col("mid") === col("mid2"))
       .select(col("order_subj"), col("nation"))
       .orderBy("order_subj", "nation")
   }
@@ -138,28 +142,37 @@ object Relational {
 
   // --- Q7: window functions: ranking, lag, running frame --------------------
 
+  /** The window ORDER BY must be total — the driver's lineitem has duplicate
+    * `(l_orderkey, l_linenumber)` pairs (118k at sf0.1), and with ties
+    * row_number/lag/running-sum are engine-dependent. Adding
+    * `(l_partkey, l_suppkey)` makes the key unique at every SF (verified with
+    * DuckDB), and both tie-break columns are projected so the output key is
+    * unique too. */
   def q7Windows(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey")
     table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
         row_number().over(w).cast(LongType).as("rn"),
         lag(col("l_quantity"), 1).over(w).as("prev_qty"),
         round(sum(col("l_quantity"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("run_qty"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "rn")
   }
 
   val q7Sql: String =
-    """SELECT l_orderkey, l_linenumber,
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
       |       row_number() OVER w AS rn,
       |       lag(l_quantity, 1) OVER w AS prev_qty,
       |       round(sum(l_quantity) OVER
       |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
       |FROM lineitem
-      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |WINDOW w AS (PARTITION BY l_orderkey
+      |             ORDER BY l_linenumber, l_partkey, l_suppkey)
+      |ORDER BY l_orderkey, rn""".stripMargin
 
   // --- Q8: global sort + limit; top-k per group -----------------------------
 
