@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Lww
+
+/** CRDT laws + tie-break semantics of the LWW kernel (SURVEY §5).
+  *
+  * The reference's anti-entropy merge is a state-based CRDT join
+  * (`MongoDBConnector.py:116-165`, report.pdf "state based, merging"):
+  * applying modification sets in any order/grouping must converge. The only
+  * non-lattice wrinkle is the equal-timestamp different-object tie, where
+  * each reference replica keeps its own row (`MongoDBConnector.py:150` is
+  * strict `>`); we pin object := f(subject, predicate, ts) in the generators
+  * so the join is a true semilattice, and test the tie rule separately with
+  * explicit fixtures.
+  */
+class LwwSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private type Row4 = (String, String, String, Long)
+
+  /** object deterministic in (s, p, ts): ties always agree, so merge is a
+    * commutative/associative/idempotent lattice join. */
+  private val genTriples: Gen[List[Row4]] = {
+    val one = for {
+      s  <- Gen.oneOf("<a>", "<b>", "<c>", "<d>")
+      p  <- Gen.oneOf("<p1>", "<p2>", "<p3>")
+      ts <- Gen.choose(0L, 5L)
+    } yield (s, p, s"obj-$s-$p-$ts", ts)
+    Gen.listOfN(12, one)
+  }
+
+  private def df(rows: List[Row4]): DataFrame =
+    rows.toDF("subject", "predicate", "object", "ts_ms")
+
+  private def winners(d: DataFrame): Set[Row4] =
+    d.as[Row4].collect().toSet
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("merge is commutative: merge(a,b) == merge(b,a)") {
+    checkProp(Prop.forAll(genTriples, genTriples) { (a, b) =>
+      winners(Lww.merge(df(a), df(b))) == winners(Lww.merge(df(b), df(a)))
+    })
+  }
+
+  test("merge is associative: merge(merge(a,b),c) == merge(a,merge(b,c))") {
+    checkProp(Prop.forAll(genTriples, genTriples, genTriples) { (a, b, c) =>
+      winners(Lww.merge(Lww.merge(df(a), df(b)), df(c))) ==
+        winners(Lww.merge(df(a), Lww.merge(df(b), df(c))))
+    })
+  }
+
+  test("merge is idempotent: merge(a,a) == merge(a,empty)") {
+    checkProp(Prop.forAll(genTriples) { a =>
+      winners(Lww.merge(df(a), df(a))) == winners(Lww.merge(df(a), df(Nil)))
+    })
+  }
+
+  test("n-replica convergence: any merge order yields the same state") {
+    checkProp(Prop.forAll(genTriples, genTriples, genTriples) { (a, b, c) =>
+      val lr = winners(Lww.merge(Lww.merge(df(a), df(b)), df(c)))
+      val rl = winners(Lww.merge(df(c), Lww.merge(df(b), df(a))))
+      lr == rl
+    })
+  }
+
+  // --- explicit tie-break fixtures (the two reference comparators) ----------
+
+  private val base = List(("<s>", "<p>", "LOCAL", 100L))
+
+  test("merge: strictly newer remote wins (MongoDBConnector.py:150)") {
+    val remote = List(("<s>", "<p>", "REMOTE", 101L))
+    assert(winners(Lww.merge(df(base), df(remote))) ==
+      Set(("<s>", "<p>", "REMOTE", 101L)))
+  }
+
+  test("merge: equal timestamp keeps local (strict >)") {
+    val remote = List(("<s>", "<p>", "REMOTE", 100L))
+    assert(winners(Lww.merge(df(base), df(remote))) ==
+      Set(("<s>", "<p>", "LOCAL", 100L)))
+  }
+
+  test("merge: older remote loses") {
+    val remote = List(("<s>", "<p>", "REMOTE", 99L))
+    assert(winners(Lww.merge(df(base), df(remote))) ==
+      Set(("<s>", "<p>", "LOCAL", 100L)))
+  }
+
+  test("upsert: explicit update overwrites even with an OLDER timestamp " +
+    "(MongoDBConnector.py:73 has no ts guard)") {
+    val upd = List(("<s>", "<p>", "NEW", 50L))
+    assert(winners(Lww.upsert(df(base), df(upd))) ==
+      Set(("<s>", "<p>", "NEW", 50L)))
+  }
+
+  test("upsert: equal timestamp overwrites") {
+    val upd = List(("<s>", "<p>", "NEW", 100L))
+    assert(winners(Lww.upsert(df(base), df(upd))) ==
+      Set(("<s>", "<p>", "NEW", 100L)))
+  }
+
+  test("upsert: newest of several updates to one key wins") {
+    val upd = List(
+      ("<s>", "<p>", "U1", 60L), ("<s>", "<p>", "U2", 70L),
+      ("<s>", "<p>", "U0", 55L))
+    assert(winners(Lww.upsert(df(base), df(upd))) ==
+      Set(("<s>", "<p>", "U2", 70L)))
+  }
+
+  test("upsert: absent key inserts (MongoDBConnector.py:89)") {
+    val upd = List(("<s2>", "<p>", "INS", 10L))
+    assert(winners(Lww.upsert(df(base), df(upd))) ==
+      Set(("<s>", "<p>", "LOCAL", 100L), ("<s2>", "<p>", "INS", 10L)))
+  }
+
+  test("changelogUnion: newer changelog wins key collisions " +
+    "(MasterServer.py:106-115)") {
+    val older = List(("<s>", "<p>", "OLD", 100L))
+    val newer = List(("<s>", "<p>", "NEW", 90L))
+    assert(winners(Lww.changelogUnion(df(older), df(newer))) ==
+      Set(("<s>", "<p>", "NEW", 90L)))
+  }
+}
