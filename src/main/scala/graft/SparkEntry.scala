@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
+import graft.functions.LwwObject
 import graft.operators.{Lww, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +41,14 @@ object SparkEntry {
     "q9_set_ops"      -> (Relational.q9SetOps(_, _)),
     "q10_scalar_funcs" -> (Relational.q10ScalarFuncs(_, _)),
     "q11_tumbling"    -> (Relational.q11Tumbling(_, _)),
+    // Q12: the typed lww_object Aggregator (pure LWW, no prio bit) over
+    // local ∪ remote — the UDAF twin of O3 (MongoDBConnector.py:150).
+    "q12_lww_udaf" -> ((s, dir) =>
+      TripleStore.triples(s, dir)
+        .unionByName(TripleStore.remoteChangelog(s, dir))
+        .groupBy("subject", "predicate")
+        .agg(LwwObject.column(col("object"), col("ts_ms")).as("object"))
+        .orderBy("subject", "predicate")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -74,5 +84,13 @@ object SparkEntry {
     "q9_set_ops"       -> Relational.q9Sql,
     "q10_scalar_funcs" -> Relational.q10Sql,
     "q11_tumbling"     -> Relational.q11TumblingSql,
+    "q12_lww_udaf" ->
+      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
+         |SELECT subject, predicate, object FROM (
+         |  SELECT subject, predicate, object,
+         |         row_number() OVER (PARTITION BY subject, predicate
+         |                 ORDER BY ts_ms DESC, object DESC) AS rn
+         |  FROM (SELECT * FROM triples UNION ALL SELECT * FROM remote))
+         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
   )
 }
