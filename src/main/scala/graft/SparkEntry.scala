@@ -49,6 +49,25 @@ object SparkEntry {
         .groupBy("subject", "predicate")
         .agg(LwwObject.column(col("object"), col("ts_ms")).as("object"))
         .orderBy("subject", "predicate")),
+    // O1 over the materialized range-sharded layout (getShardID analog):
+    // plain parquet scan with the subject filter pushed + shard-pruned.
+    "q1_sharded_scan" -> ((s, dir) =>
+      TripleStore.searchSharded(s, dir, "<order_42>")
+        .orderBy("predicate", "object")),
+    // O5/O11 shard-membership range predicate filtering a changelog
+    // (MasterServer.py:97-104 / MongoDBConnector.py:105-114).
+    "q13_shard_filter" -> ((s, dir) =>
+      TripleStore.updates(s, dir)
+        .filter(Lww.shardPredicate("<order_1", "<a", "<order_5", "<z"))
+        .orderBy("subject", "predicate")),
+    // O12 changelog union: newer changelog wins key collisions
+    // (MasterServer.py:106-115).
+    "q14_changelog_union" -> ((s, dir) =>
+      Lww.changelogUnion(TripleStore.updates(s, dir),
+          TripleStore.remoteChangelog(s, dir))
+        .orderBy("subject", "predicate")),
+    // O22 metadata/describe surface (MasterServer.py:435-463).
+    "q15_describe_shards" -> (TripleStore.describeShards(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +111,24 @@ object SparkEntry {
          |                 ORDER BY ts_ms DESC, object DESC) AS rn
          |  FROM (SELECT * FROM triples UNION ALL SELECT * FROM remote))
          |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q1_sharded_scan" ->
+      s"""WITH ${TripleStore.TriplesCte}
+         |SELECT subject, predicate, object, ts_ms FROM triples
+         |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
+    "q13_shard_filter" ->
+      s"""WITH ${TripleStore.UpdatesCte}
+         |SELECT subject, predicate, object, ts_ms FROM updates
+         |WHERE subject BETWEEN '<order_1' AND '<order_5'
+         |  AND predicate BETWEEN '<a' AND '<z'
+         |ORDER BY subject, predicate""".stripMargin,
+    "q14_changelog_union" ->
+      s"""WITH ${TripleStore.UpdatesCte}, ${TripleStore.RemoteCte}
+         |SELECT subject, predicate, object, ts_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
+         |            ORDER BY prio DESC, ts_ms DESC, object DESC) AS rn
+         |  FROM (SELECT u.*, 0 AS prio FROM updates u
+         |        UNION ALL SELECT r.*, 1 FROM remote r))
+         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q15_describe_shards" -> TripleStore.DescribeShardsSql,
   )
 }
