@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.functions.LwwObject
-import graft.operators.{Lww, Relational}
+import graft.functions.{LwwObject, Multimodal}
+import graft.operators.{Docs, Lww, Relational, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -68,6 +68,15 @@ object SparkEntry {
         .orderBy("subject", "predicate")),
     // O22 metadata/describe surface (MasterServer.py:435-463).
     "q15_describe_shards" -> (TripleStore.describeShards(_, _)),
+    // --- LLM-training-data pipeline pillars over documents/embeddings ---
+    "q16_text_stats"     -> (Docs.q16TextStats(_, _)),
+    "q17_lang_id"        -> (Docs.q17LangId(_, _)),
+    "q18_exact_dedup"    -> (Docs.q18ExactDedup(_, _)),
+    "q19_minhash_neardup" -> (Docs.q19MinhashPairs(_, _)),
+    "q20_simhash"        -> (Docs.q20Simhash(_, _)),
+    "q21_embed_topk"     -> (Vectors.q21TopkCosine(_, _)),
+    "q22_embed_lsh"      -> (Vectors.q22LshBuckets(_, _)),
+    "q23_multimodal_meta" -> (Multimodal.q23MultimodalMeta(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +139,13 @@ object SparkEntry {
          |        UNION ALL SELECT r.*, 1 FROM remote r))
          |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
     "q15_describe_shards" -> TripleStore.DescribeShardsSql,
+    "q16_text_stats"      -> Docs.q16Sql,
+    "q17_lang_id"         -> Docs.q17Sql,
+    "q18_exact_dedup"     -> Docs.q18Sql,
+    "q19_minhash_neardup" -> Docs.q19Sql,
+    "q20_simhash"         -> Docs.q20Sql,
+    "q21_embed_topk"      -> Vectors.q21Sql,
+    "q22_embed_lsh"       -> Vectors.q22Sql,
+    "q23_multimodal_meta" -> Multimodal.q23Sql,
   )
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.TripleStore.table
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed by batch-shaped feature extractors.
+  *
+  * The container has no image/audio codecs, so [[fakeDecode]] is a STUB — a
+  * deterministic byte-level "decoder" standing in for a real
+  * decode/resize/frame-sample kernel. Everything around it is the real
+  * plumbing a 100 TB multimodal pipeline needs and is tested: a binary
+  * column + metadata struct schema, a typed `Dataset` boundary with
+  * per-partition batch shape (`mapPartitions`, the JVM analog of
+  * `mapInPandas`' arrow-batch contract), and fixed-width feature vectors as
+  * `Array[Float]` ready for the [[graft.operators.Vectors]] ANN path.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
+      n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, features: Array[Float])
+
+  /** Media table derived from `documents`: the UTF-8 bytes of `text` as the
+    * opaque payload + typed metadata. (In production this is
+    * `spark.read.format("binaryFile")` or parquet with a binary column.) */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        lit("text/plain").as("format"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB decoder: deterministic fake. A real implementation would decode
+    * the codec and produce pixels/samples; this computes an 8-bin byte
+    * histogram (normalized) and fake dimensions from the length, preserving
+    * exactly the properties the pipeline depends on: fixed feature width,
+    * determinism, and per-row independence. */
+  def fakeDecode(row: MediaRow): MediaFeatures = {
+    val hist = new Array[Float](8)
+    var i = 0
+    while (i < row.media.length) {
+      hist(((row.media(i) & 0xff) >> 5)) += 1f
+      i += 1
+    }
+    val n = math.max(1, row.media.length).toFloat
+    var k = 0
+    while (k < 8) { hist(k) /= n; k += 1 }
+    MediaFeatures(row.doc_id, row.n_bytes,
+      width = (row.n_bytes % 640).toInt, height = (row.n_bytes % 480).toInt,
+      features = hist)
+  }
+
+  /** Batch feature extraction with `mapPartitions` — one decoder
+    * instantiation per partition (the expensive-init pattern real codecs
+    * need), rows streamed through it. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real pipeline: initialize the codec/model once per partition here
+      rows.map(fakeDecode)
+    }
+  }
+
+  /** Q23 gate query: the SQL-expressible slice of the media pipeline —
+    * binary payload size + content signature per media row. */
+  def q23MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        lit("text/plain").as("format"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        substring(md5(col("text")), 1, 16).as("content_sig"))
+      .orderBy("doc_id")
+
+  val q23Sql: String =
+    """SELECT doc_id, 'text/plain' AS format,
+      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       substr(md5(text), 1, 16) AS content_sig
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

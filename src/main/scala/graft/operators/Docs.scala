@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.TripleStore.table
+
+/** Training-data pipeline operators over `documents` — the text-analysis,
+  * exact-dedup and near-dup pillars a 100 TB corpus pipeline needs.
+  *
+  * Everything hash-based uses md5/sha256 hex strings so the DuckDB oracle
+  * computes bit-identical values; everything is expressed as declarative
+  * DataFrame ops (no UDFs), so the whole pillar stays inside whole-stage
+  * codegen and scales by partitioning alone.
+  */
+object Docs {
+
+  private val Stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"))
+
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  // --- Q16: token counting, quality stats, fingerprint ----------------------
+
+  /** Per-document token/char counts, average token length, stopword ratio, a
+    * regex token count, an md5-prefix fingerprint, and a quality `keep` flag.
+    * One narrow scan, one projection — no shuffle at all. */
+  def q16TextStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_m"),
+        round(expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+          .cast(DoubleType) / size(col("w")), 4).as("avg_tok_len"),
+        round(expr(s"size(filter(w, x -> x IN ${inList(Stop("en"))}))")
+          .cast(DoubleType) / size(col("w")), 4).as("stop_ratio"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(LongType)
+          .as("n_alpha_tokens"),
+        substring(md5(col("text")), 1, 16).as("fingerprint"),
+        (size(col("w")) >= 5 &&
+          (expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+            .cast(DoubleType) / size(col("w"))).between(2.0, 12.0)).as("keep"))
+      .orderBy("doc_id")
+
+  val q16Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w), 4) AS avg_tok_len,
+       |  round(CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS DOUBLE)/len(w), 4) AS stop_ratio,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+       |  substr(md5(text), 1, 16) AS fingerprint,
+       |  (len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0) AS keep
+       |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // --- Q17: language-ID heuristic -------------------------------------------
+
+  /** Stopword-profile language scorer (the classic n-gram/function-word
+    * heuristic, scoped to whole tokens): count matches against per-language
+    * function-word sets, predict the argmax, `und` on ties. Declarative
+    * `filter` over the token array — no shuffle, no UDF. */
+  def q17LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scoreCols = Stop.keys.toSeq.sorted.map(l =>
+      expr(s"size(filter(w, x -> x IN ${inList(Stop(l))}))")
+        .cast(LongType).as(s"s_$l"))
+    val scored = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("lang_meta"),
+        split(lower(col("text")), " ").as("w"))
+      .select(Seq(col("doc_id"), col("lang_meta")) ++ scoreCols: _*)
+    scored.select(col("doc_id"), col("lang_meta"),
+        col("s_de"), col("s_en"), col("s_es"),
+        when(col("s_en") > col("s_es") && col("s_en") > col("s_de"), "en")
+          .when(col("s_es") > col("s_en") && col("s_es") > col("s_de"), "es")
+          .when(col("s_de") > col("s_en") && col("s_de") > col("s_es"), "de")
+          .otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val q17Sql: String =
+    s"""SELECT doc_id, lang AS lang_meta,
+       |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("de"))})) AS BIGINT) AS s_de,
+       |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS BIGINT) AS s_en,
+       |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("es"))})) AS BIGINT) AS s_es,
+       |  CASE
+       |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("en"))})) > len(list_filter(w, x -> x IN ${inList(Stop("es"))}))
+       |     AND len(list_filter(w, x -> x IN ${inList(Stop("en"))})) > len(list_filter(w, x -> x IN ${inList(Stop("de"))})) THEN 'en'
+       |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("es"))})) > len(list_filter(w, x -> x IN ${inList(Stop("en"))}))
+       |     AND len(list_filter(w, x -> x IN ${inList(Stop("es"))})) > len(list_filter(w, x -> x IN ${inList(Stop("de"))})) THEN 'es'
+       |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("de"))})) > len(list_filter(w, x -> x IN ${inList(Stop("en"))}))
+       |     AND len(list_filter(w, x -> x IN ${inList(Stop("de"))})) > len(list_filter(w, x -> x IN ${inList(Stop("es"))})) THEN 'de'
+       |    ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // --- Q18: exact dedup by content hash -------------------------------------
+
+  /** Exact dedup: group by sha256(text). At 100 TB this shuffles one 64-byte
+    * key + two longs per document (map-side combined), never the text
+    * itself; the representative is the smallest doc_id. */
+  def q18ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  val q18Sql: String =
+    """SELECT sha256(text) AS content_hash,
+      |       CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // --- Q19: MinHash + LSH near-dup pairs ------------------------------------
+
+  private val NumHashes = 8
+  private val NumBands = 4 // bands of 2 hashes each
+  val JaccardThreshold = 0.6
+
+  /** Distinct 3-word shingles per document. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .as("s"))
+
+  /** Near-duplicate pairs via MinHash signatures + LSH banding, verified
+    * with exact shingle Jaccard.
+    *
+    * The scale story: banding replaces the O(n²) all-pairs comparison with
+    * an equi-join on (band_idx, band_val) — only documents sharing a bucket
+    * are ever compared, and the exact-Jaccard verification runs on that
+    * candidate set alone. MinHash values are `min(md5(seed || shingle))`
+    * hex strings, so the DuckDB oracle derives the identical signatures,
+    * bands, and candidate set. */
+  def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sig = sh.groupBy("doc_id").agg(
+      min(md5(concat(lit("0:"), col("s")))).as("mh0"),
+      (1 until NumHashes).map(h =>
+        min(md5(concat(lit(s"$h:"), col("s")))).as(s"mh$h")): _*)
+    val bandCases = (0 until NumBands).map(b =>
+      s"('$b', md5(concat('$b|', mh${2 * b}, mh${2 * b + 1})))").mkString(", ")
+    val bands = sig.select(col("doc_id"),
+      expr(s"stack($NumBands, ${(0 until NumBands).map(b =>
+        s"'$b', md5(concat('$b|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")})" +
+        " AS (band_idx, band_val)"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sh.as("xb"),
+        col("doc_b") === col("xb.doc_id") && col("xa.s") === col("xb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast(DoubleType) /
+          (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q19Sql: String = {
+    val mhCols = (0 until NumHashes)
+      .map(h => s"min(md5('$h:' || s)) AS mh$h").mkString(", ")
+    val bandRows = (0 until NumBands)
+      .map(b => s"('$b', md5('$b|' || mh${2 * b} || mh${2 * b + 1}))").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text,' ') AS w FROM documents
+       |  WHERE len(string_split(text,' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(w)-2),
+       |            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+       |    FROM toks)),
+       |sig AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b.* FROM sig,
+       |  LATERAL (SELECT * FROM (VALUES $bandRows) t(band_idx, band_val)) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |           JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- Q20: SimHash fingerprints --------------------------------------------
+
+  private val SimBits = 32
+
+  /** 32-bit SimHash: one bit per md5 nibble's high bit, summed ±1 over the
+    * document's tokens (with multiplicity); bit = 1 when the dimension sum
+    * is >= 0. Near-dup docs differ in few bits (small Hamming distance).
+    * Pure hash-agg: shuffles (doc_id, 32 small ints) after map-side partial
+    * aggregation. */
+  def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", md5(col("t")))
+    val dims = (0 until SimBits).map(k =>
+      sum(when(substring(col("h"), k + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"d$k"))
+    toks.groupBy("doc_id").agg(dims.head, dims.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until SimBits).map(k =>
+          when(col(s"d$k") >= 0, "1").otherwise("0")): _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q20Sql: String = {
+    val dims = (0 until SimBits).map(k =>
+      s"""CASE WHEN sum(CASE WHEN substr(h, ${k + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END""")
+      .mkString(" ||\n       ")
+    s"""SELECT doc_id, $dims AS simhash
+       |FROM (SELECT doc_id, md5(t) AS h FROM (
+       |        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents))
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}

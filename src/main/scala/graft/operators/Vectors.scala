@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.TripleStore.table
+
+/** Similarity search over `embeddings` (`Array[Float]`, 64-dim).
+  *
+  * Two paths:
+  *   - [[q21TopkCosine]]: brute-force cosine top-k — the exactness baseline.
+  *     All dot products run in DOUBLE with a sequential left fold
+  *     (`aggregate`/`zip_with`), so DuckDB's sequential `list_sum` computes
+  *     bit-identical values; ranking keys on the ROUNDED score with vec_id
+  *     tie-break so ordering never depends on sub-ulp float noise.
+  *   - [[q22LshBuckets]]: the scale path — random-hyperplane LSH. Bucket =
+  *     8 sign bits of projections onto ±1 hyperplanes derived
+  *     deterministically from md5 (computed once on the driver, embedded as
+  *     literals in both engines). ANN then probes ONE bucket (an equi-join),
+  *     never the all-pairs cross product: at 10^9 vectors a 256-bucket
+  *     partition turns O(n²) into 256 × O((n/256)²), and the bucket column
+  *     is a shuffle/bucketing key for co-located joins.
+  */
+object Vectors {
+
+  val NumPlanes = 8
+  val Dim = 64
+  private val TopK = 10
+  private val NumQueries = 5 // vec_id < 5 are the query vectors
+
+  /** ±1 hyperplane components, deterministic in (plane, dim): the high bit
+    * of md5("plane:dim")'s first hex digit. */
+  lazy val planes: Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (j, i) =>
+      val d = md.digest(s"$j:$i".getBytes(StandardCharsets.UTF_8))
+      if (((d(0) >> 7) & 1) == 1) -1 else 1
+    }
+  }
+
+  /** Sequential-fold double dot product of two float array columns. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def q21TopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val cos = q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cos.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val q21Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(range(len(embedding)),
+       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cos AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         round(list_sum(list_transform(range(len(q.embedding)),
+       |             i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+       |           / (q.nrm * e.nrm), 4) AS cos_sim
+       |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM cos)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** Bucket every vector by its 8 hyperplane sign bits and report bucket
+    * occupancy (vec_id → bucket, plus the bucket's population — the join
+    * fan-in an ANN probe of that bucket would touch). */
+  def q22LshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bits: Seq[Column] = planes.toSeq.map { p =>
+      val lit = p.mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with(embedding, $lit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
+        .otherwise("0")
+    }
+    val bucketed = table(spark, dir, "embeddings")
+      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+    bucketed
+      .withColumn("n_in_bucket",
+        count(lit(1)).over(Window.partitionBy("bucket")).cast(LongType))
+      .orderBy("vec_id")
+  }
+
+  val q22Sql: String = {
+    val bits = planes.map { p =>
+      val lit = p.mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(range(len(embedding)),
+         |  i -> CAST(embedding[i+1] AS DOUBLE) * ($lit)[i+1])) >= 0
+         |  THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n ")
+    s"""WITH b AS (SELECT vec_id, $bits AS bucket FROM embeddings)
+       |SELECT vec_id, bucket,
+       |       CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_in_bucket
+       |FROM b ORDER BY vec_id""".stripMargin
+  }
+
+  /** LSH-bucketed approximate top-k: compare only within a bucket. Used by
+    * VectorsSpec to measure recall vs [[q21TopkCosine]]; not a gate query
+    * (approximate results have no SQL-exact oracle by construction). */
+  def lshTopk(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val bits: Seq[Column] = planes.toSeq.map { p =>
+      val lit = p.mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with(embedding, $lit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
+        .otherwise("0")
+    }
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("bucket").as("qb"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    q.join(e, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+}

