@@ -77,6 +77,7 @@ object SparkEntry {
     "q21_embed_topk"     -> (Vectors.q21TopkCosine(_, _)),
     "q22_embed_lsh"      -> (Vectors.q22LshBuckets(_, _)),
     "q23_multimodal_meta" -> (Multimodal.q23MultimodalMeta(_, _)),
+    "q24_simhash_neardup" -> (Docs.q24SimhashNeardup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -147,5 +148,6 @@ object SparkEntry {
     "q21_embed_topk"      -> Vectors.q21Sql,
     "q22_embed_lsh"       -> Vectors.q22Sql,
     "q23_multimodal_meta" -> Multimodal.q23Sql,
+    "q24_simhash_neardup" -> Docs.q24Sql,
   )
 }

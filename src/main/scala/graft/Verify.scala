@@ -14,6 +14,7 @@ object Verify {
       // events.parquet is timestamp[ns]; surface it as raw ns longs (the
       // eventTsMs LongType branch) instead of aborting the read.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -235,7 +235,7 @@ object Docs {
       .orderBy("doc_id")
   }
 
-  val q20Sql: String = {
+  private val q20Core: String = {
     val dims = (0 until SimBits).map(k =>
       s"""CASE WHEN sum(CASE WHEN substr(h, ${k + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END""")
       .mkString(" ||\n       ")
@@ -243,6 +243,58 @@ object Docs {
        |FROM (SELECT doc_id, md5(t) AS h FROM (
        |        SELECT doc_id, unnest(string_split(text, ' ')) AS t
        |        FROM documents))
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id""".stripMargin
   }
+
+  val q20Sql: String = q20Core + "\nORDER BY doc_id"
+
+  // --- Q24: SimHash near-dup pairs via banding + native hamming_distance ----
+
+  /** Near-dup pairs by SimHash: LSH-band the 32-bit fingerprints into 4
+    * bytes, join only within a band bucket (hamming ≤ 1 guarantees ≥ 3
+    * identical bands, so banding is lossless here — pigeonhole), and score
+    * candidates with the native codegen'd
+    * [[graft.plans.HammingDistance hamming_distance]] expression registered
+    * through `SparkSessionExtensions`. Never an all-pairs cross join. */
+  def q24SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val sim = q20Simhash(spark, dir)
+    val bands = sim.select(col("doc_id"), col("simhash"), expr(
+      """stack(4, '0', substring(simhash, 1, 8), '1', substring(simhash, 9, 8),
+        |         '2', substring(simhash, 17, 8), '3', substring(simhash, 25, 8))
+        |AS (band_idx, band_val)""".stripMargin))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        expr("hamming_distance(sa, sb)").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q24Sql: String =
+    s"""WITH sh AS ($q20Core),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.* FROM sh,
+       |  LATERAL (SELECT * FROM (VALUES
+       |    ('0', substr(simhash, 1, 8)), ('1', substr(simhash, 9, 8)),
+       |    ('2', substr(simhash, 17, 8)), ('3', substr(simhash, 25, 8)))
+       |    t(band_idx, band_val)) b),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.simhash AS sa, y.simhash AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_filter(range(32),
+       |         i -> substr(sa, i+1, 1) <> substr(sb, i+1, 1))) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE len(list_filter(range(32),
+       |        i -> substr(sa, i+1, 1) <> substr(sb, i+1, 1))) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

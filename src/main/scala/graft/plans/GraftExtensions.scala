@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+
+import graft.functions.LwwObject
+
+/** Optimizer rule: rewrite the typed [[LwwObject]] UDAF into the native
+  * `max_by(object, struct(ts_ms, object))` — identical semantics (SURVEY §4
+  * "optional Rule" item), but the native aggregate stays codegen-friendly
+  * and skips the Aggregator's per-row encode/decode round-trip. The Q12 gate
+  * query runs through this rewrite, so the correctness gate itself proves
+  * the rule semantics-preserving.
+  */
+object LwwObjectToMaxBy extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case sa: ScalaAggregator[_, _, _]
+            if (sa.agg eq LwwObject) && sa.children.size == 2 =>
+          val obj = sa.children.head
+          val ts = sa.children(1)
+          ae.copy(aggregateFunction = MaxBy(obj, CreateStruct(Seq(ts, obj))))
+        case _ => ae
+      }
+    }
+}
+
+/** Engine extensions, installed via `spark.sql.extensions=graft.plans.
+  * GraftExtensions`: the [[HammingDistance]] native function and the
+  * [[LwwObjectToMaxBy]] optimizer rule. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+      (children: Seq[Expression]) =>
+        HammingDistance(children(0), children(1))))
+    ext.injectOptimizerRule(_ => LwwObjectToMaxBy)
+  }
+}
