@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.functions.{LwwObject, Multimodal}
-import graft.operators.{Docs, Lww, Relational, Vectors}
+import graft.operators.{Docs, Graph, Lww, Relational, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,8 @@ object SparkEntry {
     "q22_embed_lsh"      -> (Vectors.q22LshBuckets(_, _)),
     "q23_multimodal_meta" -> (Multimodal.q23MultimodalMeta(_, _)),
     "q24_simhash_neardup" -> (Docs.q24SimhashNeardup(_, _)),
+    // Graph analytics north star: degree distribution over the entity graph.
+    "q25_node_degrees" -> (Graph.q25NodeDegrees(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -149,5 +151,6 @@ object SparkEntry {
     "q22_embed_lsh"       -> Vectors.q22Sql,
     "q23_multimodal_meta" -> Multimodal.q23Sql,
     "q24_simhash_neardup" -> Docs.q24Sql,
+    "q25_node_degrees"    -> Graph.q25Sql,
   )
 }

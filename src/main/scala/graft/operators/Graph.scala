@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.TripleStore
+import graft.TripleStore.triples
+
+/** Graph analytics over the triple table (the BASELINE north star: RDF
+  * triples as an edge list — SURVEY §1.4 "Graph view"). Edges are the
+  * entity-valued triples: `subject -[predicate]-> object` where the object
+  * is itself an entity reference (`<...>`), e.g.
+  * `<order_k> -<orderedBy>-> <cust_c> -<inNation>-> <nation_n>`.
+  */
+object Graph {
+
+  /** Entity-valued edge list. */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    triples(spark, dir)
+      .filter(col("object").startsWith("<"))
+      .select(col("subject").as("src"), col("predicate").as("rel"),
+        col("object").as("dst"))
+
+  /** Q25: per-node out/in degree — one shuffle per side (map-side combined
+    * counts), then an outer join of two small aggregates. */
+  def q25NodeDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val out = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val in  = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy("node")
+  }
+
+  val q25Sql: String =
+    s"""WITH ${TripleStore.TriplesCte},
+       |e AS (SELECT subject AS src, object AS dst FROM triples
+       |      WHERE object LIKE '<%'),
+       |o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+       |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+       |SELECT COALESCE(o.node, i.node) AS node,
+       |       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+       |       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg
+       |FROM o FULL OUTER JOIN i ON o.node = i.node
+       |ORDER BY node""".stripMargin
+
+  /** Connected components by iterative min-label propagation over the
+    * undirected edge set: each node's label converges to the smallest node
+    * id in its component.
+    *
+    * Scale notes: every iteration is one shuffle (groupBy node) after a
+    * union of both edge directions; `localCheckpoint` truncates the lineage
+    * so the plan doesn't grow with iterations (on a cluster, prefer
+    * `sparkContext.setCheckpointDir` + `checkpoint(eager=true)`, or the
+    * alternating small-star/large-star formulation that bounds per-key fan-in
+    * on power-law graphs). Iterations are bounded by the graph diameter —
+    * for this store's order→cust→nation→region chains, ≤ 4.
+    */
+  def connectedComponents(edgeDf: DataFrame, maxIter: Int = 10): DataFrame = {
+    val und = edgeDf.select(col("src"), col("dst"))
+      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label per node: min of own label and neighbors' labels
+      val next = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}
