@@ -142,10 +142,16 @@ object Docs {
     * bands, and candidate set. */
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val sig = sh.groupBy("doc_id").agg(
-      min(md5(concat(lit("0:"), col("s")))).as("mh0"),
-      (1 until NumHashes).map(h =>
-        min(md5(concat(lit(s"$h:"), col("s")))).as(s"mh$h")): _*)
+    // 8 hash functions from 2 md5 calls: each md5's 32 hex chars split into
+    // 4 independent 8-char chunks (each a uniform hash of the shingle) —
+    // md5 is the dominant per-shingle cost at scale.
+    val hashed = sh.select(col("doc_id"), col("s"),
+      md5(concat(lit("0:"), col("s"))).as("h0"),
+      md5(concat(lit("1:"), col("s"))).as("h1"))
+    val sigCols = (0 until NumHashes).map { k =>
+      min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
+    }
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCases = (0 until NumBands).map(b =>
       s"('$b', md5(concat('$b|', mh${2 * b}, mh${2 * b + 1})))").mkString(", ")
     val bands = sig.select(col("doc_id"),
@@ -177,7 +183,8 @@ object Docs {
 
   val q19Sql: String = {
     val mhCols = (0 until NumHashes)
-      .map(h => s"min(md5('$h:' || s)) AS mh$h").mkString(", ")
+      .map(k => s"min(substr(md5('${k / 4}:' || s), ${(k % 4) * 8 + 1}, 8)) AS mh$k")
+      .mkString(", ")
     val bandRows = (0 until NumBands)
       .map(b => s"('$b', md5('$b|' || mh${2 * b} || mh${2 * b + 1}))").mkString(", ")
     s"""WITH toks AS (
