@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lww
+
+/** Same-scale comparison against the reference's published numbers
+  * (report.pdf §7: YAGO 10,207,584 triples; point query 0.9002 s, single
+  * upsert 2.4244 s, pairwise merge of pending updates 2.2729 s — SURVEY §6).
+  *
+  * sf0.1 derives only ~495k triples, so [[Bench]] is not same-scale; this
+  * main replicates the derived triples (suffixing subjects) up to 10.2M
+  * rows, materializes the range-sharded store once (the ETL the reference
+  * does offline in its notebook), and times the three headline operations
+  * in their faithful single-operation form plus the full-store LWW
+  * compaction as the batch-throughput number. Prints one JSON line.
+  */
+object ScaleBench {
+
+  private val YagoRows = 10207584L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = TripleStore.triples(spark, sfDir)
+    val n = base.count()
+    val reps = math.max(1L, math.ceil(YagoRows.toDouble / n).toLong)
+    val big = base.crossJoin(
+        spark.range(reps).select(col("id").as("rep")))
+      .select(concat(col("subject"), lit("_r"), col("rep")).as("subject"),
+        col("predicate"), col("object"), col("ts_ms"))
+    val path = sys.props("java.io.tmpdir") + "/graft_scalebench"
+
+    // ETL: global range partition + in-partition sort (notebook cells 1+4)
+    val (_, tEtl) = timed {
+      TripleStore.writeSharded(big, path, numShards = 3)
+    }
+    val store = spark.read.parquet(path)
+    val total = store.count()
+
+    // O1 point query (reference 0.9002 s): warm the reader, then probe.
+    // Sorted row groups + pushed equality => min/max skipping prunes almost
+    // the whole store.
+    store.filter(col("subject") === "<order_1>_r0").count()
+    val (c1, tSearch) = timed {
+      store.filter(col("subject") === "<order_42>_r7").count()
+    }
+
+    // O2 single upsert (reference 2.4244 s): point probe + comparator,
+    // returning old+new rows — the reference's actual contract
+    // (MongoDBConnector.py:46-102 touches one key, not the store).
+    val (rows2, tUpsert) = timed {
+      Lww.upsertPoint(store, "<order_42>_r7", "<hasStatus>", "UPDATED",
+        4102444800000L).collect()
+    }
+
+    // O3 pairwise merge of a node's pending set (reference 2.2729 s for 1
+    // pending update): the reference ships a per-node modifications dict
+    // whose keys lie in that node's shard ranges, so the merge probe is
+    // bounded: prune the store scan to the changelog's key range (row-group
+    // skipping on the sorted layout), then broadcast-semi-join the keys.
+    val pending = store
+      .filter(col("predicate") === "<hasStatus>" &&
+        col("subject") >= "<order_2" && col("subject") < "<order_3")
+      .limit(1000)
+      .select(col("subject"), col("predicate"), lit("REMOTE").as("object"),
+        (col("ts_ms") + 86400000L).as("ts_ms"))
+      .collect() // the reference's in-memory updateModifications dict
+    val changelog = spark.createDataFrame(
+      spark.sparkContext.parallelize(pending.toIndexedSeq),
+      store.schema)
+    val (loS, hiS) = (pending.map(_.getString(0)).min, pending.map(_.getString(0)).max)
+    val (c3, tMerge) = timed {
+      val affected = store
+        .filter(col("subject").between(loS, hiS))
+        .join(broadcast(changelog.select("subject", "predicate")),
+          Seq("subject", "predicate"), "left_semi")
+      Lww.merge(affected, changelog).count()
+    }
+
+    // Batch compaction throughput: full-store LWW dedup (the 100 TB path).
+    val (c4, tCompact) = timed {
+      Lww.upsert(store, changelog).count()
+    }
+
+    println(
+      s"""{"metric":"scalebench","rows":$total,"unit":"sec","etl_write":$tEtl,""" +
+      s""""point_search":$tSearch,"point_upsert":$tUpsert,"merge_1k_pending":$tMerge,""" +
+      s""""full_compaction":$tCompact,"search_rows":$c1,"upsert_rows":${rows2.length},""" +
+      s""""merge_rows":$c3,"compact_rows":$c4,"baseline":{"search":0.9002,"upsert":2.4244,"merge":2.2729}}""")
+    spark.stop()
+  }
+}

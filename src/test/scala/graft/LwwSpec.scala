@@ -123,6 +123,24 @@ class LwwSpec extends AnyFunSuite {
       Set(("<s>", "<p>", "LOCAL", 100L), ("<s2>", "<p>", "INS", 10L)))
   }
 
+  test("upsertPoint: returns old and new rows, touching one key " +
+    "(MongoDBConnector.py:46-102 contract)") {
+    val store = df(List(
+      ("<s>", "<p>", "OLD", 100L), ("<s2>", "<p>", "OTHER", 5L)))
+    val out = Lww.upsertPoint(store, "<s>", "<p>", "NEW", 50L)
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(out == Set(
+      ("<s>", "<p>", "NEW", 50L, "new_row"),
+      ("<s>", "<p>", "OLD", 100L, "old_row")))
+  }
+
+  test("upsertPoint on an absent key: inserts, no old_row") {
+    val store = df(List(("<s2>", "<p>", "OTHER", 5L)))
+    val out = Lww.upsertPoint(store, "<s>", "<p>", "NEW", 50L)
+      .as[(String, String, String, Long, String)].collect().toSet
+    assert(out == Set(("<s>", "<p>", "NEW", 50L, "new_row")))
+  }
+
   test("changelogUnion: newer changelog wins key collisions " +
     "(MasterServer.py:106-115)") {
     val older = List(("<s>", "<p>", "OLD", 100L))
