@@ -113,6 +113,78 @@ object Vectors {
        |FROM b ORDER BY vec_id""".stripMargin
   }
 
+  // --- IVF (inverted-file) ANN: coarse k-means quantizer + probed lists ----
+
+  /** Spherical k-means coarse quantizer, fully declarative (no closures in
+    * the per-vector path): assignment is a crossJoin with the k-row
+    * centroid table + `max_by` per vector (codegen'd, k·N small since k is
+    * tiny); the update step re-averages per (cluster, dimension) and
+    * re-normalizes. Deterministic: seeds are the k lowest vec_ids.
+    *
+    * At 100 TB the centroid table is broadcast-sized by construction and
+    * the only shuffle is the per-vector `max_by` groupBy — the index build
+    * is linear per iteration. */
+  def ivfAssign(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
+        .as("v"))
+    var centroids = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cluster"), col("v").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          expr("aggregate(zip_with(v, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+            .as("sim"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cluster"), struct(col("sim"), col("cluster"))).as("cluster"),
+          first(col("v")).as("v"))
+    for (_ <- 1 to iters) {
+      val means = assign(centroids)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("c"))
+        .select(col("cluster"), expr(
+          "transform(c, x -> x / sqrt(aggregate(zip_with(c, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
+          .as("c"))
+      centroids = means.localCheckpoint(true)
+    }
+    (assign(centroids).select("vec_id", "cluster", "v"), centroids)
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest centroid lists per query, exact
+    * cosine only within them — work scales with the probed share of the
+    * index, never all-pairs. */
+  def ivfTopk(spark: SparkSession, dir: String, k: Int, nprobe: Int,
+      topk: Int): DataFrame = {
+    val (assigned, centroids) = ivfAssign(spark, dir, k, iters = 3)
+    val idx = assigned.localCheckpoint(true)
+    val queries = idx.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cluster"),
+        expr("aggregate(zip_with(qv, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+          .as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cluster"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(idx, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topk)
+  }
+
   /** LSH-bucketed approximate top-k: compare only within a bucket. Used by
     * VectorsSpec to measure recall vs [[q21TopkCosine]]; not a gate query
     * (approximate results have no SQL-exact oracle by construction). */

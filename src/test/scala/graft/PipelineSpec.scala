@@ -56,6 +56,29 @@ class PipelineSpec extends AnyFunSuite {
       s"${shared.length}/${lsh.count(_._1 < 5).max(1)}")
   }
 
+  test("IVF: every vector lands in exactly one cluster; probed top-k " +
+    "overlaps brute force with matching scores") {
+    val (assigned, centroids) = Vectors.ivfAssign(spark, sf, k = 16, iters = 2)
+    assert(assigned.count() == 500)
+    assert(assigned.select("vec_id").distinct().count() == 500)
+    assert(centroids.count() == 16)
+
+    val bf = Vectors.q21TopkCosine(spark, sf)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Vectors.ivfTopk(spark, sf, k = 16, nprobe = 4, topk = 10)
+      .select("query_id", "neighbor_id", "cos_sim").as[(Long, Long, Double)]
+      .collect()
+    assert(ivf.nonEmpty)
+    val shared = ivf.filter(r => bf.contains((r._1, r._2)))
+    assert(shared.nonEmpty, "IVF(4/16 probes) found none of the true top-10")
+    shared.foreach { r =>
+      assert(math.abs(bf((r._1, r._2)) - r._3) <= 2e-4,
+        s"score mismatch for $r vs ${bf((r._1, r._2))}")
+    }
+    info(s"IVF recall of brute-force top-10: ${shared.length}/${bf.size}")
+  }
+
   test("minhash candidates catch every very-near-duplicate pair") {
     // jaccard >= 0.9 pairs have band-collision probability ~1-(1-0.9^2)^4
     // ≈ 0.9987; the driver's planted dups are ~0.97+, so all must be found.
