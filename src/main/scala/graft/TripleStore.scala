@@ -174,6 +174,20 @@ object TripleStore {
        |       CAST(count(DISTINCT predicate) AS BIGINT) AS n_predicates
        |FROM triples GROUP BY 1 ORDER BY shard_id""".stripMargin
 
+  /** Bucketed layout on the logical key: `bucketBy(subject, predicate)` +
+    * in-bucket sort. Two tables bucketed the same way join/aggregate on the
+    * key with NO shuffle exchange — the co-located-join story for repeated
+    * LWW merges at 100 TB (every anti-entropy round shuffles nothing;
+    * compare the reference, which ships whole modification dicts over HTTP
+    * per merge, `MasterServer.py:398-408`). Requires a catalog table
+    * (bucket metadata lives in the metastore). */
+  def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, "subject", "predicate")
+      .sortBy("subject", "predicate")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** O15 bulk TSV load (`MongoDBConnector.py:224-264`): one distributed scan
     * with an explicit schema — not 10.2M per-row upserts — parsing the
     * reference's `"%Y-%m-%d %H:%M:%S.%f"` timestamp strings

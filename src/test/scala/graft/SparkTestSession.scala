@@ -12,6 +12,8 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      sys.props("java.io.tmpdir") + "/graft_test_warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -67,6 +67,43 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(inShard.toSet == expected.toSet)
   }
 
+  test("bucketed layout: LWW merge of two co-bucketed stores shuffles " +
+    "nothing on the probe side") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS t_local")
+    spark.sql("DROP TABLE IF EXISTS t_remote")
+    // a previous failed run may have left the managed locations behind
+    // without catalog entries; saveAsTable refuses to reuse them
+    val wh = new java.io.File(
+      sys.props("java.io.tmpdir") + "/graft_test_warehouse")
+    Seq("t_local", "t_remote").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    TripleStore.writeBucketed(TripleStore.triples(spark, sf), "t_local", 4)
+    TripleStore.writeBucketed(
+      TripleStore.remoteChangelog(spark, sf), "t_remote", 4)
+    // at test scale the planner would broadcast the small side; disable it
+    // to get the sort-merge join a 100 TB merge would use, which is where
+    // bucket co-location eliminates the shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("t_local").join(spark.table("t_remote"),
+        Seq("subject", "predicate"), "left_semi")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed + co-sorted => sort-merge join with zero Exchange
+      assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() > 0)
+      // and an aggregation on the bucket key also avoids the shuffle
+      val agg = spark.table("t_local").groupBy("subject", "predicate").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fromTsv: O15 bulk load parses reference-format timestamps") {
     val dir = Files.createTempDirectory("graft_tsv").toFile
     val f = new java.io.File(dir, "fixture.tsv")
