@@ -1,10 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 import graft.Triple
+import graft.operators.Lww
 
 /** Q11: the reference's asynchronous LWW exchange as Structured Streaming.
   *
@@ -26,6 +29,12 @@ import graft.Triple
   */
 object StreamingLww {
 
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(); ()
+    }
+
   /** Emit the current winner of every key touched in each micro-batch
     * (update output mode). */
   def winners(updates: Dataset[Triple]): Dataset[Triple] = {
@@ -40,6 +49,50 @@ object StreamingLww {
           state.update(w)
           w
       }
+  }
+
+  /** Streaming changelog → persistent store: each micro-batch LWW-merges
+    * into the parquet store via `foreachBatch` (the reference's
+    * merge-orchestration loop, `MasterServer.py:384-432`, as a sink). The
+    * default trigger processes batches as they arrive; pass
+    * `Trigger.ProcessingTime("5 seconds")` for the reference's 5 s
+    * anti-entropy cadence (`MasterServer.py:233`).
+    *
+    * The store swap is write-new-then-move (never read and overwrite the
+    * same files in one job). At 100 TB the overwrite-the-store compaction
+    * becomes partition-wise: merge only the range shards the batch's key
+    * bounds touch (see `ScaleBench`'s bounded merge) or use a
+    * MERGE-capable table format; the foreachBatch structure is unchanged.
+    */
+  def mergeIntoStore(updates: Dataset[Triple], storePath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = updates.sparkSession
+    updates.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[Triple], _: Long) =>
+        val basePath = Paths.get(storePath)
+        val base =
+          if (Files.exists(basePath))
+            spark.read.parquet(storePath)
+          else batch.limit(0).toDF()
+        val tmp = storePath + ".next"
+        // merge (strict->) not upsert: a stale arrival must lose to the
+        // store's newer row (MongoDBConnector.py:150-153), and batch
+        // retries (same rows redelivered) are then no-ops — idempotent.
+        Lww.merge(base, batch.toDF())
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        // atomic-enough swap on a local FS; object stores would version
+        val old = storePath + ".old"
+        if (Files.exists(basePath))
+          Files.move(basePath, Paths.get(old), StandardCopyOption.REPLACE_EXISTING)
+        Files.move(Paths.get(tmp), basePath)
+        deleteRecursively(new java.io.File(old))
+        ()
+      }
+      .start()
   }
 
   /** Q11 tumbling 1-minute windows with a watermark over an event stream

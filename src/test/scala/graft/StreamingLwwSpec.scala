@@ -59,6 +59,28 @@ class StreamingLwwSpec extends AnyFunSuite {
       Triple("<c>", "<q>", "new", 50L)))
   }
 
+  test("foreachBatch merge sink: store converges to the batch LWW result " +
+    "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val source = MemoryStream[Triple]
+    source.addData(batch1: _*)
+    val q1 = StreamingLww.mergeIntoStore(source.toDS(), storePath, ckpt)
+    q1.awaitTermination() // AvailableNow: drains what's there, then stops
+    source.addData(batch2: _*)
+    val q2 = StreamingLww.mergeIntoStore(source.toDS(), storePath, ckpt)
+    q2.awaitTermination()
+
+    val store = spark.read.parquet(storePath).as[Triple].collect().toSet
+    val batch = Lww.upsert(
+        Seq.empty[Triple].toDF("subject", "predicate", "object", "ts_ms"),
+        (batch1 ++ batch2).toDF("subject", "predicate", "object", "ts_ms"))
+      .as[Triple].collect().toSet
+    assert(store == batch)
+  }
+
   test("tumbling windows with watermark == batch groupBy on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int, sec: Int) =
