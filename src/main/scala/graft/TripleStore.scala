@@ -201,6 +201,15 @@ object TripleStore {
         unix_millis(to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .as("ts_ms"))
 
+  /** TSV export in the reference's wire format (timestamps back to
+    * `"%Y-%m-%d %H:%M:%S.%f"` strings) — [[fromTsv]]'s inverse, so a
+    * reference deployment can round-trip its data through this engine. */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.select(col("subject"), col("predicate"), col("object"),
+        date_format(timestamp_millis(col("ts_ms")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+
   // ---------------------------------------------------------------------------
   // DuckDB oracle twins (driver runs these on the same parquet tables).
   // ---------------------------------------------------------------------------

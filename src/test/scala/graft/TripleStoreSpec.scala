@@ -104,6 +104,31 @@ class TripleStoreSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sharded point lookup: the scan outputs only the probed rows " +
+    "(row-group skipping observed via scan metrics)") {
+    val df = TripleStore.searchSharded(spark, sf, "<order_42>")
+    assert(df.count() == 3)
+    df.collect()
+    // the scan metric counts rows surviving row-group/page min-max
+    // skipping (row-level filtering happens in the Filter above it), so
+    // "far fewer than the store" is what pruning guarantees here
+    val scanRows = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    val total = spark.read.parquet(TripleStore.shardedPath(spark, sf)).count()
+    assert(total > 1000, s"store unexpectedly small: $total")
+    assert(scanRows > 0 && scanRows < total / 2,
+      s"scan emitted $scanRows of $total rows — no page skipping")
+  }
+
+  test("writeTsv/fromTsv round-trip preserves rows and timestamps") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_tsv_rt").resolve("out").toString
+    val orig = TripleStore.updates(spark, sf)
+    TripleStore.writeTsv(orig, dir)
+    val back = TripleStore.fromTsv(spark, dir)
+    assert(back.as[Triple].collect().toSet == orig.as[Triple].collect().toSet)
+  }
+
   test("fromTsv: O15 bulk load parses reference-format timestamps") {
     val dir = Files.createTempDirectory("graft_tsv").toFile
     val f = new java.io.File(dir, "fixture.tsv")
