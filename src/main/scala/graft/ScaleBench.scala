@@ -81,6 +81,11 @@ object ScaleBench {
       .select(col("subject"), col("predicate"), lit("REMOTE").as("object"),
         (col("ts_ms") + 86400000L).as("ts_ms"))
       .collect() // the reference's in-memory updateModifications dict
+    if (pending.isEmpty) {
+      System.err.println(
+        s"[scalebench] no pending keys in the probe range for $sfDir; aborting")
+      spark.stop(); sys.exit(2)
+    }
     val changelog = spark.createDataFrame(
       spark.sparkContext.parallelize(pending.toIndexedSeq),
       store.schema)

@@ -125,15 +125,20 @@ object TripleStore {
   /** Once-per-session materialization of [[triples]] as a sharded layout
     * (one write job, reused by every subsequent sharded query — the Spark
     * analog of the reference's one-off preprocessing notebook). */
-  private val materialized = scala.collection.concurrent.TrieMap[String, String]()
+  private val materialized =
+    scala.collection.mutable.Map[(String, Int), String]()
 
   def shardedPath(spark: SparkSession, dir: String, numShards: Int = 3): String =
-    materialized.getOrElseUpdate(dir, {
-      val out = sys.props("java.io.tmpdir") +
-        "/graft_sharded_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-      writeSharded(triples(spark, dir), out, numShards)
-      out
-    })
+    // synchronized: concurrent first calls must not race two overwrite
+    // writes onto the same output directory
+    materialized.synchronized {
+      materialized.getOrElseUpdate((dir, numShards), {
+        val out = sys.props("java.io.tmpdir") +
+          s"/graft_sharded_${numShards}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        writeSharded(triples(spark, dir), out, numShards)
+        out
+      })
+    }
 
   /** O1 over the materialized sharded layout: the scale path for point
     * lookups. Unlike [[search]] (which must scan all base tables because the
@@ -146,11 +151,13 @@ object TripleStore {
     spark.read.parquet(shardedPath(spark, dir))
       .filter(col("subject") === lit(subject))
 
-  /** O22 metadata/describe surface (`MasterServer.py:435-463`): per-shard
-    * row counts and key ranges of the range-sharded layout. The shard id is
-    * the same derived range split the layout uses (boundaries on the entity
-    * prefix), so the output is the Spark twin of the reference's `SHARDING`
-    * dict (`MasterServer.py:59-63`). */
+  /** O22 metadata/describe surface (`MasterServer.py:435-463`): row counts
+    * and key ranges per LOGICAL shard — a static range map over the entity
+    * prefixes, the Spark twin of the reference's declared `SHARDING` dict
+    * (`MasterServer.py:59-63`). Note this is the declared routing map, not
+    * the physical split: `repartitionByRange` samples its own boundaries at
+    * write time, and physical pruning comes from parquet min/max, not this
+    * map. */
   def describeShards(spark: SparkSession, dir: String): DataFrame =
     triples(spark, dir)
       .withColumn("shard_id",
@@ -195,20 +202,25 @@ object TripleStore {
   def fromTsv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("sep", "\t")
+      .option("quote", "\u0000") // plain TSV: no CSV quoting in the wire format
       .schema("subject STRING, predicate STRING, object STRING, ts STRING")
       .csv(path)
       .select(col("subject"), col("predicate"), col("object"),
-        unix_millis(to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-          .as("ts_ms"))
+        // no explicit pattern: the default parser accepts 1–6 fraction
+        // digits, like Python strptime's %f (MongoDBConnector.py:145)
+        unix_millis(to_timestamp(col("ts"))).as("ts_ms"))
 
-  /** TSV export in the reference's wire format (timestamps back to
-    * `"%Y-%m-%d %H:%M:%S.%f"` strings) — [[fromTsv]]'s inverse, so a
-    * reference deployment can round-trip its data through this engine. */
+  /** TSV export in the reference's wire format (plain tab-separated, no
+    * quoting — values must not contain tabs/newlines, true of YAGO entity
+    * strings; timestamps back to `"%Y-%m-%d %H:%M:%S.%f"`) — [[fromTsv]]'s
+    * inverse, so a reference deployment can round-trip its data. */
   def writeTsv(df: DataFrame, path: String): Unit =
     df.select(col("subject"), col("predicate"), col("object"),
         date_format(timestamp_millis(col("ts_ms")),
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
-      .write.mode("overwrite").option("sep", "\t").csv(path)
+      .write.mode("overwrite")
+      .option("sep", "\t").option("quote", "\u0000")
+      .csv(path)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle twins (driver runs these on the same parquet tables).

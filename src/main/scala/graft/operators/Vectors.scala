@@ -152,7 +152,13 @@ object Vectors {
         .select(col("cluster"), expr(
           "transform(c, x -> x / sqrt(aggregate(zip_with(c, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
           .as("c"))
-      centroids = means.localCheckpoint(true)
+      // a cluster that attracted no vectors this round emits no mean; keep
+      // its previous centroid so the quantizer always returns k lists
+      val kept = centroids.select(col("cluster"), col("c").as("c_prev"))
+        .join(means.select(col("cluster"), col("c").as("c_new")),
+          Seq("cluster"), "left_outer")
+        .select(col("cluster"), coalesce(col("c_new"), col("c_prev")).as("c"))
+      centroids = kept.localCheckpoint(true)
     }
     (assign(centroids).select("vec_id", "cluster", "v"), centroids)
   }

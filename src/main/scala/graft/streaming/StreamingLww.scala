@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
@@ -74,20 +74,28 @@ object StreamingLww {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[Triple], _: Long) =>
         val basePath = Paths.get(storePath)
+        val old = storePath + ".old"
+        val tmp = storePath + ".next"
+        // crash recovery: a previous batch may have died mid-swap. If the
+        // store is gone but .old survives, the crash hit between the two
+        // moves — restore it; then clear any stale .next/.old so this
+        // batch starts from a clean swap state.
+        if (!Files.exists(basePath) && Files.exists(Paths.get(old)))
+          Files.move(Paths.get(old), basePath)
+        deleteRecursively(new java.io.File(tmp))
+        deleteRecursively(new java.io.File(old))
         val base =
           if (Files.exists(basePath))
             spark.read.parquet(storePath)
           else batch.limit(0).toDF()
-        val tmp = storePath + ".next"
         // merge (strict->) not upsert: a stale arrival must lose to the
         // store's newer row (MongoDBConnector.py:150-153), and batch
         // retries (same rows redelivered) are then no-ops — idempotent.
         Lww.merge(base, batch.toDF())
           .write.mode(SaveMode.Overwrite).parquet(tmp)
-        // atomic-enough swap on a local FS; object stores would version
-        val old = storePath + ".old"
+        // swap; recovery above makes a crash between the moves survivable
         if (Files.exists(basePath))
-          Files.move(basePath, Paths.get(old), StandardCopyOption.REPLACE_EXISTING)
+          Files.move(basePath, Paths.get(old))
         Files.move(Paths.get(tmp), basePath)
         deleteRecursively(new java.io.File(old))
         ()

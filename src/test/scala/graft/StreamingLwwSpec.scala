@@ -81,6 +81,30 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(store == batch)
   }
 
+  test("merge sink crash recovery: a store stranded at '.old' mid-swap is " +
+    "restored before the next batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_crash")
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val source = MemoryStream[Triple]
+    source.addData(batch1: _*)
+    StreamingLww.mergeIntoStore(source.toDS(), storePath, ckpt)
+      .awaitTermination()
+    // simulate dying between the two swap moves: base gone, .old present
+    java.nio.file.Files.move(java.nio.file.Paths.get(storePath),
+      java.nio.file.Paths.get(storePath + ".old"))
+    source.addData(batch2: _*)
+    StreamingLww.mergeIntoStore(source.toDS(), storePath, ckpt)
+      .awaitTermination()
+    val store = spark.read.parquet(storePath).as[Triple].collect().toSet
+    // batch1's state must have survived the simulated crash
+    assert(store == Set(
+      Triple("<a>", "<p>", "v2", 300L),
+      Triple("<b>", "<p>", "v2", 400L),
+      Triple("<c>", "<q>", "new", 50L)))
+  }
+
   test("tumbling windows with watermark == batch groupBy on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int, sec: Int) =
