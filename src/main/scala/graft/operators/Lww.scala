@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   * documented strengthening of the reference, whose replicas each keep their
   * own row on such ties (SURVEY §7.3).
   *
-  * Scale notes: `max_by` is a hash aggregate with partial (map-side)
-  * combine, so per-key state is one row and the single shuffle moves only
-  * pre-combined winners — strictly better at 100 TB than a
-  * `row_number()` window, which must shuffle **all** rows and sort each
-  * partition. The reference's per-key HTTP probe loop
-  * (`MongoDBConnector.py:131-157`) becomes one distributed shuffle on the
-  * logical key.
+  * Scale notes: `max_by` aggregates with partial (map-side) combine, so
+  * per-key state is one row and the single shuffle moves only pre-combined
+  * winners — strictly better at 100 TB than a `row_number()` window, which
+  * must shuffle **all** rows and sort each partition. Physically this runs
+  * as SortAggregate, not HashAggregate: the winner buffer carries strings/
+  * structs, which Spark's hash aggregate cannot hold in its fixed-width
+  * mutable buffer (verified: even `max(string)` plans as SortAggregate);
+  * sort-based partial aggregation is also the spill-safe choice at scale,
+  * so this is the plan we want, not a compromise. The reference's per-key
+  * HTTP probe loop (`MongoDBConnector.py:131-157`) becomes one distributed
+  * shuffle on the logical key.
   */
 object Lww {
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting — the manual fallback when AQE's runtime
+  * skew-join split doesn't apply (e.g. aggregation skew, or a skewed
+  * shuffle-hash build side that can't be broadcast).
+  *
+  * The reference never faces this (each HTTP request touches one key), but
+  * a triple store at 100 TB does: predicates are a tiny hot-key domain
+  * (6 values here; a handful of `rdf:type`-like predicates dominate real
+  * RDF corpora), so any shuffle keyed by predicate sends almost all rows to
+  * a few reducers.
+  */
+object Skew {
+
+  /** Equi-join `skewed ⋈ dim` on `key` where a few `key` values dominate
+    * the left side: each left row gets a deterministic salt in
+    * `[0, saltFactor)`, the dim side is replicated `saltFactor` times, and
+    * the join runs on `(key, salt)` — hot keys spread over `saltFactor`
+    * reducers instead of one. Deterministic (salt = a hash of the whole
+    * left row, not `rand()`), so retried tasks salt identically. */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase salted aggregation for skewed group keys: partial aggregate
+    * on `(key, salt)`, then final combine on `key`. `partial` must be an
+    * algebraic partial aggregate and `finalAgg` its combiner (e.g.
+    * count → sum, sum → sum, max → max). */
+  def saltedAgg(skewed: DataFrame, key: String, saltFactor: Int,
+      partial: Column => Column, partialIn: Column,
+      finalAgg: Column => Column): DataFrame =
+    skewed
+      .withColumn("_salt",
+        pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      .groupBy(col(key), col("_salt"))
+      .agg(partial(partialIn).as("_partial"))
+      .groupBy(col(key))
+      .agg(finalAgg(col("_partial")).as("agg"))
+}
