@@ -80,6 +80,7 @@ object SparkEntry {
     "q24_simhash_neardup" -> (Docs.q24SimhashNeardup(_, _)),
     // Graph analytics north star: degree distribution over the entity graph.
     "q25_node_degrees" -> (Graph.q25NodeDegrees(_, _)),
+    "q26_winnowing"    -> (Docs.q26Winnowing(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,5 +153,6 @@ object SparkEntry {
     "q23_multimodal_meta" -> Multimodal.q23Sql,
     "q24_simhash_neardup" -> Docs.q24Sql,
     "q25_node_degrees"    -> Graph.q25Sql,
+    "q26_winnowing"       -> Docs.q26Sql,
   )
 }

@@ -286,6 +286,38 @@ object Docs {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- Q26: winnowing document fingerprints (rolling k-gram hashes) ---------
+
+  private val WinK = 8 // k-gram width in chars
+  private val WinW = 4 // winnowing window (hashes per window)
+
+  /** MOSS-style winnowing: hash every k-char-gram, slide a w-wide window
+    * over the hash sequence, keep each window's minimum — the classic
+    * position-robust document fingerprint (near-dup docs share most
+    * fingerprints even under insertions/reordering). Declarative array ops
+    * over one scan, no shuffle before the final ordering; the k-gram hash
+    * is an md5 prefix so the oracle derives identical fingerprints. */
+  def q26Winnowing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(length(col("text")) >= WinK + WinW - 1)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, length(text) - $WinK), i -> substring(md5(substring(text, i + 1, $WinK)), 1, 8))")
+        .as("h"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(h) - $WinW), j -> array_min(slice(h, j + 1, $WinW)))")))
+        .as("fp"))
+      .orderBy("doc_id", "fp")
+
+  val q26Sql: String =
+    s"""SELECT doc_id, fp FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(h) - ${WinW - 1}),
+       |    j -> list_min(h[j+1 : j+$WinW])))) AS fp
+       |  FROM (SELECT doc_id, list_transform(range(length(text) - ${WinK - 1}),
+       |          i -> substr(md5(substr(text, i + 1, $WinK)), 1, 8)) AS h
+       |        FROM documents WHERE length(text) >= ${WinK + WinW - 1}))
+       |ORDER BY doc_id, fp""".stripMargin
+
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),
        |bands AS (

@@ -191,6 +191,32 @@ object Vectors {
       .filter(col("rank") <= topk)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the vectors, compare
+    * only within a bucket, keep pairs with cosine ≥ `threshold`. The
+    * all-pairs comparison never happens — candidate generation is the
+    * bucket equi-join (recall is governed by the plane count: truly
+    * near-identical vectors agree on every sign bit with high
+    * probability). Input: any DataFrame with (vec_id, embedding). */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val bits: Seq[Column] = planes.toSeq.map { p =>
+      val lit = p.mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with(embedding, $lit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
+        .otherwise("0")
+    }
+    val e = vectors
+      .select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("bucket"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("bucket"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot("va", "vb") / (col("na") * col("nb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: compare only within a bucket. Used by
     * VectorsSpec to measure recall vs [[q21TopkCosine]]; not a gate query
     * (approximate results have no SQL-exact oracle by construction). */

@@ -88,6 +88,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= Docs.JaccardThreshold))
   }
 
+  test("embedding-cosine near-dup: finds the planted near-identical pair, " +
+    "never the distant ones, without an all-pairs join") {
+    // fixture: vectors 1 and 2 are near-identical; 3..20 are independent
+    // Gaussians (expected pairwise cosine ~0, deterministic via fixed seeds)
+    val dim = Vectors.Dim
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val near = vec(1).clone(); near(0) = near(0) + 1e-4f
+    val rows = Seq((1L, vec(1)), (2L, near)) ++
+      (3L to 20L).map(s => (s, vec(s.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Vectors.cosineNearDupPairs(df, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowing: near-dup docs share most fingerprints; distinct docs " +
+    "share few") {
+    val fps = graft.operators.Docs.q26Winnowing(spark, sf)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    // planted near-dup pair at sf0.001 (q19 jaccard 0.9865) vs unrelated
+    def overlap(a: Long, b: Long): Double = {
+      val (x, y) = (fps(a), fps(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    assert(overlap(8L, 120L) > 0.8, s"near-dups: ${overlap(8L, 120L)}")
+    assert(overlap(8L, 9L) < 0.3, s"unrelated: ${overlap(8L, 9L)}")
+  }
+
   test("multimodal: typed batch feature extraction is deterministic with " +
     "fixed width and normalized histogram") {
     val media = Multimodal.mediaTable(spark, sf)
