@@ -126,19 +126,19 @@ object TripleStore {
     * (one write job, reused by every subsequent sharded query — the Spark
     * analog of the reference's one-off preprocessing notebook). */
   private val materialized =
-    scala.collection.mutable.Map[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
   def shardedPath(spark: SparkSession, dir: String, numShards: Int = 3): String =
-    // synchronized: concurrent first calls must not race two overwrite
-    // writes onto the same output directory
-    materialized.synchronized {
-      materialized.getOrElseUpdate((dir, numShards), {
-        val out = sys.props("java.io.tmpdir") +
-          s"/graft_sharded_${numShards}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-        writeSharded(triples(spark, dir), out, numShards)
-        out
-      })
-    }
+    // computeIfAbsent: once-only materialization with per-key blocking —
+    // concurrent first calls for the SAME layout cannot race two writes
+    // onto one directory, and cache hits for other layouts don't wait out
+    // a multi-second write job
+    materialized.computeIfAbsent((dir, numShards), { _ =>
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_sharded_${numShards}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      writeSharded(triples(spark, dir), out, numShards)
+      out
+    })
 
   /** O1 over the materialized sharded layout: the scale path for point
     * lookups. Unlike [[search]] (which must scan all base tables because the
@@ -206,9 +206,12 @@ object TripleStore {
       .schema("subject STRING, predicate STRING, object STRING, ts STRING")
       .csv(path)
       .select(col("subject"), col("predicate"), col("object"),
-        // no explicit pattern: the default parser accepts 1–6 fraction
-        // digits, like Python strptime's %f (MongoDBConnector.py:145)
-        unix_millis(to_timestamp(col("ts"))).as("ts_ms"))
+        // strict wire format with 1–6 fraction digits (Python %f,
+        // MongoDBConnector.py:145); anything else — tz suffixes, 'T'
+        // separators — fails to NULL rather than silently reinterpreting
+        unix_millis(to_timestamp(col("ts"),
+          "yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]"))
+          .as("ts_ms"))
 
   /** TSV export in the reference's wire format (plain tab-separated, no
     * quoting — values must not contain tabs/newlines, true of YAGO entity

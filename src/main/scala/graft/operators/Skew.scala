@@ -15,16 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salt in `[0, saltFactor)`: seeded `rand` — uniform even when a hot
+    * key's rows are byte-identical (a row-hash salt would collapse those
+    * onto one reducer), and reproducible under task retry because Spark
+    * seeds the generator per partition from the given seed. */
+  def saltColumn(saltFactor: Int): Column =
+    floor(rand(42) * saltFactor).cast("int")
+
   /** Equi-join `skewed ⋈ dim` on `key` where a few `key` values dominate
-    * the left side: each left row gets a deterministic salt in
-    * `[0, saltFactor)`, the dim side is replicated `saltFactor` times, and
-    * the join runs on `(key, salt)` — hot keys spread over `saltFactor`
-    * reducers instead of one. Deterministic (salt = a hash of the whole
-    * left row, not `rand()`), so retried tasks salt identically. */
+    * the left side: each left row gets a salt from [[saltColumn]], the dim
+    * side is replicated `saltFactor` times, and the join runs on
+    * `(key, salt)` — hot keys spread over `saltFactor` reducers instead of
+    * one. */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
-    val salted = skewed.withColumn("_salt",
-      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val salted = skewed.withColumn("_salt", saltColumn(saltFactor))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -38,8 +43,7 @@ object Skew {
       partial: Column => Column, partialIn: Column,
       finalAgg: Column => Column): DataFrame =
     skewed
-      .withColumn("_salt",
-        pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+      .withColumn("_salt", saltColumn(saltFactor))
       .groupBy(col(key), col("_salt"))
       .agg(partial(partialIn).as("_partial"))
       .groupBy(col(key))

@@ -83,17 +83,27 @@ object Vectors {
        |  FROM cos)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** The LSH bucket of an `embedding` column: 8 hyperplane sign bits,
+    * concatenated — THE single definition all LSH paths share (buckets must
+    * agree across q22, lshTopk, and cosineNearDupPairs). */
+  private def lshBucket: Column =
+    concat(planes.toSeq.map { p =>
+      val planeLit = p.mkString("array(", ", ", ")")
+      when(expr(s"aggregate(zip_with(embedding, $planeLit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
+        .otherwise("0")
+    }: _*)
+
+  /** (vec_id, embedding, bucket, nrm) projection shared by the LSH paths. */
+  private def lshProjected(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      lshBucket.as("bucket"), sqrt(dot("embedding", "embedding")).as("nrm"))
+
   /** Bucket every vector by its 8 hyperplane sign bits and report bucket
     * occupancy (vec_id → bucket, plus the bucket's population — the join
     * fan-in an ANN probe of that bucket would touch). */
   def q22LshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val bits: Seq[Column] = planes.toSeq.map { p =>
-      val lit = p.mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(embedding, $lit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
-        .otherwise("0")
-    }
     val bucketed = table(spark, dir, "embeddings")
-      .select(col("vec_id"), concat(bits: _*).as("bucket"))
+      .select(col("vec_id"), lshBucket.as("bucket"))
     bucketed
       .withColumn("n_in_bucket",
         count(lit(1)).over(Window.partitionBy("bucket")).cast(LongType))
@@ -198,14 +208,9 @@ object Vectors {
     * near-identical vectors agree on every sign bit with high
     * probability). Input: any DataFrame with (vec_id, embedding). */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val bits: Seq[Column] = planes.toSeq.map { p =>
-      val lit = p.mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(embedding, $lit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
-        .otherwise("0")
-    }
-    val e = vectors
-      .select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"),
-        sqrt(dot("embedding", "embedding")).as("nrm"))
+    // cached: the projection (8 hyperplane folds + norm per vector) feeds
+    // both sides of the self-join — without it the dominant cost doubles
+    val e = lshProjected(vectors).cache()
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
       col("bucket"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
@@ -221,14 +226,7 @@ object Vectors {
     * VectorsSpec to measure recall vs [[q21TopkCosine]]; not a gate query
     * (approximate results have no SQL-exact oracle by construction). */
   def lshTopk(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val bits: Seq[Column] = planes.toSeq.map { p =>
-      val lit = p.mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(embedding, $lit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
-        .otherwise("0")
-    }
-    val e = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), concat(bits: _*).as("bucket"),
-        sqrt(dot("embedding", "embedding")).as("nrm"))
+    val e = lshProjected(table(spark, dir, "embeddings")).cache()
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("bucket").as("qb"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")

@@ -25,13 +25,18 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("saltedJoin spreads a hot key over saltFactor partitions") {
+  test("the production salt spreads a hot key over saltFactor buckets, " +
+    "even for byte-identical rows") {
     val triples = TripleStore.triples(spark, sf)
-    val salted = triples.withColumn("_salt",
-      pmod(hash(triples.columns.map(col).toIndexedSeq: _*), lit(8)))
-    val spread = salted.filter(col("predicate") === "<hasStatus>")
+    val spread = triples.filter(col("predicate") === "<hasStatus>")
+      .withColumn("_salt", Skew.saltColumn(8))
       .select("_salt").distinct().count()
     assert(spread == 8, s"hot key only reached $spread salt buckets")
+    // identical rows must also spread (a row-hash salt would collapse them)
+    val dupes = Seq.fill(200)(("k", "v")).toDF("k", "v")
+      .withColumn("_salt", Skew.saltColumn(8))
+      .select("_salt").distinct().count()
+    assert(dupes == 8, s"identical rows reached only $dupes buckets")
   }
 
   test("saltedAgg == direct aggregation (count and max)") {
