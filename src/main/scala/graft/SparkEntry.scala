@@ -81,6 +81,7 @@ object SparkEntry {
     // Graph analytics north star: degree distribution over the entity graph.
     "q25_node_degrees" -> (Graph.q25NodeDegrees(_, _)),
     "q26_winnowing"    -> (Docs.q26Winnowing(_, _)),
+    "q27_json_extract" -> (Relational.q27JsonExtract(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -154,5 +155,6 @@ object SparkEntry {
     "q24_simhash_neardup" -> Docs.q24Sql,
     "q25_node_degrees"    -> Graph.q25Sql,
     "q26_winnowing"       -> Docs.q26Sql,
+    "q27_json_extract"    -> Relational.q27Sql,
   )
 }

@@ -267,6 +267,30 @@ object Relational {
       |       string_split(o_orderpriority, '-')[1] AS pri_key
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // --- Q27: JSON scalar functions over events.props -------------------------
+
+  /** JSON extraction (the `from_json`/`get_json_object` leg of the scalar
+    * closure, SURVEY §2.2): pull the numeric field out of the `props` JSON
+    * string and aggregate per event type. Integer sums are exact, so the
+    * rounded average matches DuckDB bit-for-bit. */
+  def q27JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), round(avg(col("k")), 2).as("avg_k"))
+      .orderBy("event_type")
+
+  val q27Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+      |       round(avg(k), 2) AS avg_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- Q11 (batch twin): tumbling 1-minute windows over events --------------
 
   def q11Tumbling(spark: SparkSession, dir: String): DataFrame = {
