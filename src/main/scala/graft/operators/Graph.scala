@@ -67,15 +67,21 @@ object Graph {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min of own label and neighbors' labels
+      // candidate label per node: min of own label and neighbors' labels.
+      // The node's own row carries its previous label, so min(old_label)
+      // folds the convergence signal into the SAME aggregate — no extra
+      // join against the previous iteration. `old_label` is null on
+      // neighbor-contributed rows and min() ignores nulls, so it surfaces
+      // exactly the node's previous label.
       val next = und.join(labels, und("dst") === labels("node"))
-        .select(und("src").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min(col("label")).as("label"))
+        .select(und("src").as("node"), col("label"), lit(null).cast("string").as("old_label"))
+        .union(labels.select(col("node"), col("label"), col("label").as("old_label")))
+        .groupBy("node")
+        .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      // cheap scan of the already-materialized checkpoint — not a join job
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("node", "label")
       iter += 1
     }
     labels

@@ -29,25 +29,26 @@ case class HammingDistance(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "hamming_distance"
 
+  // numBytes/getByte read the backing memory directly — no per-row byte[]
+  // copies in the candidate-join hot loop (getBytes would allocate two
+  // arrays per comparison)
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[UTF8String].getBytes
-    val y = b.asInstanceOf[UTF8String].getBytes
-    val n = math.min(x.length, y.length)
-    var d = math.abs(x.length - y.length).toLong
+    val x = a.asInstanceOf[UTF8String]
+    val y = b.asInstanceOf[UTF8String]
+    val n = math.min(x.numBytes, y.numBytes)
+    var d = math.abs(x.numBytes - y.numBytes).toLong
     var i = 0
-    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    while (i < n) { if (x.getByte(i) != y.getByte(i)) d += 1; i += 1 }
     d
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |byte[] ${ev.value}_x = $a.getBytes();
-         |byte[] ${ev.value}_y = $b.getBytes();
-         |int ${ev.value}_n = Math.min(${ev.value}_x.length, ${ev.value}_y.length);
-         |${ev.value} = Math.abs(${ev.value}_x.length - ${ev.value}_y.length);
+         |int ${ev.value}_n = Math.min($a.numBytes(), $b.numBytes());
+         |${ev.value} = Math.abs($a.numBytes() - $b.numBytes());
          |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  if (${ev.value}_x[i] != ${ev.value}_y[i]) ${ev.value}++;
+         |  if ($a.getByte(i) != $b.getByte(i)) ${ev.value}++;
          |}
        """.stripMargin)
 
