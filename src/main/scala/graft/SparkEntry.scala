@@ -82,6 +82,14 @@ object SparkEntry {
     "q25_node_degrees" -> (Graph.q25NodeDegrees(_, _)),
     "q26_winnowing"    -> (Docs.q26Winnowing(_, _)),
     "q27_json_extract" -> (Relational.q27JsonExtract(_, _)),
+    // O20 dynamic reshard (MasterServer.py:270-289): the 3-shard store
+    // resharded to 5, then point-scanned — proves a reshard preserves
+    // content and the new boundaries still prune (TripleStoreSpec asserts
+    // disjointness + scan metrics).
+    "q28_reshard_scan" -> ((s, dir) =>
+      s.read.parquet(TripleStore.reshardedPath(s, dir))
+        .filter(col("subject") === "<order_42>")
+        .orderBy("predicate", "object")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -156,5 +164,9 @@ object SparkEntry {
     "q25_node_degrees"    -> Graph.q25Sql,
     "q26_winnowing"       -> Docs.q26Sql,
     "q27_json_extract"    -> Relational.q27Sql,
+    "q28_reshard_scan" ->
+      s"""WITH ${TripleStore.TriplesCte}
+         |SELECT subject, predicate, object, ts_ms FROM triples
+         |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
   )
 }

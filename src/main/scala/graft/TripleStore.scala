@@ -122,6 +122,17 @@ object TripleStore {
       .sortWithinPartitions("subject", "predicate")
       .write.mode("overwrite").parquet(path)
 
+  /** O20 dynamic reshard (`MasterServer.py:270-289`, node re-pull
+    * `MongoNodeServer.py:46-52`): re-range-partition an existing sharded
+    * store N→M. The reference re-pulls every node's rows through the
+    * coordinator row-by-row; here it is one distributed read + one
+    * range-shuffled write — a single wide job whose cost is one pass over
+    * the store, after which point lookups prune against the NEW boundaries
+    * (same min/max mechanics, [[searchSharded]]). */
+  def reshard(spark: SparkSession, fromPath: String, toPath: String,
+      numShards: Int): Unit =
+    writeSharded(spark.read.parquet(fromPath), toPath, numShards)
+
   /** Once-per-session materialization of [[triples]] as a sharded layout
     * (one write job, reused by every subsequent sharded query — the Spark
     * analog of the reference's one-off preprocessing notebook). */
@@ -150,6 +161,17 @@ object TripleStore {
   def searchSharded(spark: SparkSession, dir: String, subject: String): DataFrame =
     spark.read.parquet(shardedPath(spark, dir))
       .filter(col("subject") === lit(subject))
+
+  /** Once-per-session O20 exercise: the 3-shard layout resharded to 5.
+    * Reuses the memoization map (distinct key space via the "!reshard"
+    * marker), so the gate query pays the reshard job once per JVM. */
+  def reshardedPath(spark: SparkSession, dir: String, toShards: Int = 5): String =
+    materialized.computeIfAbsent((dir + "!reshard", toShards), { _ =>
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_resharded_${toShards}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      reshard(spark, shardedPath(spark, dir), out, toShards)
+      out
+    })
 
   /** O22 metadata/describe surface (`MasterServer.py:435-463`): row counts
     * and key ranges per LOGICAL shard — a static range map over the entity

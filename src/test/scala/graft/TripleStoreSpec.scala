@@ -120,6 +120,122 @@ class TripleStoreSpec extends AnyFunSuite {
       s"scan emitted $scanRows of $total rows — no page skipping")
   }
 
+  test("reshard 3->5 (O20): content preserved, ranges disjoint, pruning " +
+    "still holds on the new boundaries") {
+    val path5 = TripleStore.reshardedPath(spark, sf, toShards = 5)
+    val before = spark.read.parquet(TripleStore.shardedPath(spark, sf))
+    val after = spark.read.parquet(path5)
+    assert(after.count() == before.count())
+
+    // new layout's files still cover disjoint subject ranges
+    val ranges = after.inputFiles.toSeq.map { f =>
+      spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("subject"),
+          org.apache.spark.sql.functions.max("subject"))
+        .as[(String, String)].head()
+    }.sortBy(_._1)
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $ranges")
+      case _ =>
+    }
+
+    // point scan against the resharded store still prunes (scan metrics)
+    val probe = after
+      .filter(org.apache.spark.sql.functions.col("subject") === "<order_42>")
+    assert(probe.count() == 3)
+    probe.collect()
+    val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    val total = after.count()
+    assert(scanRows > 0 && scanRows < total / 2,
+      s"scan emitted $scanRows of $total rows — reshard broke pruning")
+  }
+
+  // The reference's real shard boundary is the non-ASCII subject '<₩uNo>'
+  // (MasterServer.py:62, MongoNodeServer.py:22-26) — its Python string
+  // comparisons are code-point order, which for Spark means binary UTF-8
+  // order (identical for all of Unicode). These fixtures put multi-byte
+  // subjects AT a range boundary; Java's String order (UTF-16 code units)
+  // diverges from code-point order above the BMP, so assertions compare by
+  // code points, never by compareTo.
+  private val boundarySubjects = Seq(
+    "<AAA>", "<Steve_Pickell>", "<aaa>", "<zzz>",
+    "<₩uNo>",      // ₩ U+20A9 — the reference's literal boundary
+    "<₩uNo_2>",
+    "<😀_img>", // 😀 U+1F600, supplementary: UTF-16 order diverges
+    "<�_repl>")      // U+FFFD sorts between ₩ and 😀 by code point
+
+  private def cpCompare(a: String, b: String): Int = {
+    val (x, y) = (a.codePoints.toArray, b.codePoints.toArray)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      if (x(i) != y(i)) return Integer.compare(x(i), y(i))
+      i += 1
+    }
+    Integer.compare(x.length, y.length)
+  }
+
+  test("non-ASCII boundary: writeSharded ranges stay disjoint under " +
+    "code-point ordering (the reference's <₩uNo> boundary)") {
+    val df = boundarySubjects.zipWithIndex.map { case (s, i) =>
+      (s, "<p>", s"v$i", i.toLong)
+    }.toDF("subject", "predicate", "object", "ts_ms")
+    val out = Files.createTempDirectory("graft_nonascii").resolve("st").toString
+    TripleStore.writeSharded(df, out, numShards = 3)
+    val files = spark.read.parquet(out).inputFiles
+    val ranges = files.toSeq.map { f =>
+      spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("subject"),
+          org.apache.spark.sql.functions.max("subject"))
+        .as[(String, String)].head()
+    }.sortWith((a, b) => cpCompare(a._1, b._1) < 0)
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(cpCompare(hi1, lo2) <= 0, s"overlap under code points: $ranges")
+      case _ =>
+    }
+    // nothing lost or reordered by the multi-byte shuffle keys
+    assert(spark.read.parquet(out).select("subject").as[String].collect()
+      .toSet == boundarySubjects.toSet)
+    // Spark's own ordering of the fixtures == code-point ordering (what the
+    // reference's Python comparisons produce), including above the BMP
+    val sparkSorted = df.orderBy("subject").select("subject")
+      .as[String].collect().toSeq
+    assert(sparkSorted == boundarySubjects.sortWith(cpCompare(_, _) < 0),
+      s"Spark order diverges from code-point order: $sparkSorted")
+  }
+
+  test("non-ASCII boundary: shardPredicate membership at <₩uNo> matches " +
+    "code-point semantics") {
+    val df = boundarySubjects.zipWithIndex.map { case (s, i) =>
+      (s, "<p>", s"v$i", i.toLong)
+    }.toDF("subject", "predicate", "object", "ts_ms")
+    // the reference's box: subjects from '<₩uNo>' upward (MasterServer.py:62
+    // gives shard 3 the range starting at the non-ASCII boundary)
+    val kept = df.filter(Lww.shardPredicate("<₩uNo>", "<a", "￿", "<z"))
+      .select("subject").as[String].collect().toSet
+    val expected = boundarySubjects
+      .filter(s => cpCompare(s, "<₩uNo>") >= 0).toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    assert(kept.contains("<₩uNo>") && kept.contains("<😀_img>"))
+    assert(!kept.contains("<Steve_Pickell>"))
+  }
+
+  test("non-ASCII boundary: TSV round-trip preserves multi-byte subjects " +
+    "exactly") {
+    val orig = boundarySubjects.zipWithIndex.map { case (s, i) =>
+      (s, "<p>", s"v$i", 1700000000000L + i)
+    }.toDF("subject", "predicate", "object", "ts_ms")
+    val dir = Files.createTempDirectory("graft_tsv_nonascii")
+      .resolve("out").toString
+    TripleStore.writeTsv(orig, dir)
+    val back = TripleStore.fromTsv(spark, dir)
+    assert(back.as[Triple].collect().toSet == orig.as[Triple].collect().toSet)
+  }
+
   test("writeTsv/fromTsv round-trip preserves rows and timestamps") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_tsv_rt").resolve("out").toString
