@@ -225,25 +225,34 @@ object Docs {
 
   private val SimBits = 32
 
-  /** 32-bit SimHash: one bit per md5 nibble's high bit, summed ±1 over the
-    * document's tokens (with multiplicity); bit = 1 when the dimension sum
-    * is >= 0. Near-dup docs differ in few bits (small Hamming distance).
-    * Pure hash-agg: shuffles (doc_id, 32 small ints) after map-side partial
+  /** `bits`-wide SimHash: one bit per md5 nibble's high bit, summed ±1 over
+    * the document's tokens (with multiplicity); bit = 1 when the dimension
+    * sum is >= 0. Near-dup docs differ in few bits (small Hamming
+    * distance). Each group of 32 bits draws from one md5 per token (hash 0
+    * is the plain `md5(t)` the q20 gate fixes; hash j salts with `"j:"`,
+    * the same multi-hash derivation as q19's MinHash). Pure hash-agg:
+    * shuffles (doc_id, `bits` small ints) after map-side partial
     * aggregation. */
-  def q20Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", md5(col("t")))
-    val dims = (0 until SimBits).map(k =>
-      sum(when(substring(col("h"), k + 1, 1)
+  def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val nHashes = (bits + 31) / 32
+    val toks = (1 until nHashes).foldLeft(
+      table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("h0", md5(col("t")))) { (df, j) =>
+      df.withColumn(s"h$j", md5(concat(lit(s"$j:"), col("t"))))
+    }
+    val dims = (0 until bits).map(k =>
+      sum(when(substring(col(s"h${k / 32}"), k % 32 + 1, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
         .as(s"d$k"))
     toks.groupBy("doc_id").agg(dims.head, dims.tail: _*)
       .select(col("doc_id"),
-        concat((0 until SimBits).map(k =>
+        concat((0 until bits).map(k =>
           when(col(s"d$k") >= 0, "1").otherwise("0")): _*).as("simhash"))
-      .orderBy("doc_id")
   }
+
+  def q20Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashBits(spark, dir, SimBits).orderBy("doc_id")
 
   private val q20Core: String = {
     val dims = (0 until SimBits).map(k =>
@@ -260,18 +269,29 @@ object Docs {
 
   // --- Q24: SimHash near-dup pairs via banding + native hamming_distance ----
 
-  /** Near-dup pairs by SimHash: LSH-band the 32-bit fingerprints into 4
-    * bytes, join only within a band bucket (hamming ≤ 1 guarantees ≥ 3
-    * identical bands, so banding is lossless here — pigeonhole), and score
-    * candidates with the native codegen'd
+  /** Near-dup pairs by banded SimHash: split `simBits`-wide fingerprints
+    * into `numBands` bands, join only within a band bucket (pigeonhole:
+    * hamming ≤ h is lossless whenever h < numBands — h differing bits can
+    * dirty at most h bands), and score candidates with the native codegen'd
     * [[graft.plans.HammingDistance hamming_distance]] expression registered
-    * through `SparkSessionExtensions`. Never an all-pairs cross join. */
-  def q24SimhashNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val sim = q20Simhash(spark, dir)
-    val bands = sim.select(col("doc_id"), col("simhash"), expr(
-      """stack(4, '0', substring(simhash, 1, 8), '1', substring(simhash, 9, 8),
-        |         '2', substring(simhash, 17, 8), '3', substring(simhash, 25, 8))
-        |AS (band_idx, band_val)""".stripMargin))
+    * through `SparkSessionExtensions`. Never an all-pairs cross join.
+    *
+    * Band width is the scale dial: the q24 gate runs the reference-scale
+    * 32/4 config (8-bit bands, 256 values), while a 10^9-doc corpus should
+    * run 64/4 (16-bit bands, 65,536 values per band — bucket population
+    * shrinks ~2× per added band bit, same candidate shape; asserted in
+    * PipelineSpec). */
+  def simhashNeardupPairs(spark: SparkSession, dir: String,
+      simBits: Int = SimBits, numBands: Int = 4,
+      maxHamming: Long = 1L): DataFrame = {
+    require(simBits % numBands == 0, s"$numBands bands must tile $simBits bits")
+    require(maxHamming < numBands, "banding is lossless only for hamming < numBands")
+    val w = simBits / numBands
+    val stackArgs = (0 until numBands)
+      .map(b => s"'$b', substring(simhash, ${b * w + 1}, $w)").mkString(", ")
+    val bands = simhashBits(spark, dir, simBits).select(
+      col("doc_id"), col("simhash"),
+      expr(s"stack($numBands, $stackArgs) AS (band_idx, band_val)"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
@@ -282,9 +302,12 @@ object Docs {
     cand
       .select(col("doc_a"), col("doc_b"),
         expr("hamming_distance(sa, sb)").as("hamming"))
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  def q24SimhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    simhashNeardupPairs(spark, dir)
 
   // --- Q26: winnowing document fingerprints (rolling k-gram hashes) ---------
 

@@ -18,17 +18,31 @@ import graft.TripleStore.table
   *     (`aggregate`/`zip_with`), so DuckDB's sequential `list_sum` computes
   *     bit-identical values; ranking keys on the ROUNDED score with vec_id
   *     tie-break so ordering never depends on sub-ulp float noise.
-  *   - [[q22LshBuckets]]: the scale path — random-hyperplane LSH. Bucket =
-  *     8 sign bits of projections onto ±1 hyperplanes derived
+  *   - [[q22LshBuckets]]: the scale path — random-hyperplane LSH. A bucket
+  *     is sign bits of projections onto ±1 hyperplanes derived
   *     deterministically from md5 (computed once on the driver, embedded as
   *     literals in both engines). ANN then probes ONE bucket (an equi-join),
-  *     never the all-pairs cross product: at 10^9 vectors a 256-bucket
-  *     partition turns O(n²) into 256 × O((n/256)²), and the bucket column
-  *     is a shuffle/bucketing key for co-located joins.
+  *     never the all-pairs cross product, and the bucket column is a
+  *     shuffle/bucketing key for co-located joins. Bucket width is a
+  *     parameter everywhere ([[bandedProjection]]): a fixed 2^8 partition
+  *     leaves ~4M-vector buckets at 10^9 vectors, so the near-dup defaults
+  *     are 16-plane bands and every banded path is backstopped by the
+  *     over-full-bucket guard ([[refineOverfullBuckets]]), keeping the
+  *     within-bucket self-join sub-quadratic regardless of skew.
   */
 object Vectors {
 
+  /** Width of the q22 gate bucket (kept narrow so the tiny-SF oracle stays
+    * readable); the LIBRARY near-dup/ANN paths default wider — see
+    * [[cosineNearDupPairs]] — because 2^8 buckets over 10^9 vectors leaves
+    * ~4M-vector buckets and a quadratic self-join. Rule of thumb:
+    * planesPerBand ≈ log2(corpus / target bucket size). */
   val NumPlanes = 8
+
+  /** Pre-derived hyperplane pool: wide/banded/refined configs draw disjoint
+    * plane ranges from here, so every bucket definition stays deterministic
+    * and oracle-reproducible. */
+  val MaxPlanes = 64
   val Dim = 64
   private val TopK = 10
   private val NumQueries = 5 // vec_id < 5 are the query vectors
@@ -37,7 +51,7 @@ object Vectors {
     * of md5("plane:dim")'s first hex digit. */
   lazy val planes: Array[Array[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (j, i) =>
+    Array.tabulate(MaxPlanes, Dim) { (j, i) =>
       val d = md.digest(s"$j:$i".getBytes(StandardCharsets.UTF_8))
       if (((d(0) >> 7) & 1) == 1) -1 else 1
     }
@@ -83,20 +97,79 @@ object Vectors {
        |  FROM cos)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
-  /** The LSH bucket of an `embedding` column: 8 hyperplane sign bits,
-    * concatenated — THE single definition all LSH paths share (buckets must
-    * agree across q22, lshTopk, and cosineNearDupPairs). */
-  private def lshBucket: Column =
-    concat(planes.toSeq.map { p =>
-      val planeLit = p.mkString("array(", ", ", ")")
-      when(expr(s"aggregate(zip_with(embedding, $planeLit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
-        .otherwise("0")
-    }: _*)
+  /** One hyperplane's sign bit of the `embedding` column. */
+  private def signBit(planeIdx: Int): Column = {
+    val planeLit = planes(planeIdx).mkString("array(", ", ", ")")
+    when(expr(s"aggregate(zip_with(embedding, $planeLit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
+      .otherwise("0")
+  }
+
+  /** Sign bits of planes [from, from + n) concatenated. */
+  private def bitsCol(from: Int, n: Int): Column =
+    concat((from until from + n).map(signBit): _*)
+
+  /** The LSH bucket of an `embedding` column: [[NumPlanes]] hyperplane sign
+    * bits, concatenated — THE single definition the single-bucket paths
+    * share (buckets must agree across q22 and lshTopk). */
+  private def lshBucket: Column = bitsCol(0, NumPlanes)
 
   /** (vec_id, embedding, bucket, nrm) projection shared by the LSH paths. */
-  private def lshProjected(vectors: DataFrame): DataFrame =
+  private def lshProjected(vectors: DataFrame, numPlanes: Int = NumPlanes): DataFrame =
     vectors.select(col("vec_id"), col("embedding"),
-      lshBucket.as("bucket"), sqrt(dot("embedding", "embedding")).as("nrm"))
+      bitsCol(0, numPlanes).as("bucket"), sqrt(dot("embedding", "embedding")).as("nrm"))
+
+  /** Banded LSH projection: one row per (vector, band), band `b` drawing
+    * planes [b·r, (b+1)·r) from the pool. Multi-band = the standard
+    * recall/precision dial (candidate if ANY band matches): wider bands
+    * shrink buckets ~2× per added plane, more bands recover the recall the
+    * width costs. Emits (vec_id, embedding, band_idx, band_val). */
+  def bandedProjection(vectors: DataFrame, numBands: Int,
+      planesPerBand: Int): DataFrame = {
+    require(numBands * planesPerBand <= MaxPlanes,
+      s"banding needs ${numBands * planesPerBand} planes; pool has $MaxPlanes")
+    vectors.select(col("vec_id"), col("embedding"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            bitsCol(b * planesPerBand, planesPerBand).as("band_val"))): _*))
+          .as("band"))
+      .select(col("vec_id"), col("embedding"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+  }
+
+  /** The over-full-bucket guard: any (band_idx, band_val) bucket holding
+    * more than `maxBucketSize` rows has its bucket id extended by `step`
+    * further sign bits, repeated until every bucket fits or the plane pool
+    * is exhausted. The split is decided PER BUCKET (every member of an
+    * over-full bucket extends, consistently), so candidate generation stays
+    * an equi-join. Truly identical vectors share all sign bits and stop at
+    * pool exhaustion — they are legitimately one bucket.
+    *
+    * Cost shape at scale: each level is one aggregate (map-side combined:
+    * the shuffle carries one row per bucket) + one broadcast left-join (the
+    * over-full list has ≤ n/maxBucketSize entries by construction); a
+    * healthy bucketing pays a single cheap aggregate and exits. */
+  def refineOverfullBuckets(banded: DataFrame, maxBucketSize: Int,
+      firstReservedPlane: Int, step: Int = 8): DataFrame = {
+    var cur = banded
+    var start = firstReservedPlane
+    var done = false
+    while (!done && start + step <= MaxPlanes) {
+      val over = cur.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n_bucket"))
+        .filter(col("n_bucket") > maxBucketSize)
+        .select(col("band_idx"), col("band_val"), lit(true).as("is_over"))
+      if (over.isEmpty) done = true
+      else {
+        cur = cur.join(broadcast(over), Seq("band_idx", "band_val"), "left_outer")
+          .withColumn("band_val",
+            when(col("is_over"), concat(col("band_val"), bitsCol(start, step)))
+              .otherwise(col("band_val")))
+          .drop("is_over")
+        start += step
+      }
+    }
+    cur
+  }
 
   /** Bucket every vector by its 8 hyperplane sign bits and report bucket
     * occupancy (vec_id → bucket, plus the bucket's population — the join
@@ -111,7 +184,7 @@ object Vectors {
   }
 
   val q22Sql: String = {
-    val bits = planes.map { p =>
+    val bits = planes.take(NumPlanes).map { p =>
       val lit = p.mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(range(len(embedding)),
          |  i -> CAST(embedding[i+1] AS DOUBLE) * ($lit)[i+1])) >= 0
@@ -201,32 +274,48 @@ object Vectors {
       .filter(col("rank") <= topk)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the vectors, compare
-    * only within a bucket, keep pairs with cosine ≥ `threshold`. The
-    * all-pairs comparison never happens — candidate generation is the
-    * bucket equi-join (recall is governed by the plane count: truly
-    * near-identical vectors agree on every sign bit with high
-    * probability). Input: any DataFrame with (vec_id, embedding). */
-  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    // cached: the projection (8 hyperplane folds + norm per vector) feeds
-    // both sides of the self-join — without it the dominant cost doubles
-    val e = lshProjected(vectors).cache()
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      col("bucket"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      col("bucket"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+  /** Embedding-cosine near-duplicate pairs: banded LSH + the over-full-
+    * bucket guard, exact cosine only on candidates — the all-pairs
+    * comparison never happens. Defaults are the SCALE config (2 bands × 16
+    * planes = 65,536 buckets per band): near-identical vectors agree on
+    * every sign bit with high probability, so each band catches them, while
+    * independent vectors collide w.p. ~2^-16 per band. `maxBucketSize`
+    * bounds the worst bucket's self-join fan-in regardless of data skew
+    * ([[refineOverfullBuckets]]). Input: any DataFrame with
+    * (vec_id, embedding). */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+      numBands: Int = 2, planesPerBand: Int = 16,
+      maxBucketSize: Int = 1 << 20): DataFrame = {
+    // cached: the refined banding feeds both sides of the candidate join —
+    // without it the dominant cost (numBands × planesPerBand folds/vector)
+    // doubles. Same session-lifetime note as Docs.q19MinhashPairs.
+    val banded = refineOverfullBuckets(
+      bandedProjection(vectors, numBands, planesPerBand),
+      maxBucketSize, numBands * planesPerBand).cache()
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val proj = vectors.select(col("vec_id"), col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"))
+    cand
+      .join(proj.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(proj.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot("va", "vb") / (col("na") * col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
   /** LSH-bucketed approximate top-k: compare only within a bucket. Used by
-    * VectorsSpec to measure recall vs [[q21TopkCosine]]; not a gate query
+    * PipelineSpec to measure recall vs [[q21TopkCosine]]; not a gate query
     * (approximate results have no SQL-exact oracle by construction). */
-  def lshTopk(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val e = lshProjected(table(spark, dir, "embeddings")).cache()
+  def lshTopk(spark: SparkSession, dir: String, k: Int,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val e = lshProjected(table(spark, dir, "embeddings"), numPlanes).cache()
     val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("bucket").as("qb"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")

@@ -106,6 +106,87 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("LSH bucket width is the scale dial: occupancy shrinks as planes " +
+    "are added") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def stats(p: Int): (Long, Long) =
+      Vectors.bandedProjection(emb, 1, p)
+        .groupBy("band_val").count()
+        .agg(max("count"), count(lit(1))).as[(Long, Long)].head()
+    val byPlanes = Seq(8, 10, 12, 16).map(p => p -> stats(p)).toMap
+    info(s"(maxPop, nBuckets) by planes: $byPlanes")
+    // widening only splits buckets (bit k's bucket is a prefix of bit k+1's),
+    // so the worst bucket must shrink monotonically...
+    Seq(8 -> 10, 10 -> 12, 12 -> 16).foreach { case (a, b) =>
+      assert(byPlanes(b)._1 <= byPlanes(a)._1, s"max grew from $a to $b planes")
+    }
+    // ...and materially: 8 extra planes must at least halve the worst bucket
+    // and more than double the occupied-bucket count on the driver vectors
+    assert(byPlanes(16)._1 * 2 <= byPlanes(8)._1, s"$byPlanes")
+    assert(byPlanes(16)._2 > byPlanes(8)._2 * 2, s"$byPlanes")
+  }
+
+  test("over-full-bucket guard: refinement caps the worst bucket, loses no " +
+    "rows, and only extends bucket ids") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // deliberately degenerate start: 1 band × 2 planes = 4 coarse buckets
+    val banded = Vectors.bandedProjection(emb, 1, 2)
+    val refined = Vectors.refineOverfullBuckets(banded,
+      maxBucketSize = 16, firstReservedPlane = 2, step = 4)
+    assert(refined.count() == banded.count())
+    val maxPop = refined.groupBy("band_idx", "band_val").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxPop <= 16, s"guard left a bucket of $maxPop")
+    // every refined id is an extension of the original 2-bit bucket
+    assert(refined.filter(length(col("band_val")) < 2).isEmpty)
+  }
+
+  test("recall survives 16-plane bands: planted near-identical pair found " +
+    "under the scale config, with and without a tight bucket cap") {
+    val dim = Vectors.Dim
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val near = vec(1).clone(); near(0) = near(0) + 1e-4f
+    val rows = Seq((1L, vec(1)), (2L, near)) ++
+      (3L to 20L).map(s => (s, vec(s.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val wide = Vectors.cosineNearDupPairs(df, threshold = 0.98,
+        numBands = 4, planesPerBand = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L)))
+    val capped = Vectors.cosineNearDupPairs(df, threshold = 0.98,
+        numBands = 2, planesPerBand = 16, maxBucketSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
+  test("wide SimHash bands: the 64/4 scale config shrinks band buckets and " +
+    "its pairs are a verified subset of the 32/4 gate result") {
+    def maxBandPop(bits: Int): Long = {
+      val w = bits / 4
+      val stackArgs = (0 until 4)
+        .map(b => s"'$b', substring(simhash, ${b * w + 1}, $w)").mkString(", ")
+      Docs.simhashBits(spark, sf, bits)
+        .select(expr(s"stack(4, $stackArgs) AS (band_idx, band_val)"))
+        .groupBy("band_idx", "band_val").count()
+        .agg(max("count")).as[Long].head()
+    }
+    val (pop32, pop64) = (maxBandPop(32), maxBandPop(64))
+    info(s"max band-bucket population: 32-bit=$pop32, 64-bit=$pop64")
+    assert(pop64 <= pop32)
+    // the 64-bit simhash's first 32 bits ARE the 32-bit simhash, so any
+    // hamming<=1 pair at 64 bits has hamming<=1 on the prefix: the wide
+    // config may only tighten the gate result, never contradict it
+    val gate = Docs.q24SimhashNeardup(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val wide = Docs.simhashNeardupPairs(spark, sf, simBits = 64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(wide.nonEmpty, "64-bit config found no near-dups at all")
+    assert(wide.subsetOf(gate), s"wide pairs not in gate: ${wide.diff(gate)}")
+  }
+
   test("winnowing: near-dup docs share most fingerprints; distinct docs " +
     "share few") {
     val fps = graft.operators.Docs.q26Winnowing(spark, sf)
