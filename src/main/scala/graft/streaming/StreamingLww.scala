@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.Triple
 import graft.operators.Lww
@@ -59,10 +59,10 @@ object StreamingLww {
     * anti-entropy cadence (`MasterServer.py:233`).
     *
     * The store swap is write-new-then-move (never read and overwrite the
-    * same files in one job). At 100 TB the overwrite-the-store compaction
-    * becomes partition-wise: merge only the range shards the batch's key
-    * bounds touch (see `ScaleBench`'s bounded merge) or use a
-    * MERGE-capable table format; the foreachBatch structure is unchanged.
+    * same files in one job). This whole-store rewrite is the SMALL-store
+    * sink (atomic swap, single directory); the scale path is
+    * [[mergeIntoStorePartitioned]], which prunes the read and the rewrite
+    * to the shards each batch touches.
     */
   def mergeIntoStore(updates: Dataset[Triple], storePath: String,
       checkpointPath: String,
@@ -101,6 +101,109 @@ object StreamingLww {
         ()
       }
       .start()
+  }
+
+  /** Stable range-shard of a subject against sorted boundary cut points:
+    * shard k holds subjects in [boundaries(k-1), boundaries(k)) — the Spark
+    * twin of the reference's declared `SHARDING` dict (`MasterServer.py:59-63`),
+    * used as a PARTITION column so shard membership is a directory, not a
+    * routing table. */
+  private def shardCol(boundaries: Seq[String]): Column =
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("subject") >= b, 1).otherwise(0)
+    }
+
+  /** The scale-safe streaming sink: the store is a shard-PARTITIONED parquet
+    * layout (`storePath/shard=k/`), and each micro-batch LWW-merges into
+    * ONLY the shards its keys touch — read pruned to those partition
+    * directories, rewrite via dynamic partition overwrite of just those
+    * directories. Per-batch I/O is O(affected shards), not O(store): at
+    * 100 TB with a 5 s cadence (`MasterServer.py:233`) a batch touching one
+    * shard of a 1,024-shard store moves ~0.1% of the data instead of all of
+    * it (the bounded-merge shape proven in `ScaleBench`). Batch replay
+    * after a crash is idempotent because the merge is strict-`>` LWW
+    * (`MongoDBConnector.py:150-153`); a production deployment would layer a
+    * MERGE-capable table format for file-level atomicity, same structure. */
+  def mergeIntoStorePartitioned(updates: Dataset[Triple], storePath: String,
+      checkpointPath: String, boundaries: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[Triple], _: Long) =>
+        val b = batch.toDF().withColumn("shard", shardCol(boundaries))
+          .localCheckpoint(true)
+        // bounded driver-side collect: at most |boundaries|+1 shard ids
+        val touched = b.select("shard").distinct().as[Int].collect().toSeq
+        if (touched.nonEmpty) {
+          val base =
+            if (Files.exists(Paths.get(storePath)))
+              spark.read.parquet(storePath)
+                .filter(col("shard").isin(touched: _*))
+            else b.limit(0)
+          Lww.merge(base, b)
+            .withColumn("shard", shardCol(boundaries))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(storePath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** [[winners]] with watermark-driven state eviction (SURVEY §2.2's
+    * `GroupStateTimeout` ask): per-key state is dropped once the event-time
+    * watermark passes the winner's timestamp + `ttlMs`, so state size
+    * tracks the live key set instead of every key ever seen (§7.3's 10.2M-
+    * key risk in the reference's own corpus).
+    *
+    * Eviction policy (tested in StreamingLwwSpec):
+    *   - live keys: identical to [[winners]] — stale arrivals lose;
+    *   - arrivals OLDER than the watermark are dropped by Spark before the
+    *     state function (standard late-data semantics), so a stale row can
+    *     never resurrect an evicted key with an old value;
+    *   - an admissible arrival for an evicted key re-hydrates state from
+    *     scratch. Eviction implies winner_ts + ttl < watermark, and
+    *     admission implies the new row is not older than the watermark, so
+    *     the re-hydrated winner is strictly newer than the evicted one —
+    *     the per-key emission sequence stays consistent with batch LWW over
+    *     the admitted rows. */
+  def winnersWithTtl(updates: Dataset[Triple], watermarkDelay: String,
+      ttlMs: Long): Dataset[Triple] = {
+    import updates.sparkSession.implicits._
+    updates
+      // the watermark column must flow INTO the stateful operator (Spark's
+      // unsupported-operation checker rejects an event-time timeout whose
+      // watermark was projected away)
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[(String, String, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: (String, String),
+         rows: Iterator[(String, String, String, Long, java.sql.Timestamp)],
+         state: GroupState[Triple]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val w = (state.getOption.iterator ++
+                rows.map(r => Triple(r._1, r._2, r._3, r._4)))
+              .maxBy(t => (t.ts_ms, t.`object`))
+            state.update(w)
+            // must stay ahead of the watermark or Spark rejects it; a
+            // winner already within ttl of the watermark evicts next batch
+            state.setTimeoutTimestamp(
+              math.max(w.ts_ms + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(w)
+          }
+      }
   }
 
   /** Q11 tumbling 1-minute windows with a watermark over an event stream

@@ -105,6 +105,101 @@ class StreamingLwwSpec extends AnyFunSuite {
       Triple("<c>", "<q>", "new", 50L)))
   }
 
+  test("partitioned merge sink: converges to batch LWW and leaves " +
+    "untouched shards' files byte-for-byte alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_sink")
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // boundaries give 3 shards: (-inf,<b>) / [<b>,<c>) / [<c>,inf)
+    val boundaries = Seq("<b>", "<c>")
+    val b1 = Seq(
+      Triple("<a>", "<p>", "v1", 100L),   // shard 0
+      Triple("<c>", "<q>", "x", 50L))     // shard 2
+    val b2 = Seq(
+      Triple("<c>", "<q>", "y", 80L),     // shard 2 only
+      Triple("<c>", "<r>", "z", 60L))
+
+    val source = MemoryStream[Triple]
+    source.addData(b1: _*)
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt, boundaries).awaitTermination()
+
+    def shardFiles(shard: Int): Map[String, Long] = {
+      val d = new java.io.File(storePath, s"shard=$shard")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val shard0After1 = shardFiles(0)
+    assert(shard0After1.nonEmpty, "batch 1 must have written shard 0")
+
+    source.addData(b2: _*)
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt, boundaries).awaitTermination()
+
+    // shard 0 was not touched by batch 2: same files, same mtimes
+    assert(shardFiles(0) == shard0After1,
+      s"untouched shard rewritten: $shard0After1 vs ${shardFiles(0)}")
+    // shard 2 WAS touched
+    assert(shardFiles(2).nonEmpty)
+
+    val store = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    val batch = Lww.upsert(
+        Seq.empty[Triple].toDF("subject", "predicate", "object", "ts_ms"),
+        (b1 ++ b2).toDF("subject", "predicate", "object", "ts_ms"))
+      .as[Triple].collect().toSet
+    assert(store == batch)
+    assert(store.contains(Triple("<c>", "<q>", "y", 80L))) // LWW within shard
+  }
+
+  test("winnersWithTtl: state evicts after ttl, stale late arrivals are " +
+    "dropped, and an admissible arrival re-hydrates — consistent with " +
+    "batch LWW on admitted rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Triple]
+    val q = StreamingLww.winnersWithTtl(source.toDS(),
+        watermarkDelay = "0 seconds", ttlMs = 1000L)
+      .writeStream.format("memory").queryName("ttl_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // watermark after this batch: 1000
+      source.addData(Triple("<a>", "<p>", "v1", 1000L),
+        Triple("<b>", "<p>", "b1", 1000L))
+      q.processAllAvailable()
+      // advances watermark to 5000: <a>'s timeout (1000+1000) fires next
+      source.addData(Triple("<b>", "<p>", "b2", 5000L))
+      q.processAllAvailable()
+      // stale arrival for the evicted key, older than the watermark:
+      // dropped by Spark before the state function — cannot resurrect <a>
+      source.addData(Triple("<a>", "<p>", "STALE", 500L))
+      q.processAllAvailable()
+      // admissible arrival re-hydrates <a> from scratch; necessarily newer
+      // than the evicted winner (eviction ⇒ 2000 < watermark ≤ 6000)
+      source.addData(Triple("<a>", "<p>", "v2", 6000L))
+      q.processAllAvailable()
+      // the state operator must actually have removed a row (the eviction),
+      // not just behaved equivalently
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 1, s"no state row was evicted (removed=$removed)")
+    } finally q.stop()
+
+    val emitted = spark.table("ttl_stream").as[Triple].collect()
+    assert(!emitted.exists(_.`object` == "STALE"),
+      "a dropped-late stale row was emitted")
+    val finalPerKey = emitted
+      .groupBy(t => (t.subject, t.predicate))
+      .map(_._2.maxBy(t => (t.ts_ms, t.`object`))).toSet
+    // batch twin over the ADMITTED rows (everything except the late STALE);
+    // including STALE changes nothing — it loses the LWW anyway
+    assert(finalPerKey == Set(
+      Triple("<a>", "<p>", "v2", 6000L),
+      Triple("<b>", "<p>", "b2", 5000L)))
+  }
+
   test("tumbling windows with watermark == batch groupBy on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Int, sec: Int) =
