@@ -20,13 +20,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     TripleStore.shardedPath(spark, sfDir)
     // (name, seconds, errorOrNull) — a failed query must be visibly failed,
-    // not recorded as the round's fastest time.
+    // not recorded as the round's fastest time. Per-query MEDIAN of 3 runs:
+    // single-shot times at this scale carry ±0.1 s of JIT/GC noise, which
+    // round-over-round comparisons would read as regressions.
+    val runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val timed = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val err = timed.flatMap(_._2).headOption
+      (name, timed.map(_._1).sorted.apply(runs / 2), err)
     }
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _) => s"${js(k)}:$v" }.mkString("{", ",", "}")
