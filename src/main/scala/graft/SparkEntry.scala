@@ -90,6 +90,8 @@ object SparkEntry {
       s.read.parquet(TripleStore.reshardedPath(s, dir))
         .filter(col("subject") === "<order_42>")
         .orderBy("predicate", "object")),
+    "q29_sample_split" -> (Docs.q29SampleSplit(_, _)),
+    "q30_curation"     -> (Docs.q30Curation(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -168,5 +170,7 @@ object SparkEntry {
       s"""WITH ${TripleStore.TriplesCte}
          |SELECT subject, predicate, object, ts_ms FROM triples
          |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
+    "q29_sample_split" -> Docs.q29Sql,
+    "q30_curation"     -> Docs.q30Sql,
   )
 }

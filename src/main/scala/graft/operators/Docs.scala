@@ -47,7 +47,7 @@ object Docs {
             .cast(DoubleType) / size(col("w"))).between(2.0, 12.0)).as("keep"))
       .orderBy("doc_id")
 
-  val q16Sql: String =
+  private val q16Core: String =
     s"""SELECT doc_id,
        |  CAST(len(w) AS BIGINT) AS n_tokens,
        |  CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -56,8 +56,9 @@ object Docs {
        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
        |  substr(md5(text), 1, 16) AS fingerprint,
        |  (len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0) AS keep
-       |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  val q16Sql: String = q16Core + "\nORDER BY doc_id"
 
   // --- Q17: language-ID heuristic -------------------------------------------
 
@@ -82,7 +83,7 @@ object Docs {
       .orderBy("doc_id")
   }
 
-  val q17Sql: String =
+  private lazy val q17Core: String =
     s"""SELECT doc_id, lang AS lang_meta,
        |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("de"))})) AS BIGINT) AS s_de,
        |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS BIGINT) AS s_en,
@@ -95,8 +96,9 @@ object Docs {
        |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("de"))})) > len(list_filter(w, x -> x IN ${inList(Stop("en"))}))
        |     AND len(list_filter(w, x -> x IN ${inList(Stop("de"))})) > len(list_filter(w, x -> x IN ${inList(Stop("es"))})) THEN 'de'
        |    ELSE 'und' END AS pred_lang
-       |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)""".stripMargin
+
+  val q17Sql: String = q17Core + "\nORDER BY doc_id"
 
   // --- Q18: exact dedup by content hash -------------------------------------
 
@@ -340,6 +342,57 @@ object Docs {
        |          i -> substr(md5(substr(text, i + 1, $WinK)), 1, 8)) AS h
        |        FROM documents WHERE length(text) >= ${WinK + WinW - 1}))
        |ORDER BY doc_id, fp""".stripMargin
+
+  // --- Q29: deterministic corpus split --------------------------------------
+
+  /** Deterministic hash-based train/val/test split (~80/10/10): a document's
+    * split is a pure function of its id (salted md5, hex prefix compared
+    * against fixed cut points), so it is stable across runs, executors, and
+    * resharding, joinable from any table, and needs no global sort or
+    * sampling pass — the standard corpus-split op of a training pipeline.
+    * One narrow scan, zero shuffle (the trailing ORDER BY is gate-only). */
+  def q29SampleSplit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+          .as("h"))
+      .select(col("doc_id"),
+        when(col("h") < "cd", "train").when(col("h") < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  val q29Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 'cd' THEN 'train' WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, substr(md5('split:' || doc_id), 1, 2) AS h FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // --- Q30: end-to-end corpus curation --------------------------------------
+
+  /** The pillars composed end-to-end, the way a 100 TB curation job actually
+    * runs: quality gate (q16 `keep`) ∘ exact-dedup representatives (q18)
+    * ∘ language filter (q17 predicts `en`). Each leg is the already-gated
+    * operator; the composition is two left-semi joins on doc_id, so at
+    * scale the joins shuffle only ids while every leg stays a narrow
+    * scan. */
+  def q30Curation(spark: SparkSession, dir: String): DataFrame =
+    q16TextStats(spark, dir).filter(col("keep"))
+      .join(q18ExactDedup(spark, dir).select(col("rep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .join(q17LangId(spark, dir).filter(col("pred_lang") === "en")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_tokens", "fingerprint")
+      .orderBy("doc_id")
+
+  lazy val q30Sql: String =
+    s"""WITH stats AS ($q16Core),
+       |lang AS ($q17Core),
+       |reps AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+       |         FROM documents GROUP BY sha256(text))
+       |SELECT s.doc_id, s.n_tokens, s.fingerprint
+       |FROM stats s JOIN reps USING (doc_id) JOIN lang USING (doc_id)
+       |WHERE s.keep AND lang.pred_lang = 'en'
+       |ORDER BY s.doc_id""".stripMargin
 
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),

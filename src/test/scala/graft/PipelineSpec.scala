@@ -201,6 +201,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(overlap(8L, 9L) < 0.3, s"unrelated: ${overlap(8L, 9L)}")
   }
 
+  test("sample split: deterministic, total, and near the 80/10/10 design") {
+    val s1 = Docs.q29SampleSplit(spark, sf).as[(Long, String)].collect()
+    val s2 = Docs.q29SampleSplit(spark, sf).as[(Long, String)].collect()
+    assert(s1 sameElements s2)                     // pure function of doc_id
+    assert(s1.length == 500)
+    val frac = s1.groupBy(_._2).view.mapValues(_.length / 500.0).toMap
+    // binomial noise at n=500: ±4–5% around the 80.1/9.8/10.2 cut design
+    assert(frac("train") > 0.72 && frac("train") < 0.88, s"$frac")
+    assert(frac("val") > 0.05 && frac("val") < 0.16, s"$frac")
+    assert(frac("test") > 0.05 && frac("test") < 0.16, s"$frac")
+  }
+
+  test("curation pipeline: output is quality-kept, language-en, dedup " +
+    "representatives only") {
+    val out = Docs.q30Curation(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    val kept = Docs.q16TextStats(spark, sf)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val reps = Docs.q18ExactDedup(spark, sf)
+      .select("rep_doc_id").as[Long].collect().toSet
+    val en = Docs.q17LangId(spark, sf)
+      .filter(col("pred_lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(out == (kept intersect reps intersect en))
+  }
+
   test("multimodal: typed batch feature extraction is deterministic with " +
     "fixed width and normalized histogram") {
     val media = Multimodal.mediaTable(spark, sf)
