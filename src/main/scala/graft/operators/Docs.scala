@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -371,18 +372,35 @@ object Docs {
 
   /** The pillars composed end-to-end, the way a 100 TB curation job actually
     * runs: quality gate (q16 `keep`) ∘ exact-dedup representatives (q18)
-    * ∘ language filter (q17 predicts `en`). Each leg is the already-gated
-    * operator; the composition is two left-semi joins on doc_id, so at
-    * scale the joins shuffle only ids while every leg stays a narrow
-    * scan. */
-  def q30Curation(spark: SparkSession, dir: String): DataFrame =
-    q16TextStats(spark, dir).filter(col("keep"))
-      .join(q18ExactDedup(spark, dir).select(col("rep_doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .join(q17LangId(spark, dir).filter(col("pred_lang") === "en")
-        .select("doc_id"), Seq("doc_id"), "left_semi")
+    * ∘ language filter (q17 predicts `en`).
+    *
+    * Deliberately NOT a composition of the three gated queries — that would
+    * scan `documents` (i.e. re-read the text column) three times. All three
+    * signals are projections of the same (doc_id, text) row, so they fuse
+    * into ONE scan; the dedup representative is a min-window over the
+    * content hash, whose shuffle carries only (doc_id, hash, two flags,
+    * stats) — the text never moves. 1 scan + 1 shuffle total; equivalence
+    * with the three-leg composition is asserted in PipelineSpec. */
+  def q30Curation(spark: SparkSession, dir: String): DataFrame = {
+    val totLen = expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+    def score(l: String) =
+      expr(s"size(filter(lw, x -> x IN ${inList(Stop(l))}))")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"),
+        split(lower(col("text")), " ").as("lw"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        substring(md5(col("text")), 1, 16).as("fingerprint"),
+        (size(col("w")) >= 5 &&
+          (totLen.cast(DoubleType) / size(col("w"))).between(2.0, 12.0)).as("keep"),
+        (score("en") > score("es") && score("en") > score("de")).as("is_en"),
+        sha2(col("text"), 256).as("content_hash"))
+      .withColumn("rep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy("content_hash")))
+      .filter(col("keep") && col("is_en") && col("doc_id") === col("rep_doc_id"))
       .select("doc_id", "n_tokens", "fingerprint")
       .orderBy("doc_id")
+  }
 
   lazy val q30Sql: String =
     s"""WITH stats AS ($q16Core),

@@ -215,8 +215,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("curation pipeline: output is quality-kept, language-en, dedup " +
     "representatives only") {
-    val out = Docs.q30Curation(spark, sf)
-      .select("doc_id").as[Long].collect().toSet
+    val q30 = Docs.q30Curation(spark, sf)
+    // the fused pipeline must read documents ONCE (single scan leaf), not
+    // once per leg
+    assert(q30.queryExecution.executedPlan.collectLeaves().size == 1)
+    val out = q30.select("doc_id").as[Long].collect().toSet
     assert(out.nonEmpty)
     val kept = Docs.q16TextStats(spark, sf)
       .filter(col("keep")).select("doc_id").as[Long].collect().toSet
