@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Lww
+import graft.streaming.StreamingLww
 
 /** Same-scale comparison against the reference's published numbers
   * (report.pdf §7: YAGO 10,207,584 triples; point query 0.9002 s, single
@@ -23,7 +24,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -103,11 +104,56 @@ object ScaleBench {
       Lww.upsert(store, changelog).count()
     }
 
+    // Streaming sink contrast at the same scale: one 1,000-update micro-batch
+    // through the partition-wise sink (reads + rewrites only the shard
+    // directories the batch touches) vs the whole-store-rewrite sink. This is
+    // the number behind the 100 TB claim: the partitioned batch cost tracks
+    // the touched share of the store, the monolithic one tracks the store.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val updates = pending.toIndexedSeq.map(r =>
+      Triple(r.getString(0), r.getString(1), "STREAMED", r.getLong(3) + 1L))
+    // ~even 16-way range boundaries sampled from the store itself
+    val sample = store.select("subject").sample(0.002).as[String]
+      .collect().sorted
+    val boundaries = (1 to 15)
+      .map(i => sample((sample.length.toLong * i / 16).toInt)).distinct
+    val partPath = sys.props("java.io.tmpdir") + "/graft_scalebench_part"
+    val shardOf = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("subject") >= b, 1).otherwise(0)
+    }
+    new scala.reflect.io.Directory(new java.io.File(partPath)).deleteRecursively()
+    val (_, tPartEtl) = timed {
+      big.withColumn("shard", shardOf)
+        .write.partitionBy("shard").mode("overwrite").parquet(partPath)
+    }
+    val touchedShards = updates.map(_.subject)
+      .map(s => boundaries.count(b => s >= b)).distinct.size
+    val ckptDir = sys.props("java.io.tmpdir") + "/graft_scalebench_ckpt"
+    new scala.reflect.io.Directory(new java.io.File(ckptDir)).deleteRecursively()
+    val srcPart = MemoryStream[Triple]
+    srcPart.addData(updates: _*)
+    val (_, tPartBatch) = timed {
+      StreamingLww.mergeIntoStorePartitioned(srcPart.toDS(), partPath,
+        ckptDir + "/part", boundaries).awaitTermination()
+    }
+    val srcFull = MemoryStream[Triple]
+    srcFull.addData(updates: _*)
+    val (_, tFullBatch) = timed {
+      StreamingLww.mergeIntoStore(srcFull.toDS(), path, ckptDir + "/full")
+        .awaitTermination()
+    }
+
     println(
       s"""{"metric":"scalebench","rows":$total,"unit":"sec","etl_write":$tEtl,""" +
       s""""point_search":$tSearch,"point_upsert":$tUpsert,"merge_1k_pending":$tMerge,""" +
       s""""full_compaction":$tCompact,"search_rows":$c1,"upsert_rows":${rows2.length},""" +
-      s""""merge_rows":$c3,"compact_rows":$c4,"baseline":{"search":0.9002,"upsert":2.4244,"merge":2.2729}}""")
+      s""""merge_rows":$c3,"compact_rows":$c4,""" +
+      s""""stream_part_etl":$tPartEtl,"stream_part_batch":$tPartBatch,""" +
+      s""""stream_full_batch":$tFullBatch,"stream_touched_shards":$touchedShards,""" +
+      s""""stream_total_shards":${boundaries.size + 1},""" +
+      s""""baseline":{"search":0.9002,"upsert":2.4244,"merge":2.2729}}""")
     spark.stop()
   }
 }
