@@ -69,6 +69,53 @@ object Multimodal {
     }
   }
 
+  case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: explode a media payload into every `stride`-th
+    * fixed-size "frame" — the video keyframe-sampling pattern. The byte
+    * slicer stands in for a real demuxer (none in this container), but the
+    * plumbing is the production shape: one row in → N typed frame rows out
+    * via `flatMap` (so a long video never materializes as one task-local
+    * array-of-frames), stable `frame_idx` for downstream ordering, bounded
+    * per-frame memory, and frames land as binary columns ready for
+    * [[extractFeatures]]-style per-partition decoders. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0)
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      val n = row.media.length
+      Iterator.range(0, (n + frameBytes - 1) / frameBytes)
+        .filter(_ % stride == 0)
+        .map { f =>
+          MediaFrame(row.doc_id, f,
+            java.util.Arrays.copyOfRange(row.media, f * frameBytes,
+              math.min(n, (f + 1) * frameBytes)))
+        }
+    }
+  }
+
+  /** Resize by mean-pooling a feature vector down to `width` bins — the
+    * deterministic stand-in for a pixel resize kernel, preserving what the
+    * pipeline depends on: fixed output width and (for histogram inputs)
+    * mass conservation. */
+  def resizeFeatures(feats: Dataset[MediaFeatures],
+      width: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map { f =>
+      val in = f.features
+      require(in.length % width == 0,
+        s"resize $width must tile ${in.length}")
+      val pool = in.length / width
+      val out = Array.tabulate(width) { j =>
+        var s = 0f; var i = 0
+        while (i < pool) { s += in(j * pool + i); i += 1 }
+        s
+      }
+      f.copy(features = out)
+    }
+  }
+
   /** Q23 gate query: the SQL-expressible slice of the media pipeline —
     * binary payload size + content signature per media row. */
   def q23MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -244,6 +244,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats1.map(_.features.toSeq) sameElements feats2.map(_.features.toSeq))
   }
 
+  test("over-full-bucket guard terminates on an unsplittable cluster: " +
+    "identical vectors exhaust the plane pool and stay one bucket") {
+    val dim = Vectors.Dim
+    val r = new scala.util.Random(7)
+    val base = Array.fill(dim)(r.nextGaussian().toFloat)
+    // 40 IDENTICAL vectors: every sign bit agrees, so no refinement level
+    // can split them — the guard must stop at pool exhaustion, not loop
+    val rows = (1L to 40L).map(id => (id, base))
+    val df = rows.toDF("vec_id", "embedding")
+    val refined = Vectors.refineOverfullBuckets(
+      Vectors.bandedProjection(df, 1, 8), maxBucketSize = 4,
+      firstReservedPlane = 8)
+    assert(refined.count() == 40)
+    val maxPop = refined.groupBy("band_idx", "band_val").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxPop == 40, "identical vectors are legitimately one bucket")
+    // bucket ids were extended to the full pool (8 + 7 refinement steps)
+    assert(refined.select(length(col("band_val"))).as[Int].head() == 64)
+  }
+
+  test("multimodal: frame sampling covers the payload with stable indices " +
+    "and stride-bounded count") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val all = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+      .collect().groupBy(_.doc_id)
+    val payloads = media.collect().map(m => m.doc_id -> m.media).toMap
+    all.foreach { case (id, frames) =>
+      // stride 1: concatenating frames in index order rebuilds the payload
+      val rebuilt = frames.sortBy(_.frame_idx).flatMap(_.frame)
+      assert(rebuilt sameElements payloads(id), s"doc $id payload torn")
+    }
+    val sampled = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
+      .collect().groupBy(_.doc_id)
+    sampled.foreach { case (id, frames) =>
+      assert(frames.forall(_.frame_idx % 4 == 0))
+      val expect = (all(id).length + 3) / 4
+      assert(frames.length == expect, s"doc $id: ${frames.length} vs $expect")
+    }
+  }
+
+  test("multimodal: mean-pool resize halves width and conserves histogram " +
+    "mass") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+    val resized = Multimodal.resizeFeatures(feats, width = 4).collect()
+    assert(resized.forall(_.features.length == 4))
+    resized.foreach { f =>
+      assert(math.abs(f.features.sum - 1f) < 1e-3)
+    }
+  }
+
   test("multimodal: media payload bytes round-trip the metadata") {
     val rows = Multimodal.mediaTable(spark, sf).collect()
     assert(rows.forall(r => r.media.length.toLong == r.n_bytes))
