@@ -244,6 +244,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats1.map(_.features.toSeq) sameElements feats2.map(_.features.toSeq))
   }
 
+  test("banded near-dup candidate generation is an equi-join, never a " +
+    "cartesian/nested-loop product") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Vectors.cosineNearDupPairs(emb, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian product in ANN path:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested-loop join in ANN path:\n$plan")
+  }
+
   test("over-full-bucket guard terminates on an unsplittable cluster: " +
     "identical vectors exhaust the plane pool and stay one bucket") {
     val dim = Vectors.Dim
