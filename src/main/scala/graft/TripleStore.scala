@@ -247,6 +247,23 @@ object TripleStore {
       .option("sep", "\t").option("quote", "\u0000")
       .csv(path)
 
+  /** JSONL sink — the reference's actual wire format: its master relays
+    * rows as JSON over HTTP (`MasterServer.py:327`, node responses
+    * `MongoNodeServer.py:75`). One JSON object per line, so the files split
+    * cleanly across readers at any scale. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.select(col("subject"), col("predicate"), col("object"), col("ts_ms"))
+      .write.mode("overwrite").json(path)
+
+  /** JSONL source, [[writeJsonl]]'s inverse: explicit schema (no sampling
+    * pass over 100 TB to infer four fixed columns), malformed lines
+    * surfaced not dropped (PERMISSIVE would null them silently). */
+  def fromJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("subject STRING, predicate STRING, object STRING, ts_ms BIGINT")
+      .option("mode", "FAILFAST")
+      .json(path)
+
   // ---------------------------------------------------------------------------
   // DuckDB oracle twins (driver runs these on the same parquet tables).
   // ---------------------------------------------------------------------------

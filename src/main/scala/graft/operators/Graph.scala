@@ -46,6 +46,50 @@ object Graph {
        |FROM o FULL OUTER JOIN i ON o.node = i.node
        |ORDER BY node""".stripMargin
 
+  /** PageRank over the directed entity graph (the classic RDF-analytics
+    * companion to degrees/components — BASELINE's GraphX north star,
+    * re-expressed declaratively).
+    *
+    * Each iteration is: contributions = rank/out_deg shipped along edges
+    * (one join against the static out-degree table), then one groupBy-sum
+    * per destination plus the damping update. Dangling mass (nodes with no
+    * out-edges) is redistributed uniformly so ranks stay a probability
+    * distribution — summing it is a scalar aggregate on the already-small
+    * rank table. `localCheckpoint` truncates lineage per iteration (on a
+    * cluster: `checkpoint` to a checkpoint dir). At 100 TB the per-iteration
+    * shuffle is on dst — the same key every round, so a pre-partitioned
+    * edge table keeps the big side exchange-free. */
+  def pageRank(edgeDf: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val edges = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nNodes = nodes.count().toDouble
+    val outDeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / nNodes)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left_outer")
+      // mass parked on dangling nodes (null out_deg) is spread uniformly
+      val dangling = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = edges
+        .join(withDeg.filter(col("out_deg").isNotNull),
+          edges("src") === withDeg("node"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("out_deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit((1 - damping) / nNodes) +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+              lit(dangling / nNodes))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Connected components by iterative min-label propagation over the
     * undirected edge set: each node's label converges to the smallest node
     * id in its component.

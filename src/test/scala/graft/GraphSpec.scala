@@ -24,6 +24,35 @@ class GraphSpec extends AnyFunSuite {
       "<z>" -> "<z>"))
   }
 
+  test("pageRank: ranks form a distribution, the hub dominates, dangling " +
+    "mass is redistributed") {
+    // star into <h> plus a back-edge; <d> receives from <h>... no: <h> -> <a>
+    // only, and <d> is dangling (no out-edges) via <c> -> <d>
+    val edges = Seq(
+      ("<a>", "<h>"), ("<b>", "<h>"), ("<c>", "<h>"),
+      ("<h>", "<a>"), ("<c>", "<d>")).toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, iters = 20)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"ranks not a distribution: ${ranks.values.sum}")
+    assert(ranks("<h>") > ranks("<a>"), s"$ranks")
+    assert(ranks("<a>") > ranks("<b>"), s"$ranks")
+    assert(ranks("<b>") == ranks("<c>"), s"$ranks")
+    assert(ranks.values.forall(_ > 0))
+  }
+
+  test("pageRank on the store: region hubs outrank every order node") {
+    val e = Graph.edges(spark, "/root/testdata/sf0.001")
+    val ranks = Graph.pageRank(e, iters = 5)
+    assert(math.abs(ranks.agg(sum("rank")).head().getDouble(0) - 1.0) < 1e-6)
+    val minRegion = ranks.filter(col("node").startsWith("<region_"))
+      .agg(min("rank")).head().getDouble(0)
+    val maxOrder = ranks.filter(col("node").startsWith("<order_"))
+      .agg(max("rank")).head().getDouble(0)
+    assert(minRegion > maxOrder,
+      s"region floor $minRegion vs order ceiling $maxOrder")
+  }
+
   test("connectedComponents on the store: every order reaches its region's " +
     "component") {
     val e = Graph.edges(spark, "/root/testdata/sf0.001")

@@ -245,6 +245,19 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(back.as[Triple].collect().toSet == orig.as[Triple].collect().toSet)
   }
 
+  test("writeJsonl/fromJsonl round-trip the reference's JSON wire format, " +
+    "including non-ASCII and quote-bearing values") {
+    val dir = Files.createTempDirectory("graft_jsonl").resolve("out").toString
+    val orig = Seq(
+      ("<Albert_Einstein>", "<hasWonPrize>", "<Nobel_Prize>", 1717245045123L),
+      ("<₩uNo>", "<p>", "say \"hi\"\tok", 0L),
+      ("<😀_img>", "<q>", "multi\nline", -62135596800000L))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    TripleStore.writeJsonl(orig, dir)
+    val back = TripleStore.fromJsonl(spark, dir)
+    assert(back.as[Triple].collect().toSet == orig.as[Triple].collect().toSet)
+  }
+
   test("fromTsv: O15 bulk load parses reference-format timestamps") {
     val dir = Files.createTempDirectory("graft_tsv").toFile
     val f = new java.io.File(dir, "fixture.tsv")
