@@ -33,7 +33,14 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val err = timed.flatMap(_._2).headOption
-      (name, timed.map(_._1).sorted.apply(runs / 2), err)
+      // median over SUCCESSFUL runs only — a fast abort must not drag the
+      // median down; if every run failed, fall back to all runs so the
+      // entry still carries a (visibly-errored) time
+      val times = {
+        val ok = timed.collect { case (t, None) => t }
+        if (ok.nonEmpty) ok else timed.map(_._1)
+      }
+      (name, times.sorted.apply(times.size / 2), err)
     }
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _) => s"${js(k)}:$v" }.mkString("{", ",", "}")

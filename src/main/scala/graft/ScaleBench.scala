@@ -114,22 +114,24 @@ object ScaleBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val updates = pending.toIndexedSeq.map(r =>
       Triple(r.getString(0), r.getString(1), "STREAMED", r.getLong(3) + 1L))
-    // ~even 16-way range boundaries sampled from the store itself
+    // ~even 16-way range boundaries sampled from the store itself, sorted in
+    // CODE-POINT order (Spark's binary UTF-8 `>=`), not JVM UTF-16 order —
+    // the two diverge above the BMP and an out-of-order boundary list turns
+    // contiguous shard ranges into interleaved ones
+    val cpOrd = graft.plans.RangeBucket.codePointOrdering
     val sample = store.select("subject").sample(0.002).as[String]
-      .collect().sorted
+      .collect().sorted(cpOrd)
     val boundaries = (1 to 15)
       .map(i => sample((sample.length.toLong * i / 16).toInt)).distinct
     val partPath = sys.props("java.io.tmpdir") + "/graft_scalebench_part"
-    val shardOf = boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("subject") >= b, 1).otherwise(0)
-    }
+    val shardOf = graft.plans.RangeBucket.shardId(col("subject"), boundaries)
     new scala.reflect.io.Directory(new java.io.File(partPath)).deleteRecursively()
     val (_, tPartEtl) = timed {
       big.withColumn("shard", shardOf)
         .write.partitionBy("shard").mode("overwrite").parquet(partPath)
     }
     val touchedShards = updates.map(_.subject)
-      .map(s => boundaries.count(b => s >= b)).distinct.size
+      .map(s => boundaries.count(b => cpOrd.compare(b, s) <= 0)).distinct.size
     val ckptDir = sys.props("java.io.tmpdir") + "/graft_scalebench_ckpt"
     new scala.reflect.io.Directory(new java.io.File(ckptDir)).deleteRecursively()
     val srcPart = MemoryStream[Triple]

@@ -32,8 +32,8 @@ object LwwObjectToMaxBy extends Rule[LogicalPlan] {
 }
 
 /** Engine extensions, installed via `spark.sql.extensions=graft.plans.
-  * GraftExtensions`: the [[HammingDistance]] native function and the
-  * [[LwwObjectToMaxBy]] optimizer rule. */
+  * GraftExtensions`: the [[HammingDistance]] and [[RangeBucket]] native
+  * functions and the [[LwwObjectToMaxBy]] optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
       (children: Seq[Expression]) =>
         HammingDistance(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("range_bucket"),
+      new ExpressionInfo(classOf[RangeBucket].getName, "range_bucket"),
+      (children: Seq[Expression]) =>
+        RangeBucket(children(0), children(1))))
     ext.injectOptimizerRule(_ => LwwObjectToMaxBy)
   }
 }

@@ -42,15 +42,22 @@ case class HammingDistance(left: Expression, right: Expression)
     d
   }
 
+  // the loop variable MUST be ctx.freshName: a literal `i` collides with
+  // UnsafeProjection's `apply(InternalRow i)` parameter outside whole-stage
+  // codegen (janino "Redefinition of local variable i" → silent interpreter
+  // fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       s"""
-         |int ${ev.value}_n = Math.min($a.numBytes(), $b.numBytes());
+         |int $n = Math.min($a.numBytes(), $b.numBytes());
          |${ev.value} = Math.abs($a.numBytes() - $b.numBytes());
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  if ($a.getByte(i) != $b.getByte(i)) ${ev.value}++;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getByte($i) != $b.getByte($i)) ${ev.value}++;
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HammingDistance =

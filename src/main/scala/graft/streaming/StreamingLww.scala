@@ -107,11 +107,11 @@ object StreamingLww {
     * shard k holds subjects in [boundaries(k-1), boundaries(k)) — the Spark
     * twin of the reference's declared `SHARDING` dict (`MasterServer.py:59-63`),
     * used as a PARTITION column so shard membership is a directory, not a
-    * routing table. */
+    * routing table. Routed through the native [[graft.plans.RangeBucket]]
+    * binary search — O(log n) per row, so a 1,024-shard store costs ~10
+    * compares instead of a 1,024-branch codegen'd case tree. */
   private def shardCol(boundaries: Seq[String]): Column =
-    boundaries.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("subject") >= b, 1).otherwise(0)
-    }
+    graft.plans.RangeBucket.shardId(col("subject"), boundaries)
 
   /** The scale-safe streaming sink: the store is a shard-PARTITIONED parquet
     * layout (`storePath/shard=k/`), and each micro-batch LWW-merges into

@@ -42,6 +42,62 @@ class PlansSpec extends AnyFunSuite {
       s"UDAF not rewritten:\n$optimized")
   }
 
+  test("range_bucket is registered and handles boundaries/nulls") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT range_bucket('m', array('a', 'z')) AS a,
+        |       range_bucket('a', array('a', 'z')) AS b,
+        |       range_bucket('A', array('a', 'z')) AS c,
+        |       range_bucket('zz', array('a', 'z')) AS d,
+        |       range_bucket(CAST(NULL AS STRING), array('a')) AS e""".stripMargin)
+      .as[(Int, Int, Int, Int, Option[Int])].head()
+    // bucket = count of boundaries <= key; a boundary key starts ITS bucket
+    assert(r == ((1, 1, 0, 2, None)))
+  }
+
+  test("range_bucket routes 1,024 shards (where the fold-of-whens cannot)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 1,023-deep when-chain is not even CONSTRUCTIBLE here — converting
+    // that Column overflows the ColumnNode->Expression stack (verified) —
+    // so the oracle is the driver-side count of boundaries <= key
+    val boundaries = (1 until 1024).map(i => f"<k_$i%05d>")
+    val got = spark.range(5000)
+      .select(concat(lit("<k_"), lpad((col("id") * 7) % 70000, 5, "0"), lit(">"))
+        .as("subject"))
+      .withColumn("shard",
+        graft.plans.RangeBucket.shardId(col("subject"), boundaries))
+      .as[(String, Int)].collect()
+    got.foreach { case (k, s) =>
+      val want = boundaries.count(_ <= k)
+      assert(s == want, s"key $k: bucket $s != $want")
+    }
+    // every shard id in range, and both edges actually hit
+    val ids = got.map(_._2).distinct
+    assert(ids.forall(i => i >= 0 && i <= boundaries.size))
+    assert(ids.contains(0) && ids.contains(boundaries.size))
+  }
+
+  test("range_bucket agrees with Spark's binary order above the BMP") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // U+20A9 (₩) and U+1F600 (surrogate pair in UTF-16): JVM String.compareTo
+    // sorts "😀..." < "₩..." but Spark's binary UTF-8 >= sorts
+    // code-point-wise; shardId must route identically to Spark comparisons
+    val boundaries = Seq("<₩uNo>", "<😀z>", "<m>")
+    val keys = Seq("<a>", "<m>", "<n>", "<₩uNo>", "<₩zZ>",
+      "<😀a>", "<😀z>", "<😀zz>").toDF("subject")
+    val fold = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("subject") >= b, 1).otherwise(0)
+    }
+    val got = keys.select(col("subject"),
+      graft.plans.RangeBucket.shardId(col("subject"), boundaries).as("s"),
+      fold.as("f")).as[(String, Int, Int)].collect()
+    got.foreach { case (k, s, f) => assert(s == f, s"key $k: bucket $s != $f") }
+    // and the routing is non-trivial: all four buckets are hit
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+  }
+
   test("rewritten Q12 still equals the pure-LWW window semantics") {
     import spark.implicits._
     val got = SparkEntry.queries("q12_lww_udaf")(spark, sf)
