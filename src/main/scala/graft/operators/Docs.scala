@@ -145,11 +145,12 @@ object Docs {
     * bands, and candidate set. */
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // cached: the shingle subtree feeds signatures, sizes, and the
-    // intersection join (4 plan occurrences). Blocks live until the session
-    // ends or the catalog cache is cleared — fine for one-shot Verify/Bench
-    // JVMs; long-lived sessions should spark.catalog.clearCache() between
-    // dedup sweeps.
+    // intersection join (4 plan occurrences). Scoped to THIS call: the final
+    // (small) pair set is materialized eagerly below and the cache dropped
+    // before returning, so repeated dedup sweeps in a long-lived session
+    // don't accumulate storage-memory blocks.
     val sh = shingles(spark, dir).cache()
+    try {
     // 8 hash functions from 2 md5 calls: each md5's 32 hex chars split into
     // 4 independent 8-char chunks (each a uniform hash of the shingle) —
     // md5 is the dominant per-shingle cost at scale.
@@ -185,6 +186,10 @@ object Docs {
       .filter(col("jac") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+      // eager: the near-dup pair set is tiny relative to the corpus;
+      // materializing it here lets the finally drop the shingle cache
+      .localCheckpoint(true)
+    } finally { sh.unpersist(); () }
   }
 
   val q19Sql: String = {

@@ -274,6 +274,18 @@ object Vectors {
       .filter(col("rank") <= topk)
   }
 
+  /** Lazy candidate-pair self-join over a banded projection: strictly an
+    * equi-join on (band_idx, band_val) — exposed so plan tests can assert
+    * the cartesian-free shape before [[cosineNearDupPairs]] materializes
+    * it. */
+  private[graft] def candidatePairs(banded: DataFrame): DataFrame =
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+
   /** Embedding-cosine near-duplicate pairs: banded LSH + the over-full-
     * bucket guard, exact cosine only on candidates — the all-pairs
     * comparison never happens. Defaults are the SCALE config (2 bands × 16
@@ -288,16 +300,14 @@ object Vectors {
       maxBucketSize: Int = 1 << 20): DataFrame = {
     // cached: the refined banding feeds both sides of the candidate join —
     // without it the dominant cost (numBands × planesPerBand folds/vector)
-    // doubles. Same session-lifetime note as Docs.q19MinhashPairs.
+    // doubles. Scoped to this call: the candidate set (bounded by the bucket
+    // guard) is materialized eagerly, then the cache dropped.
     val banded = refineOverfullBuckets(
       bandedProjection(vectors, numBands, planesPerBand),
       maxBucketSize, numBands * planesPerBand).cache()
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
+    val cand =
+      try candidatePairs(banded).localCheckpoint(true)
+      finally { banded.unpersist(); () }
     val proj = vectors.select(col("vec_id"), col("embedding"),
       sqrt(dot("embedding", "embedding")).as("nrm"))
     cand
@@ -315,15 +325,20 @@ object Vectors {
     * (approximate results have no SQL-exact oracle by construction). */
   def lshTopk(spark: SparkSession, dir: String, k: Int,
       numPlanes: Int = NumPlanes): DataFrame = {
+    // cache feeds both sides of the bucket self-join; call-scoped — the
+    // n×k result is materialized eagerly, then the cache dropped
     val e = lshProjected(table(spark, dir, "embeddings"), numPlanes).cache()
-    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-      col("bucket").as("qb"), col("nrm").as("qn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    q.join(e, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+    try {
+      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("qb"), col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      q.join(e, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= k)
+        .localCheckpoint(true)
+    } finally { e.unpersist(); () }
   }
 }

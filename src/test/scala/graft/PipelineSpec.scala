@@ -88,6 +88,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= Docs.JaccardThreshold))
   }
 
+  test("dedup/ANN pipelines leave no cached plans behind (call-scoped caches)") {
+    // the internal .cache()s (shingles, refined banding, lsh projection)
+    // must be dropped before each pipeline returns — a long-lived session
+    // running repeated sweeps must not accumulate storage-memory blocks
+    val dim = Vectors.Dim
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val df = (1L to 10L).map(s => (s, vec(s.toInt))).toDF("vec_id", "embedding")
+    Docs.q19MinhashPairs(spark, sf).count()
+    Vectors.cosineNearDupPairs(df, threshold = 0.98).count()
+    Vectors.lshTopk(spark, sf, 3).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cacheManager should hold no entries after the pipelines return")
+  }
+
   test("embedding-cosine near-dup: finds the planted near-identical pair, " +
     "never the distant ones, without an all-pairs join") {
     // fixture: vectors 1 and 2 are near-identical; 3..20 are independent
@@ -247,10 +264,18 @@ class PipelineSpec extends AnyFunSuite {
   test("banded near-dup candidate generation is an equi-join, never a " +
     "cartesian/nested-loop product") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val plan = Vectors.cosineNearDupPairs(emb, 0.95)
+    // the candidate join itself (lazy — cosineNearDupPairs materializes it
+    // eagerly, which would hide its plan behind a LogicalRDD)
+    val candPlan = Vectors.candidatePairs(
+        Vectors.bandedProjection(emb, 2, 16))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Cartesian"), s"cartesian product in ANN path:\n$plan")
-    assert(!plan.contains("NestedLoop"), s"nested-loop join in ANN path:\n$plan")
+    // ...and the end-to-end scoring path
+    val fullPlan = Vectors.cosineNearDupPairs(emb, 0.95)
+      .queryExecution.executedPlan.toString
+    for (plan <- Seq(candPlan, fullPlan)) {
+      assert(!plan.contains("Cartesian"), s"cartesian product in ANN path:\n$plan")
+      assert(!plan.contains("NestedLoop"), s"nested-loop join in ANN path:\n$plan")
+    }
   }
 
   test("over-full-bucket guard terminates on an unsplittable cluster: " +
