@@ -217,6 +217,22 @@ object TripleStore {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** SQL-text surface (reference parity: ALL access to the reference store
+    * is external queries against named collections, `MasterServer.py:292-330`):
+    * register the canonical tables as temp views so q1/q2/q3 run as
+    * `spark.sql` text — `triples`, `updates`, `remote_changelog`, and
+    * `store_sharded` (the materialized range-sharded layout, point-lookup
+    * pruning included). Combined with the `lww_object` function injected by
+    * [[graft.plans.GraftExtensions]], a SQL-only client needs no Scala API
+    * at all. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    triples(spark, dir).createOrReplaceTempView("triples")
+    updates(spark, dir).createOrReplaceTempView("updates")
+    remoteChangelog(spark, dir).createOrReplaceTempView("remote_changelog")
+    spark.read.parquet(shardedPath(spark, dir))
+      .createOrReplaceTempView("store_sharded")
+  }
+
   /** O15 bulk TSV load (`MongoDBConnector.py:224-264`): one distributed scan
     * with an explicit schema — not 10.2M per-row upserts — parsing the
     * reference's `"%Y-%m-%d %H:%M:%S.%f"` timestamp strings

@@ -89,6 +89,23 @@ object Lww {
       .unionByName(old.withColumn("row_kind", lit("old_row")))
   }
 
+  /** [[merge]] as ANSI SQL text over two registered views (Spark dialect —
+    * the DuckDB oracle twin lives in SparkEntry.oracleSql): the pure-SQL
+    * route for a reference client that only speaks queries
+    * (`MasterServer.py:292-330`). Same comparator, struct-lexicographic
+    * `(ts_ms, prio, object)` with local prio 1. */
+  def mergeSql(localView: String, remoteView: String): String =
+    s"""SELECT subject, predicate, w.object AS object, w.ts_ms AS ts_ms
+       |FROM (
+       |  SELECT subject, predicate,
+       |         max_by(struct(object, ts_ms), struct(ts_ms, prio, object)) AS w
+       |  FROM (
+       |    SELECT subject, predicate, object, ts_ms, 1 AS prio FROM $localView
+       |    UNION ALL
+       |    SELECT subject, predicate, object, ts_ms, 0 AS prio FROM $remoteView
+       |  ) GROUP BY subject, predicate
+       |)""".stripMargin
+
   /** O5 shard-membership range predicate (`MongoDBConnector.py:105-114`):
     * `(s,p)` inside an inclusive string-range box. As a Column it pushes down
     * to parquet min/max skipping on a [[graft.TripleStore.writeSharded]]

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, MaxBy}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
@@ -46,6 +46,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RangeBucket].getName, "range_bucket"),
       (children: Seq[Expression]) =>
         RangeBucket(children(0), children(1))))
+    // `lww_object(object, ts_ms)` in SQL text: the reference's whole surface
+    // is queries-from-outside (MasterServer.py:292-330), so the LWW winner
+    // function must be reachable from spark.sql, not just the Column API.
+    // Registered DIRECTLY as the native max_by(obj, struct(ts, obj)) the
+    // optimizer rule below rewrites the typed UDAF into — SQL users get the
+    // codegen-friendly plan with no UDAF round-trip at all. (The analyzer
+    // wraps a bare AggregateFunction into an AggregateExpression.)
+    ext.injectFunction((
+      new FunctionIdentifier("lww_object"),
+      new ExpressionInfo(classOf[MaxBy].getName, "lww_object"),
+      (children: Seq[Expression]) => {
+        val obj = children.head
+        val ts = children(1)
+        MaxBy(obj, CreateStruct(Seq(ts, obj))): AggregateFunction
+      }))
     ext.injectOptimizerRule(_ => LwwObjectToMaxBy)
   }
 }
