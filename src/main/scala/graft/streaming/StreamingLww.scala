@@ -116,14 +116,22 @@ object StreamingLww {
   /** The scale-safe streaming sink: the store is a shard-PARTITIONED parquet
     * layout (`storePath/shard=k/`), and each micro-batch LWW-merges into
     * ONLY the shards its keys touch — read pruned to those partition
-    * directories, rewrite via dynamic partition overwrite of just those
-    * directories. Per-batch I/O is O(affected shards), not O(store): at
-    * 100 TB with a 5 s cadence (`MasterServer.py:233`) a batch touching one
-    * shard of a 1,024-shard store moves ~0.1% of the data instead of all of
-    * it (the bounded-merge shape proven in `ScaleBench`). Batch replay
-    * after a crash is idempotent because the merge is strict-`>` LWW
-    * (`MongoDBConnector.py:150-153`); a production deployment would layer a
-    * MERGE-capable table format for file-level atomicity, same structure. */
+    * directories, merged output staged to a sibling `.next` directory, then
+    * swapped in per touched shard (live → `.old`, staged → live) with a
+    * restore-stranded-shards preamble, mirroring [[mergeIntoStore]]'s
+    * write-new-then-move protocol. A crash in ANY window leaves each shard
+    * wholly old or wholly new — never deleted — and the checkpointed batch
+    * replays against either state idempotently because the merge is
+    * strict-`>` LWW (`MongoDBConnector.py:150-153`). (Dynamic partition
+    * overwrite of the live path would instead delete-then-rename in place:
+    * a crash between the two permanently loses the shard.)
+    *
+    * Per-batch I/O is O(affected shards), not O(store): at 100 TB with a
+    * 5 s cadence (`MasterServer.py:233`) a batch touching one shard of a
+    * 1,024-shard store moves ~0.1% of the data instead of all of it (the
+    * bounded-merge shape proven in `ScaleBench`). A production deployment
+    * would layer a MERGE-capable table format for file-level atomicity,
+    * same structure. */
   def mergeIntoStorePartitioned(updates: Dataset[Triple], storePath: String,
       checkpointPath: String, boundaries: Seq[String],
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -134,22 +142,49 @@ object StreamingLww {
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: Dataset[Triple], _: Long) =>
+        val storeDir = Paths.get(storePath)
+        val oldDir = Paths.get(storePath + ".old")
+        val nextDir = Paths.get(storePath + ".next")
+        // recovery: a prior batch may have died mid-swap — any shard
+        // stranded at .old with no live directory is restored; then stale
+        // staging/backup state is cleared so this batch swaps cleanly
+        if (Files.exists(oldDir)) {
+          oldDir.toFile.listFiles().filter(_.isDirectory).foreach { d =>
+            val live = storeDir.resolve(d.getName)
+            if (!Files.exists(live)) { Files.move(d.toPath, live); () }
+          }
+        }
+        deleteRecursively(oldDir.toFile)
+        deleteRecursively(nextDir.toFile)
         val b = batch.toDF().withColumn("shard", shardCol(boundaries))
           .localCheckpoint(true)
         // bounded driver-side collect: at most |boundaries|+1 shard ids
         val touched = b.select("shard").distinct().as[Int].collect().toSeq
         if (touched.nonEmpty) {
           val base =
-            if (Files.exists(Paths.get(storePath)))
+            if (Files.exists(storeDir))
               spark.read.parquet(storePath)
                 .filter(col("shard").isin(touched: _*))
             else b.limit(0)
           Lww.merge(base, b)
             .withColumn("shard", shardCol(boundaries))
             .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("shard")
-            .parquet(storePath)
+            .parquet(nextDir.toString)
+          // per-shard swap; each move is an atomic same-filesystem rename
+          Files.createDirectories(oldDir)
+          Files.createDirectories(storeDir)
+          touched.foreach { k =>
+            val staged = nextDir.resolve(s"shard=$k")
+            val live = storeDir.resolve(s"shard=$k")
+            if (Files.exists(staged)) {
+              if (Files.exists(live))
+                Files.move(live, oldDir.resolve(s"shard=$k"))
+              Files.move(staged, live); ()
+            }
+          }
+          deleteRecursively(oldDir.toFile)
+          deleteRecursively(nextDir.toFile)
         }
         ()
       }

@@ -155,6 +155,85 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(store.contains(Triple("<c>", "<q>", "y", 80L))) // LWW within shard
   }
 
+  test("partitioned sink crash recovery: a shard stranded at '.old' " +
+    "mid-swap is restored before the next batch merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_crash")
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val boundaries = Seq("<b>", "<c>")
+    val source = MemoryStream[Triple]
+    source.addData(
+      Triple("<a>", "<p>", "v1", 100L), // shard 0
+      Triple("<c>", "<q>", "x", 50L))   // shard 2
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt, boundaries).awaitTermination()
+    // simulate dying between the per-shard moves: shard 2's live directory
+    // gone, its prior state stranded under the sibling .old directory
+    val old = java.nio.file.Paths.get(storePath + ".old")
+    java.nio.file.Files.createDirectories(old)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(storePath, "shard=2"), old.resolve("shard=2"))
+    // next batch touches only shard 0 — shard 2 must be restored anyway
+    source.addData(Triple("<a>", "<p>", "v2", 300L))
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt, boundaries).awaitTermination()
+    val store = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    assert(store == Set(
+      Triple("<a>", "<p>", "v2", 300L),
+      Triple("<c>", "<q>", "x", 50L)),
+      "stranded shard 2 was not restored by the recovery preamble")
+    assert(!java.nio.file.Files.exists(old), ".old not cleaned up")
+  }
+
+  test("checkpoint loss: the full history replays against the " +
+    "already-merged partitioned store idempotently, and the restarted " +
+    "stream continues to batch-LWW convergence") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_replay")
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt")
+    val boundaries = Seq("<b>", "<c>")
+    val source = MemoryStream[Triple]
+    source.addData(batch1: _*)
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt.toString, boundaries).awaitTermination()
+    source.addData(batch2: _*)
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt.toString, boundaries).awaitTermination()
+    val after2 = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    // simulate a crash that loses the ENTIRE checkpoint after the store
+    // swaps were applied (the worst write-ahead gap): a brand-new query
+    // with a FRESH checkpoint replays the source's whole retained history
+    // against the already-merged store — strict-`>` LWW must make every
+    // replayed row a no-op
+    val ckptB = dir.resolve("ckpt_replay")
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckptB.toString, boundaries).awaitTermination()
+    val afterReplay = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    assert(afterReplay == after2,
+      "replaying already-applied batches changed the store (not idempotent)")
+    // and the restarted lineage keeps converging: one more update
+    source.addData(Triple("<c>", "<q>", "newest", 500L))
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckptB.toString, boundaries).awaitTermination()
+    val store = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    val batch = Lww.upsert(
+        Seq.empty[Triple].toDF("subject", "predicate", "object", "ts_ms"),
+        (batch1 ++ batch2 :+ Triple("<c>", "<q>", "newest", 500L))
+          .toDF("subject", "predicate", "object", "ts_ms"))
+      .as[Triple].collect().toSet
+    assert(store == batch)
+  }
+
   test("winnersWithTtl: state evicts after ttl, stale late arrivals are " +
     "dropped, and an admissible arrival re-hydrates — consistent with " +
     "batch LWW on admitted rows") {
