@@ -54,11 +54,13 @@ object Graph {
     * (one join against the static out-degree table), then one groupBy-sum
     * per destination plus the damping update. Dangling mass (nodes with no
     * out-edges) is redistributed uniformly so ranks stay a probability
-    * distribution — summing it is a scalar aggregate on the already-small
-    * rank table. `localCheckpoint` truncates lineage per iteration (on a
-    * cluster: `checkpoint` to a checkpoint dir). At 100 TB the per-iteration
-    * shuffle is on dst — the same key every round, so a pre-partitioned
-    * edge table keeps the big side exchange-free. */
+    * distribution — computed as a 1-row anti-join aggregate broadcast into
+    * the update plan, NOT a driver-side collect, so the whole iteration is
+    * ONE Spark job (the `localCheckpoint` materialization; asserted via a
+    * job-count listener in GraphSpec). `localCheckpoint` truncates lineage
+    * per iteration (on a cluster: `checkpoint` to a checkpoint dir). At
+    * 100 TB the per-iteration shuffle is on dst — the same key every round,
+    * so a pre-partitioned edge table keeps the big side exchange-free. */
   def pageRank(edgeDf: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val edges = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
@@ -70,21 +72,22 @@ object Graph {
       .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / nNodes)).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outDeg, Seq("node"), "left_outer")
-      // mass parked on dangling nodes (null out_deg) is spread uniformly
-      val dangling = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // mass parked on dangling nodes (not in outDeg), as a broadcast
+      // 1-row scalar — stays inside the iteration's single job
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
       val contribs = edges
-        .join(withDeg.filter(col("out_deg").isNotNull),
-          edges("src") === withDeg("node"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           (col("rank") / col("out_deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1 - damping) / nNodes) +
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              lit(dangling / nNodes))).as("rank"))
+              col("dangling_mass") / lit(nNodes))).as("rank"))
         .localCheckpoint(true)
     }
     ranks
@@ -97,11 +100,89 @@ object Graph {
     * Scale notes: every iteration is one shuffle (groupBy node) after a
     * union of both edge directions; `localCheckpoint` truncates the lineage
     * so the plan doesn't grow with iterations (on a cluster, prefer
-    * `sparkContext.setCheckpointDir` + `checkpoint(eager=true)`, or the
-    * alternating small-star/large-star formulation that bounds per-key fan-in
-    * on power-law graphs). Iterations are bounded by the graph diameter —
-    * for this store's order→cust→nation→region chains, ≤ 4.
+    * `sparkContext.setCheckpointDir` + `checkpoint(eager=true)`). Iterations
+    * are bounded by the graph diameter — for this store's
+    * order→cust→nation→region chains, ≤ 4. For power-law graphs whose hubs
+    * would funnel huge fan-in through single reducer keys every round, use
+    * [[ccStar]] (equivalent labels, GraphSpec-asserted).
     */
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the power-law-safe alternative named in
+    * [[connectedComponents]]'s scale notes.
+    *
+    * Why it matters at 100 TB: min-label propagation funnels EVERY
+    * neighbor's label through a single `groupBy(node)` key per round, so a
+    * hub with 10^8 neighbors makes one reducer key carry 10^8 rows each
+    * iteration. The star rounds instead rewrite the EDGE SET toward stars:
+    *   - large-star: each node links its strictly-larger neighbors to
+    *     `m = min(N(u) ∪ {u})`;
+    *   - small-star: each node links its smaller-or-equal neighbors (and
+    *     itself) to that minimum.
+    * Each round is the same one-shuffle groupBy shape, but edges pointing
+    * INTO a hub migrate to the hub's component minimum after one round —
+    * per-key fan-in shrinks geometrically instead of persisting for the
+    * graph's full diameter, and total work is O(|E| · log diameter) with
+    * high probability. Node ids are compared in Spark's string order; any
+    * total order works.
+    *
+    * Converges when the edge set reaches a fixed point (all stars): every
+    * remaining edge is `(node, component_min)`. Output schema matches
+    * [[connectedComponents]]: `(node, label)` including isolated
+    * self-loop-only nodes. */
+  def ccStar(edgeDf: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Row
+    val nodes = edgeDf.select(col("src").as("node"))
+      .union(edgeDf.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("hi"), col("lo")).as("hi"),
+        least(col("hi"), col("lo")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+    var e = canon(edgeDf.select(col("src").as("hi"), col("dst").as("lo")))
+      .localCheckpoint(true)
+    // order/content fingerprint of the materialized edge set — one cheap
+    // scan of the checkpoint, used for the fixed-point check
+    def fp(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (sum would trip ANSI)
+      val Row(n: Long, h: Long) = df
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)))
+        .head()
+      (n, h)
+    }
+    var prev = fp(e)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      // large-star over BOTH directions
+      val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = canon(nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")))
+      // small-star over the big->small pointer set
+      val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = canon(large.join(smins, Seq("hi"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(smins.select(col("hi"), col("m").as("lo"))))
+        .localCheckpoint(true)
+      val cur = fp(small)
+      stable = cur == prev
+      prev = cur
+      e = small
+      iter += 1
+    }
+    // fixed point = stars: each non-root appears as `hi` pointing at its
+    // component min; roots and isolated nodes label themselves
+    nodes.join(e.select(col("hi").as("node"), col("lo").as("label")),
+        Seq("node"), "left_outer")
+      .groupBy("node")
+      .agg(min(coalesce(col("label"), col("node"))).as("label"))
+  }
+
   def connectedComponents(edgeDf: DataFrame, maxIter: Int = 10): DataFrame = {
     val und = edgeDf.select(col("src"), col("dst"))
       .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))

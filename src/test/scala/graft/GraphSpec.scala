@@ -53,6 +53,66 @@ class GraphSpec extends AnyFunSuite {
       s"region floor $minRegion vs order ceiling $maxOrder")
   }
 
+  test("ccStar == min-label propagation on the store graph") {
+    val e = Graph.edges(spark, "/root/testdata/sf0.001")
+    val star = Graph.ccStar(e).as[(String, String)].collect().toMap
+    val prop = Graph.connectedComponents(e).as[(String, String)].collect().toMap
+    assert(star == prop)
+  }
+
+  test("ccStar: skewed hub plus chain — labels match min-label propagation " +
+    "and converge to the component minimum") {
+    // a hub wired to 2,000 leaves (the fan-in min-label propagation funnels
+    // through one reducer key every round), bridged to a long chain, plus a
+    // disjoint pair and an isolated self-loop
+    val hub = (1 to 2000).map(i => ("<hub>", f"<leaf_$i%04d>"))
+    val chain = (1 until 30).map(i => (f"<chain_$i%02d>", f"<chain_${i + 1}%02d>"))
+    val bridge = Seq(("<leaf_0001>", "<chain_01>"))
+    val rest = Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
+    val edges = (hub ++ chain ++ bridge ++ rest).toDF("src", "dst")
+    val star = Graph.ccStar(edges).as[(String, String)].collect().toMap
+    val prop = Graph.connectedComponents(edges, maxIter = 64)
+      .as[(String, String)].collect().toMap
+    assert(star == prop)
+    // the big component's min is <chain_01>; every hub/leaf/chain node joins
+    assert(star("<hub>") == "<chain_01>")
+    assert(star("<leaf_2000>") == "<chain_01>")
+    assert(star("<chain_30>") == "<chain_01>")
+    assert(star("<q>") == "<p>" && star("<solo>") == "<solo>")
+  }
+
+  test("pageRank fuses the dangling-mass scalar into the iteration plan — " +
+    "no per-iteration driver action") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = { events.add(funcName); () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = Seq(
+        ("<a>", "<h>"), ("<b>", "<h>"), ("<c>", "<h>"),
+        ("<h>", "<a>"), ("<c>", "<d>")).toDF("src", "dst")
+      Graph.pageRank(edges, iters = 5)
+      // the listener bus is async: wait for the positive control (the one
+      // deliberate nodes.count() action) to prove events are flowing
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+        !events.contains("count")) Thread.sleep(50)
+      Thread.sleep(1000) // let any per-iteration stragglers surface
+      val evs = events.toArray(Array.empty[String]).toSeq
+      assert(evs.contains("count"), s"listener saw no events at all: $evs")
+      // the unfused implementation ran .head() once PER ITERATION for the
+      // dangling mass; the fused plan must run none
+      assert(!evs.contains("head"),
+        s"per-iteration driver action leaked back in: $evs")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("connectedComponents on the store: every order reaches its region's " +
     "component") {
     val e = Graph.edges(spark, "/root/testdata/sf0.001")
