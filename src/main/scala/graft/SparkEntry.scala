@@ -92,6 +92,22 @@ object SparkEntry {
         .orderBy("predicate", "object")),
     "q29_sample_split" -> (Docs.q29SampleSplit(_, _)),
     "q30_curation"     -> (Docs.q30Curation(_, _)),
+    // The co-located (bucketed, zero-shuffle) anti-entropy merge: same
+    // values as q3, different physical plan — full-outer SMJ over two
+    // co-bucketed catalog tables with no Exchange (TripleStoreSpec asserts
+    // the plan; this entry lets the driver check the values).
+    "q31_bucketed_merge" -> ((s, dir) => {
+      val (local, remote) = TripleStore.bucketedMergeTables(s, dir)
+      Lww.mergeCoLocated(s.table(local), s.table(remote))
+        .orderBy("subject", "predicate")
+    }),
+    // The pure-SQL surface end-to-end: temp views + SQL text only (the
+    // reference's queries-from-outside access model, MasterServer.py:292-330).
+    "q32_sql_merge" -> ((s, dir) => {
+      TripleStore.registerViews(s, dir)
+      s.sql(Lww.mergeSql("triples", "remote_changelog") +
+        "\nORDER BY subject, predicate")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -172,5 +188,23 @@ object SparkEntry {
          |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
     "q29_sample_split" -> Docs.q29Sql,
     "q30_curation"     -> Docs.q30Sql,
+    // q31/q32 compute the SAME relation as q3 through different physical
+    // paths (co-located join / SQL text), so they share its oracle
+    "q31_bucketed_merge" ->
+      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
+         |SELECT subject, predicate, object, ts_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
+         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
+         |  FROM (SELECT t.*, 1 AS prio FROM triples t
+         |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
+         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q32_sql_merge" ->
+      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
+         |SELECT subject, predicate, object, ts_ms FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
+         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
+         |  FROM (SELECT t.*, 1 AS prio FROM triples t
+         |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
+         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
   )
 }

@@ -217,6 +217,31 @@ object TripleStore {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Once-per-session materialization of the (store, remote changelog) pair
+    * as co-bucketed catalog tables — the layout under which every
+    * anti-entropy round is Exchange-free
+    * ([[graft.operators.Lww.mergeCoLocated]]). Returns the table names. */
+  def bucketedMergeTables(spark: SparkSession, dir: String,
+      numBuckets: Int = 4): (String, String) =
+    materialized.computeIfAbsent((dir + "!bucketed", numBuckets), { _ =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$numBuckets"
+      val local = s"graft_store_bkt$tag"
+      val remote = s"graft_remote_bkt$tag"
+      // a previous crashed run may have left managed locations behind
+      // without catalog entries; saveAsTable refuses to reuse them
+      Seq(local, remote).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (loc.exists()) {
+          loc.listFiles().foreach(_.delete()); loc.delete()
+        }
+      }
+      writeBucketed(triples(spark, dir), local, numBuckets)
+      writeBucketed(remoteChangelog(spark, dir), remote, numBuckets)
+      local + "," + remote
+    }).split(",") match { case Array(a, b) => (a, b) }
+
   /** SQL-text surface (reference parity: ALL access to the reference store
     * is external queries against named collections, `MasterServer.py:292-330`):
     * register the canonical tables as temp views so q1/q2/q3 run as

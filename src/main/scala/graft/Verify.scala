@@ -15,6 +15,10 @@ object Verify {
       // eventTsMs LongType branch) instead of aborting the read.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // q31's bucketed tables are catalog tables; keep their managed
+      // locations out of the repo working tree
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -89,6 +89,31 @@ object Lww {
       .unionByName(old.withColumn("row_kind", lit("old_row")))
   }
 
+  /** [[merge]] specialized to COMPACTED inputs (at most one row per logical
+    * key — the invariant of a materialized store and of any changelog that
+    * went through [[changelogUnion]]): a full-outer join on the key instead
+    * of union+aggregate. Same comparator — remote wins strict `>`, ties
+    * keep local.
+    *
+    * The point at 100 TB: over two co-bucketed tables
+    * ([[graft.TripleStore.writeBucketed]] on (subject, predicate), same
+    * bucket count) this plans as a sort-merge join with ZERO Exchange —
+    * every anti-entropy round reads both sides in place and shuffles
+    * nothing, vs. one full shuffle per round for the aggregate form
+    * (TripleStoreSpec asserts the Exchange-free plan; gate query
+    * q31_bucketed_merge checks the values against the DuckDB oracle). */
+  def mergeCoLocated(local: DataFrame, remote: DataFrame): DataFrame = {
+    def pick(c: String) =
+      when(col("l.ts_ms").isNull, col(s"r.$c"))
+        .when(col("r.ts_ms").isNull, col(s"l.$c"))
+        .when(col("r.ts_ms") > col("l.ts_ms"), col(s"r.$c"))
+        .otherwise(col(s"l.$c"))
+    local.as("l").join(remote.as("r"),
+        Seq("subject", "predicate"), "full_outer")
+      .select(col("subject"), col("predicate"),
+        pick("object").as("object"), pick("ts_ms").as("ts_ms"))
+  }
+
   /** [[merge]] as ANSI SQL text over two registered views (Spark dialect —
     * the DuckDB oracle twin lives in SparkEntry.oracleSql): the pure-SQL
     * route for a reference client that only speaks queries

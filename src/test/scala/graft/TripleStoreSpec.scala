@@ -101,6 +101,17 @@ class TripleStoreSpec extends AnyFunSuite {
       // and an aggregation on the bucket key also avoids the shuffle
       val agg = spark.table("t_local").groupBy("subject", "predicate").count()
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      // the full co-located anti-entropy merge (q31's operator): full-outer
+      // SMJ, still Exchange-free, values identical to the aggregate kernel
+      val co = Lww.mergeCoLocated(
+        spark.table("t_local"), spark.table("t_remote"))
+      val coPlan = co.queryExecution.executedPlan.toString
+      assert(coPlan.contains("SortMergeJoin"), s"not a merge join:\n$coPlan")
+      assert(!coPlan.contains("Exchange"), s"unexpected shuffle:\n$coPlan")
+      val got = co.as[Triple].collect().toSet
+      val want = Lww.merge(TripleStore.triples(spark, sf),
+        TripleStore.remoteChangelog(spark, sf)).as[Triple].collect().toSet
+      assert(got == want)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
