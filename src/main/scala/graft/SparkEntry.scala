@@ -108,6 +108,11 @@ object SparkEntry {
       s.sql(Lww.mergeSql("triples", "remote_changelog") +
         "\nORDER BY subject, predicate")
     }),
+    // Connected components over the entity graph via the power-law-safe
+    // star algorithm; the oracle derives the same labels non-iteratively
+    // from the graph's known region-rooted shape (Graph.q33Sql).
+    "q33_connected_components" -> ((s, dir) =>
+      Graph.ccStar(Graph.edges(s, dir)).orderBy("node")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -206,5 +211,6 @@ object SparkEntry {
          |  FROM (SELECT t.*, 1 AS prio FROM triples t
          |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
          |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q33_connected_components" -> Graph.q33Sql,
   )
 }

@@ -106,6 +106,36 @@ object Graph {
     * would funnel huge fan-in through single reducer keys every round, use
     * [[ccStar]] (equivalent labels, GraphSpec-asserted).
     */
+  /** DuckDB oracle for q33: connected components WITHOUT iteration. The
+    * derived entity graph is a forest of region-rooted DAGs
+    * (order→cust→nation→region, diameter ≤ 3), so each node's component is
+    * identified by the region it reaches within 3 hops, and its label is
+    * the component's minimum node id. This is deliberately a DIFFERENT
+    * algorithm than [[ccStar]]/[[connectedComponents]] — an independent
+    * derivation the driver can run in plain SQL. */
+  val q33Sql: String =
+    s"""WITH ${TripleStore.TriplesCte},
+       |e AS (SELECT subject AS src, object AS dst FROM triples
+       |      WHERE object LIKE '<%'),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |reach AS (
+       |  SELECT node, node AS r FROM nodes
+       |  UNION
+       |  SELECT src AS node, dst AS r FROM e
+       |  UNION
+       |  SELECT a.src AS node, b.dst AS r FROM e a JOIN e b ON a.dst = b.src
+       |  UNION
+       |  SELECT a.src AS node, c.dst AS r FROM e a
+       |  JOIN e b ON a.dst = b.src JOIN e c ON b.dst = c.src
+       |),
+       |comp AS (
+       |  SELECT node, min(r) FILTER (WHERE r LIKE '<region_%') AS region
+       |  FROM reach GROUP BY node),
+       |lab AS (SELECT region, min(node) AS label FROM comp GROUP BY region)
+       |SELECT c.node AS node, l.label AS label
+       |FROM comp c JOIN lab l ON c.region = l.region
+       |ORDER BY node""".stripMargin
+
   /** Connected components via alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the power-law-safe alternative named in

@@ -35,6 +35,25 @@ object StreamingLww {
       f.delete(); ()
     }
 
+  /** File-shaped streaming source over the reference's JSONL wire format
+    * (its master relays rows as JSON over HTTP, `MasterServer.py:327`;
+    * [[graft.TripleStore.writeJsonl]] is the batch twin): files dropped
+    * into `path` become micro-batches, so any process that can write a
+    * file can feed the engine — no broker required. Explicit schema (a
+    * streaming read must never sample 100 TB to infer four columns);
+    * `maxFilesPerTrigger` bounds a micro-batch when a backlog accumulates,
+    * keeping per-batch sink I/O predictable. Compose with [[winners]] /
+    * [[winnersWithTtl]] / [[mergeIntoStorePartitioned]]. */
+  def jsonlSource(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): Dataset[Triple] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("subject STRING, predicate STRING, object STRING, ts_ms BIGINT")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+      .as[Triple]
+  }
+
   /** Emit the current winner of every key touched in each micro-batch
     * (update output mode). */
   def winners(updates: Dataset[Triple]): Dataset[Triple] = {

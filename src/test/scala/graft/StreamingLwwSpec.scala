@@ -234,6 +234,40 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(store == batch)
   }
 
+  test("jsonl file source: files dropped into a directory stream through " +
+    "the partitioned merge sink to batch-LWW convergence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_file_src")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val boundaries = Seq("<b>", "<c>")
+    def drop(name: String, rows: Seq[Triple]): Unit = {
+      val body = rows.map(t =>
+        s"""{"subject":"${t.subject}","predicate":"${t.predicate}",""" +
+        s""""object":"${t.`object`}","ts_ms":${t.ts_ms}}""").mkString("\n")
+      // write-then-move so the source never lists a half-written file
+      val tmp = dir.resolve(name)
+      java.nio.file.Files.writeString(tmp, body)
+      java.nio.file.Files.move(tmp, in.resolve(name)); ()
+    }
+    drop("b1.json", batch1)
+    StreamingLww.mergeIntoStorePartitioned(
+      StreamingLww.jsonlSource(spark, in.toString), storePath, ckpt,
+      boundaries).awaitTermination()
+    drop("b2.json", batch2)
+    StreamingLww.mergeIntoStorePartitioned(
+      StreamingLww.jsonlSource(spark, in.toString), storePath, ckpt,
+      boundaries).awaitTermination()
+    val store = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    val batch = Lww.upsert(
+        Seq.empty[Triple].toDF("subject", "predicate", "object", "ts_ms"),
+        (batch1 ++ batch2).toDF("subject", "predicate", "object", "ts_ms"))
+      .as[Triple].collect().toSet
+    assert(store == batch)
+  }
+
   test("winnersWithTtl: state evicts after ttl, stale late arrivals are " +
     "dropped, and an admissible arrival re-hydrates — consistent with " +
     "batch LWW on admitted rows") {
