@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 import graft.functions.{LwwObject, Multimodal}
-import graft.operators.{Docs, Graph, Lww, Relational, Vectors}
+import graft.operators.{Docs, Graph, Lww, Relational, Skew, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,7 +113,25 @@ object SparkEntry {
     // from the graph's known region-rooted shape (Graph.q33Sql).
     "q33_connected_components" -> ((s, dir) =>
       Graph.ccStar(Graph.edges(s, dir)).orderBy("node")),
+    // The native binary-search shard router (the O(log n) replacement for a
+    // per-row case tree; also exercised at 1,024 boundaries in PlansSpec).
+    "q34_range_bucket" -> ((s, dir) =>
+      TripleStore.updates(s, dir)
+        .select(col("subject"), col("predicate"),
+          graft.plans.RangeBucket.shardId(col("subject"),
+            RouteBoundaries).as("shard"))
+        .orderBy("subject", "predicate")),
+    // Two-phase salted aggregation on the hot-key predicate domain —
+    // semantics-preserving, so the plain GROUP BY is its exact oracle.
+    "q35_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(TripleStore.triples(s, dir), "predicate", 8,
+          c => count(c), lit(1), c => sum(c))
+        .select(col("predicate"), col("agg").cast("bigint").as("n_rows"))
+        .orderBy("predicate")),
   )
+
+  /** q34's boundary list: eight cut points inside the order range. */
+  private val RouteBoundaries: Seq[String] = (1 to 8).map(i => s"<order_$i")
 
   def oracleSql: Map[String, String] = Map(
     "q1_subject_scan" ->
@@ -212,5 +230,16 @@ object SparkEntry {
          |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
          |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
     "q33_connected_components" -> Graph.q33Sql,
+    "q34_range_bucket" ->
+      s"""WITH ${TripleStore.UpdatesCte}
+         |SELECT subject, predicate,
+         |       CAST(${(1 to 8).map(i =>
+                  s"CAST(subject >= '<order_$i' AS INT)").mkString(" + ")}
+         |         AS INT) AS shard
+         |FROM updates ORDER BY subject, predicate""".stripMargin,
+    "q35_salted_agg" ->
+      s"""WITH ${TripleStore.TriplesCte}
+         |SELECT predicate, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM triples GROUP BY predicate ORDER BY predicate""".stripMargin,
   )
 }
