@@ -30,6 +30,8 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -147,6 +149,36 @@ object ScaleBench {
         .awaitTermination()
     }
 
+    // Whole-replica anti-entropy at scale (the reference's merge_2_servers
+    // over FULL stores, MasterServer.py:384-432): replica B = the store with
+    // the 1,000 pending updates applied. Two physical plans for the same
+    // merge:
+    //   (a) aggregate kernel — union + max_by, one full shuffle of 21M rows;
+    //   (b) co-located — both replicas bucketed on the logical key, merge is
+    //       a full-outer SMJ with ZERO Exchange (the shuffle happened once
+    //       at write time and is amortized over every subsequent round).
+    // fresh read: the monolithic sink above swapped the store directory, so
+    // the original `store` plan's file listing is stale
+    val storeNow = spark.read.parquet(path)
+    val replicaB = Lww.upsert(storeNow, changelog)
+    val (_, tAggMerge) = timed {
+      Lww.merge(storeNow, replicaB).count()
+    }
+    Seq("sb_replica_a", "sb_replica_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    }
+    val (_, tBucketEtl) = timed {
+      TripleStore.writeBucketed(storeNow, "sb_replica_a", 32)
+      TripleStore.writeBucketed(replicaB, "sb_replica_b", 32)
+    }
+    val (cCo, tCoMerge) = timed {
+      Lww.mergeCoLocated(
+        spark.table("sb_replica_a"), spark.table("sb_replica_b")).count()
+    }
+
     println(
       s"""{"metric":"scalebench","rows":$total,"unit":"sec","etl_write":$tEtl,""" +
       s""""point_search":$tSearch,"point_upsert":$tUpsert,"merge_1k_pending":$tMerge,""" +
@@ -155,6 +187,8 @@ object ScaleBench {
       s""""stream_part_etl":$tPartEtl,"stream_part_batch":$tPartBatch,""" +
       s""""stream_full_batch":$tFullBatch,"stream_touched_shards":$touchedShards,""" +
       s""""stream_total_shards":${boundaries.size + 1},""" +
+      s""""replica_merge_agg":$tAggMerge,"replica_merge_colocated":$tCoMerge,""" +
+      s""""bucket_etl":$tBucketEtl,"colocated_rows":$cCo,""" +
       s""""baseline":{"search":0.9002,"upsert":2.4244,"merge":2.2729}}""")
     spark.stop()
   }
