@@ -297,6 +297,10 @@ object Docs {
     val w = simBits / numBands
     val stackArgs = (0 until numBands)
       .map(b => s"'$b', substring(simhash, ${b * w + 1}, $w)").mkString(", ")
+    // NOTE: the fingerprint subtree feeds both sides of the self-join, but
+    // its expensive part (token explode + md5) sits below the doc_id
+    // shuffle, which ReuseExchange dedupes — measured, an explicit
+    // materialization barrier here is slightly SLOWER, not faster
     val bands = simhashBits(spark, dir, simBits).select(
       col("doc_id"), col("simhash"),
       expr(s"stack($numBands, $stackArgs) AS (band_idx, band_val)"))

@@ -185,19 +185,26 @@ object Graph {
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter) {
-      // large-star over BOTH directions
+      // large-star over BOTH directions. Its output needs NO
+      // re-canonicalization: v > u >= m guarantees hi > lo, and duplicate
+      // pairs are tolerated by the small-star min-aggregate below — the
+      // one distinct per round happens after small-star, so each round
+      // pays two aggregates + one join + one distinct, not four shuffles.
       val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
         .union(e.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = canon(nbrs.join(mins, Seq("u"))
+      val large = nbrs.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("m").as("lo")))
-      // small-star over the big->small pointer set
+        .select(col("v").as("hi"), col("m").as("lo"))
+      // small-star over the big->small pointer set (hi > lo by
+      // construction); branch 1 can emit (m, m) for the min itself — the
+      // hi =!= lo filter drops it
       val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val small = canon(large.join(smins, Seq("hi"))
+      val small = large.join(smins, Seq("hi"))
           .select(col("lo").as("hi"), col("m").as("lo"))
-        .union(smins.select(col("hi"), col("m").as("lo"))))
+        .union(smins.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(true)
       val cur = fp(small)
       stable = cur == prev
