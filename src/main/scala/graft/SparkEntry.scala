@@ -128,6 +128,9 @@ object SparkEntry {
           c => count(c), lit(1), c => sum(c))
         .select(col("predicate"), col("agg").cast("bigint").as("n_rows"))
         .orderBy("predicate")),
+    // Multi-level aggregation (rollup) — grouping-set expansion inside one
+    // aggregate, one shuffle for detail + subtotals + grand total.
+    "q36_rollup" -> (Relational.q36Rollup(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -241,5 +244,6 @@ object SparkEntry {
       s"""WITH ${TripleStore.TriplesCte}
          |SELECT predicate, CAST(count(*) AS BIGINT) AS n_rows
          |FROM triples GROUP BY predicate ORDER BY predicate""".stripMargin,
+    "q36_rollup" -> Relational.q36Sql,
   )
 }

@@ -291,6 +291,30 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- Q36: rollup (multi-level aggregation) over the triple table ----------
+
+  /** `ROLLUP(predicate, entity-type)`: per-(predicate, etype) counts plus
+    * per-predicate subtotals plus the grand total in ONE pass — Catalyst
+    * expands the grouping sets inside a single aggregate (one shuffle), vs
+    * three separate scans+aggregations by hand. `etype` is the entity-class
+    * initial of the subject (`c`ust / `n`ation / `o`rder). Total order with
+    * explicit NULLS FIRST so both engines agree on subtotal-row placement. */
+  def q36Rollup(spark: SparkSession, dir: String): DataFrame =
+    graft.TripleStore.triples(spark, dir)
+      .withColumn("etype", substring(col("subject"), 2, 1))
+      .rollup("predicate", "etype")
+      .agg(count(lit(1)).as("n_rows"), sum(col("ts_ms")).as("sum_ts"))
+      .orderBy(col("predicate").asc_nulls_first, col("etype").asc_nulls_first)
+
+  val q36Sql: String =
+    s"""WITH ${graft.TripleStore.TriplesCte}
+       |SELECT predicate, substr(subject, 2, 1) AS etype,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(ts_ms) AS BIGINT) AS sum_ts
+       |FROM triples
+       |GROUP BY ROLLUP(predicate, etype)
+       |ORDER BY predicate NULLS FIRST, etype NULLS FIRST""".stripMargin
+
   // --- Q11 (batch twin): tumbling 1-minute windows over events --------------
 
   def q11Tumbling(spark: SparkSession, dir: String): DataFrame = {
