@@ -88,6 +88,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= Docs.JaccardThreshold))
   }
 
+  test("text pipeline prunes the documents scan to the columns it reads") {
+    // documents carries (doc_id, text, lang, source, n_chars); the stats
+    // query needs two of them — at 100 TB reading the rest is pure waste,
+    // so the parquet scan's ReadSchema must show the pruned projection
+    val plan = Docs.q16TextStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to (doc_id, text):\n$plan")
+  }
+
   test("dedup/ANN pipelines leave no cached plans behind (call-scoped caches)") {
     // the internal .cache()s (shingles, refined banding, lsh projection)
     // must be dropped before each pipeline returns — a long-lived session
