@@ -161,7 +161,6 @@ object Graph {
     * [[connectedComponents]]: `(node, label)` including isolated
     * self-loop-only nodes. */
   def ccStar(edgeDf: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.sql.Row
     val nodes = edgeDf.select(col("src").as("node"))
       .union(edgeDf.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -171,18 +170,21 @@ object Graph {
       .filter(col("hi") =!= col("lo")).distinct()
     var e = canon(edgeDf.select(col("src").as("hi"), col("dst").as("lo")))
       .localCheckpoint(true)
-    // order/content fingerprint of the materialized edge set — one cheap
-    // scan of the checkpoint, used for the fixed-point check
-    def fp(df: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent and overflow-free (sum would trip ANSI)
-      val Row(n: Long, h: Long) = df
-        .agg(count(lit(1)),
-          coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L)))
-        .head()
-      (n, h)
+    // Fixed-point test WITHOUT running an extra no-op round: a set of
+    // disjoint stars (every `hi` points at exactly one `lo`, and no `lo` is
+    // itself a `hi`) is exactly the algorithm's fixed point — applying
+    // either star step to a star set reproduces it. Two light aggregates
+    // over the just-materialized checkpoint (~ms) replace a full ~4-shuffle
+    // detection round.
+    def isStarSet(df: DataFrame): Boolean = {
+      val multiParent = df.groupBy("hi")
+        .agg(countDistinct(col("lo")).as("n"))
+        .filter(col("n") > 1)
+      val centerIsLeaf = df.select(col("lo").as("x"))
+        .join(df.select(col("hi").as("x")), Seq("x"), "left_semi")
+      multiParent.isEmpty && centerIsLeaf.isEmpty
     }
-    var prev = fp(e)
-    var stable = false
+    var stable = isStarSet(e) // input may already be stars
     var iter = 0
     while (!stable && iter < maxIter) {
       // large-star over BOTH directions. Its output needs NO
@@ -206,9 +208,7 @@ object Graph {
         .union(smins.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint(true)
-      val cur = fp(small)
-      stable = cur == prev
-      prev = cur
+      stable = isStarSet(small)
       e = small
       iter += 1
     }
