@@ -131,6 +131,8 @@ object SparkEntry {
     // Multi-level aggregation (rollup) — grouping-set expansion inside one
     // aggregate, one shuffle for detail + subtotals + grand total.
     "q36_rollup" -> (Relational.q36Rollup(_, _)),
+    // BPE-style pre-tokenizer token counting (training-cost estimation).
+    "q37_bpe_tokens" -> (Docs.q37BpeTokens(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -245,5 +247,6 @@ object SparkEntry {
          |SELECT predicate, CAST(count(*) AS BIGINT) AS n_rows
          |FROM triples GROUP BY predicate ORDER BY predicate""".stripMargin,
     "q36_rollup" -> Relational.q36Sql,
+    "q37_bpe_tokens" -> Docs.q37Sql,
   )
 }

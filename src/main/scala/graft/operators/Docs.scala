@@ -61,6 +61,32 @@ object Docs {
 
   val q16Sql: String = q16Core + "\nORDER BY doc_id"
 
+  // --- Q37: BPE-style pre-tokenizer token counting --------------------------
+
+  /** GPT-2-style pre-tokenization (the regex pass every BPE tokenizer runs
+    * before merges): a token is an optionally-space-prefixed letter run, an
+    * optionally-space-prefixed digit run, or a punctuation run. The pattern
+    * sticks to a conservative alternation subset that Java regex (Spark)
+    * and RE2 (DuckDB) evaluate identically — no lookarounds, no unicode
+    * classes. Token COUNT is the training-cost estimator a data pipeline
+    * budgets with; whitespace count (q16 `n_tokens`) undercounts
+    * punctuation-heavy text. One narrow scan, no shuffle but the ORDER BY. */
+  private val BpePattern = " ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
+
+  def q37BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$BpePattern', 0)"))
+          .cast(LongType).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  val q37Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- Q17: language-ID heuristic -------------------------------------------
 
   /** Stopword-profile language scorer (the classic n-gram/function-word
