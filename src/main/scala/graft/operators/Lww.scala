@@ -92,8 +92,10 @@ object Lww {
   /** [[merge]] specialized to COMPACTED inputs (at most one row per logical
     * key — the invariant of a materialized store and of any changelog that
     * went through [[changelogUnion]]): a full-outer join on the key instead
-    * of union+aggregate. Same comparator — remote wins strict `>`, ties
-    * keep local.
+    * of union+aggregate. Same comparator — remote wins strict `>`
+    * (`MongoDBConnector.py:150`), ties keep local; the whole-replica
+    * exchange this accelerates is the reference's `merge_2_servers` round
+    * (`MasterServer.py:384-432`).
     *
     * The point at 100 TB: over two co-bucketed tables
     * ([[graft.TripleStore.writeBucketed]] on (subject, predicate), same
