@@ -74,6 +74,27 @@ class LwwSpec extends AnyFunSuite {
     })
   }
 
+  test("mergeCoLocated == merge on compacted inputs (free objects, so " +
+    "equal-ts ties are exercised)") {
+    // objects independent of (s,p,ts): equal-timestamp ties with DIFFERENT
+    // objects occur, and both paths must resolve them the same way (local
+    // keeps). Inputs are compacted first — mergeCoLocated's contract.
+    val genFree: Gen[List[Row4]] = {
+      val one = for {
+        s   <- Gen.oneOf("<a>", "<b>", "<c>")
+        p   <- Gen.oneOf("<p1>", "<p2>")
+        o   <- Gen.oneOf("x", "y", "z")
+        ts  <- Gen.choose(0L, 3L)
+      } yield (s, p, o, ts)
+      Gen.listOfN(10, one)
+    }
+    checkProp(Prop.forAll(genFree, genFree) { (a, b) =>
+      val ca = Lww.upsert(df(Nil), df(a)) // compact: one winner per key
+      val cb = Lww.upsert(df(Nil), df(b))
+      winners(Lww.mergeCoLocated(ca, cb)) == winners(Lww.merge(ca, cb))
+    })
+  }
+
   // --- explicit tie-break fixtures (the two reference comparators) ----------
 
   private val base = List(("<s>", "<p>", "LOCAL", 100L))

@@ -78,6 +78,32 @@ class PlansSpec extends AnyFunSuite {
     assert(ids.contains(0) && ids.contains(boundaries.size))
   }
 
+  test("range_bucket property: matches the count-of-boundaries<=key model " +
+    "on random strings incl. surrogate pairs") {
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // alphabet spans ASCII, a BMP multi-byte char, and a supplementary-plane
+    // char (surrogate pair in UTF-16) — the orders that diverge
+    val cps = Seq(0x61, 0x7A, 0x30, 0x20A9, 0x1F600)
+    val genS: Gen[String] = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(cps)).map(l =>
+        new String(l.toArray, 0, l.length)))
+    val ord = graft.plans.RangeBucket.codePointOrdering
+    val prop = Prop.forAll(Gen.listOfN(8, genS), Gen.nonEmptyListOf(genS)) {
+      (keys, bounds0) =>
+        val bounds = bounds0.distinct
+        val got = keys.toDF("k")
+          .select(graft.plans.RangeBucket.shardId(col("k"), bounds))
+          .as[Int].collect().toSeq
+        val want = keys.map(k => bounds.count(b => ord.compare(b, k) <= 0))
+        got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("range_bucket agrees with Spark's binary order above the BMP") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
