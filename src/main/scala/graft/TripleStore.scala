@@ -217,6 +217,22 @@ object TripleStore {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Drop a catalog table AND recursively clear its managed warehouse
+    * location: a crashed previous run can leave a non-empty location
+    * (`_temporary/...` staging trees) with no catalog entry, and
+    * `saveAsTable` refuses to reuse it. Recursive — `File.delete()` on a
+    * non-empty directory silently no-ops. */
+  private[graft] def dropTableAndLocation(spark: SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      table)
+    if (loc.exists()) {
+      new scala.reflect.io.Directory(loc).deleteRecursively(); ()
+    }
+  }
+
   /** Once-per-session materialization of the (store, remote changelog) pair
     * as co-bucketed catalog tables — the layout under which every
     * anti-entropy round is Exchange-free
@@ -229,14 +245,7 @@ object TripleStore {
       val remote = s"graft_remote_bkt$tag"
       // a previous crashed run may have left managed locations behind
       // without catalog entries; saveAsTable refuses to reuse them
-      Seq(local, remote).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new java.io.File(
-          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-        if (loc.exists()) {
-          loc.listFiles().foreach(_.delete()); loc.delete()
-        }
-      }
+      Seq(local, remote).foreach(t => dropTableAndLocation(spark, t))
       writeBucketed(triples(spark, dir), local, numBuckets)
       writeBucketed(remoteChangelog(spark, dir), remote, numBuckets)
       local + "," + remote

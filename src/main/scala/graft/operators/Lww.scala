@@ -105,11 +105,19 @@ object Lww {
     * (TripleStoreSpec asserts the Exchange-free plan; gate query
     * q31_bucketed_merge checks the values against the DuckDB oracle). */
   def mergeCoLocated(local: DataFrame, remote: DataFrame): DataFrame = {
-    def pick(c: String) =
-      when(col("l.ts_ms").isNull, col(s"r.$c"))
-        .when(col("r.ts_ms").isNull, col(s"l.$c"))
-        .when(col("r.ts_ms") > col("l.ts_ms"), col(s"r.$c"))
+    // side-presence is tested on the JOIN KEY (never null in a present
+    // row), not on ts_ms — a genuine null-ts row (e.g. a fromTsv parse
+    // failure) must survive, not be replaced by the absent side's nulls.
+    // A null ts_ms orders as Long.MinValue (loses to any real timestamp),
+    // matching [[merge]]'s null-first struct ordering.
+    def pick(c: String) = {
+      val lt = coalesce(col("l.ts_ms"), lit(Long.MinValue))
+      val rt = coalesce(col("r.ts_ms"), lit(Long.MinValue))
+      when(col("l.subject").isNull, col(s"r.$c"))
+        .when(col("r.subject").isNull, col(s"l.$c"))
+        .when(rt > lt, col(s"r.$c"))
         .otherwise(col(s"l.$c"))
+    }
     local.as("l").join(remote.as("r"),
         Seq("subject", "predicate"), "full_outer")
       .select(col("subject"), col("predicate"),

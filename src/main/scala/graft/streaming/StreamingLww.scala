@@ -50,6 +50,10 @@ object StreamingLww {
     spark.readStream
       .schema("subject STRING, predicate STRING, object STRING, ts_ms BIGINT")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // malformed lines fail the batch loudly (same invariant as the batch
+      // twin TripleStore.fromJsonl) — PERMISSIVE would null them silently
+      // and poison the store under null keys
+      .option("mode", "FAILFAST")
       .json(path)
       .as[Triple]
   }
@@ -180,8 +184,17 @@ object StreamingLww {
         // bounded driver-side collect: at most |boundaries|+1 shard ids
         val touched = b.select("shard").distinct().as[Int].collect().toSeq
         if (touched.nonEmpty) {
+          // presence = actual shard content, NOT bare directory existence: a
+          // crash between createDirectories(storeDir) and the first swap
+          // leaves an EMPTY store dir, and reading it would throw
+          // schema-inference errors on every replay — a permanent wedge
+          val hasShards = Files.exists(storeDir) && {
+            val fs = storeDir.toFile.listFiles()
+            fs != null && fs.exists(f =>
+              f.isDirectory && f.getName.startsWith("shard="))
+          }
           val base =
-            if (Files.exists(storeDir))
+            if (hasShards)
               spark.read.parquet(storePath)
                 .filter(col("shard").isin(touched: _*))
             else b.limit(0)

@@ -95,6 +95,27 @@ class LwwSpec extends AnyFunSuite {
     })
   }
 
+  test("mergeCoLocated: a genuine null-ts row survives when the other side " +
+    "is absent, and loses to any real timestamp") {
+    // reachable via fromTsv when a malformed timestamp parses to null
+    val l = Seq(("<s>", "<p>", "LOCAL", Option.empty[Long]),
+        ("<t>", "<p>", "ONLY", Option(5L)))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    val r = Seq(("<t>", "<p>", "REMOTE", Option(9L)))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    val got = Lww.mergeCoLocated(l, r)
+      .as[(String, String, String, Option[Long])].collect().toSet
+    assert(got == Set(
+      ("<s>", "<p>", "LOCAL", None),     // absent remote must NOT null it out
+      ("<t>", "<p>", "REMOTE", Some(9L))))
+    // and against a real remote timestamp the null-ts local loses
+    val r2 = Seq(("<s>", "<p>", "NEWER", Option(1L)))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    val got2 = Lww.mergeCoLocated(l, r2)
+      .as[(String, String, String, Option[Long])].collect().toSet
+    assert(got2.contains(("<s>", "<p>", "NEWER", Some(1L))))
+  }
+
   // --- explicit tie-break fixtures (the two reference comparators) ----------
 
   private val base = List(("<s>", "<p>", "LOCAL", 100L))
