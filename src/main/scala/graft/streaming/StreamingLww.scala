@@ -58,6 +58,25 @@ object StreamingLww {
       .as[Triple]
   }
 
+  /** Ingestion hygiene for at-least-once sources (redelivered files,
+    * replayed batches): suppress EXACT duplicate rows — all four columns
+    * equal — within the watermark window, so downstream per-batch work
+    * (merges, counts, billing) isn't inflated by redelivery. State is one
+    * fingerprint per distinct row, evicted once the watermark passes; the
+    * LWW kernel itself is idempotent, so this is a cost optimization, not
+    * a correctness requirement (SURVEY §2.2 streaming bullet). */
+  def dedupWithinWatermark(updates: Dataset[Triple],
+      watermarkDelay: String): Dataset[Triple] = {
+    import updates.sparkSession.implicits._
+    updates
+      .withColumn("event_ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(
+        "subject", "predicate", "object", "ts_ms")
+      .drop("event_ts")
+      .as[Triple]
+  }
+
   /** Emit the current winner of every key touched in each micro-batch
     * (update output mode). */
   def winners(updates: Dataset[Triple]): Dataset[Triple] = {

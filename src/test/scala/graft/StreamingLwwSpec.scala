@@ -268,6 +268,25 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(store == batch)
   }
 
+  test("dedupWithinWatermark: redelivered identical rows are emitted once; " +
+    "distinct rows all pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Triple]
+    val q = StreamingLww.dedupWithinWatermark(source.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(batch1: _*); q.processAllAvailable()
+      // redeliver batch1 verbatim (at-least-once source), plus new rows
+      source.addData(batch1: _*); q.processAllAvailable()
+      source.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("dedup_stream").as[Triple].collect().toSeq
+    assert(emitted.size == emitted.distinct.size, "a duplicate got through")
+    assert(emitted.toSet == (batch1 ++ batch2).toSet,
+      "a distinct row was dropped")
+  }
+
   test("winnersWithTtl: state evicts after ttl, stale late arrivals are " +
     "dropped, and an admissible arrival re-hydrates — consistent with " +
     "batch LWW on admitted rows") {
