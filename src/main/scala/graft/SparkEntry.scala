@@ -138,6 +138,18 @@ object SparkEntry {
   /** q34's boundary list: eight cut points inside the order range. */
   private val RouteBoundaries: Seq[String] = (1 to 8).map(i => s"<order_$i")
 
+  /** The anti-entropy merge oracle — shared by q3 (aggregate kernel), q31
+    * (co-located join), and q32 (SQL text): all three compute the SAME
+    * relation through different physical paths. */
+  private lazy val MergeOracleSql: String =
+    s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
+       |SELECT subject, predicate, object, ts_ms FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
+       |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
+       |  FROM (SELECT t.*, 1 AS prio FROM triples t
+       |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
+       |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_subject_scan" ->
       s"""WITH ${TripleStore.TriplesCte}
@@ -152,14 +164,7 @@ object SparkEntry {
          |  FROM (SELECT t.*, 0 AS prio FROM triples t
          |        UNION ALL SELECT u.*, 1 FROM updates u))
          |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
-    "q3_lww_merge" ->
-      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
-         |SELECT subject, predicate, object, ts_ms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
-         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
-         |  FROM (SELECT t.*, 1 AS prio FROM triples t
-         |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
-         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q3_lww_merge" -> MergeOracleSql,
     "q4_scan_counts"   -> Relational.q4Sql,
     "q5_join_agg"      -> Relational.q5JoinAggSql,
     "q5_two_hop"       -> Relational.q5TwoHopSql,
@@ -216,24 +221,8 @@ object SparkEntry {
          |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
     "q29_sample_split" -> Docs.q29Sql,
     "q30_curation"     -> Docs.q30Sql,
-    // q31/q32 compute the SAME relation as q3 through different physical
-    // paths (co-located join / SQL text), so they share its oracle
-    "q31_bucketed_merge" ->
-      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
-         |SELECT subject, predicate, object, ts_ms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
-         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
-         |  FROM (SELECT t.*, 1 AS prio FROM triples t
-         |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
-         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
-    "q32_sql_merge" ->
-      s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.RemoteCte}
-         |SELECT subject, predicate, object, ts_ms FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY subject, predicate
-         |            ORDER BY ts_ms DESC, prio DESC, object DESC) AS rn
-         |  FROM (SELECT t.*, 1 AS prio FROM triples t
-         |        UNION ALL SELECT r.*, 0 AS prio FROM remote r))
-         |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin,
+    "q31_bucketed_merge" -> MergeOracleSql,
+    "q32_sql_merge" -> MergeOracleSql,
     "q33_connected_components" -> Graph.q33Sql,
     "q34_range_bucket" ->
       s"""WITH ${TripleStore.UpdatesCte}

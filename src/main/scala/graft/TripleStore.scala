@@ -238,18 +238,22 @@ object TripleStore {
     * anti-entropy round is Exchange-free
     * ([[graft.operators.Lww.mergeCoLocated]]). Returns the table names. */
   def bucketedMergeTables(spark: SparkSession, dir: String,
-      numBuckets: Int = 4): (String, String) =
+      numBuckets: Int = 4): (String, String) = {
+    // names are a pure function of (dir, numBuckets); only the writes are
+    // memoized (the map's value is unused)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$numBuckets"
+    val local = s"graft_store_bkt$tag"
+    val remote = s"graft_remote_bkt$tag"
     materialized.computeIfAbsent((dir + "!bucketed", numBuckets), { _ =>
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$numBuckets"
-      val local = s"graft_store_bkt$tag"
-      val remote = s"graft_remote_bkt$tag"
       // a previous crashed run may have left managed locations behind
       // without catalog entries; saveAsTable refuses to reuse them
       Seq(local, remote).foreach(t => dropTableAndLocation(spark, t))
       writeBucketed(triples(spark, dir), local, numBuckets)
       writeBucketed(remoteChangelog(spark, dir), remote, numBuckets)
-      local + "," + remote
-    }).split(",") match { case Array(a, b) => (a, b) }
+      local
+    })
+    (local, remote)
+  }
 
   /** SQL-text surface (reference parity: ALL access to the reference store
     * is external queries against named collections, `MasterServer.py:292-330`):

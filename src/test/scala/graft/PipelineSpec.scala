@@ -15,6 +15,12 @@ class PipelineSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  /** Deterministic Gaussian test vector (fixed seed → reproducible). */
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(Vectors.Dim)(r.nextGaussian().toFloat)
+  }
+
   test("LSH buckets are locality-sensitive: same-bucket pairs are more " +
     "similar than the population") {
     val topk = Vectors.q21TopkCosine(spark, sf)
@@ -102,11 +108,6 @@ class PipelineSpec extends AnyFunSuite {
     // the internal .cache()s (shingles, refined banding, lsh projection)
     // must be dropped before each pipeline returns — a long-lived session
     // running repeated sweeps must not accumulate storage-memory blocks
-    val dim = Vectors.Dim
-    def vec(seed: Int): Array[Float] = {
-      val r = new scala.util.Random(seed)
-      Array.fill(dim)(r.nextGaussian().toFloat)
-    }
     val df = (1L to 10L).map(s => (s, vec(s.toInt))).toDF("vec_id", "embedding")
     Docs.q19MinhashPairs(spark, sf).count()
     Vectors.cosineNearDupPairs(df, threshold = 0.98).count()
@@ -119,11 +120,6 @@ class PipelineSpec extends AnyFunSuite {
     "never the distant ones, without an all-pairs join") {
     // fixture: vectors 1 and 2 are near-identical; 3..20 are independent
     // Gaussians (expected pairwise cosine ~0, deterministic via fixed seeds)
-    val dim = Vectors.Dim
-    def vec(seed: Int): Array[Float] = {
-      val r = new scala.util.Random(seed)
-      Array.fill(dim)(r.nextGaussian().toFloat)
-    }
     val near = vec(1).clone(); near(0) = near(0) + 1e-4f
     val rows = Seq((1L, vec(1)), (2L, near)) ++
       (3L to 20L).map(s => (s, vec(s.toInt)))
@@ -170,11 +166,6 @@ class PipelineSpec extends AnyFunSuite {
 
   test("recall survives 16-plane bands: planted near-identical pair found " +
     "under the scale config, with and without a tight bucket cap") {
-    val dim = Vectors.Dim
-    def vec(seed: Int): Array[Float] = {
-      val r = new scala.util.Random(seed)
-      Array.fill(dim)(r.nextGaussian().toFloat)
-    }
     val near = vec(1).clone(); near(0) = near(0) + 1e-4f
     val rows = Seq((1L, vec(1)), (2L, near)) ++
       (3L to 20L).map(s => (s, vec(s.toInt)))
