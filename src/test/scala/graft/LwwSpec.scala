@@ -116,6 +116,23 @@ class LwwSpec extends AnyFunSuite {
     assert(got2.contains(("<s>", "<p>", "NEWER", Some(1L))))
   }
 
+  test("the LWW kernel plans exactly ONE shuffle with map-side partial " +
+    "combine (the 100 TB contract)") {
+    val sf = "/root/testdata/sf0.001"
+    for (d <- Seq(
+        Lww.merge(TripleStore.triples(spark, sf),
+          TripleStore.remoteChangelog(spark, sf)),
+        Lww.upsert(TripleStore.triples(spark, sf),
+          TripleStore.updates(spark, sf)))) {
+      val plan = d.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges:\n$plan")
+      // partial (map-side) + final aggregate pair around that one shuffle
+      val aggs = "(Sort|Hash)Aggregate".r.findAllIn(plan).length
+      assert(aggs >= 2, s"no partial+final aggregate pair:\n$plan")
+    }
+  }
+
   // --- explicit tie-break fixtures (the two reference comparators) ----------
 
   private val base = List(("<s>", "<p>", "LOCAL", 100L))
