@@ -240,8 +240,11 @@ object TripleStore {
   def bucketedMergeTables(spark: SparkSession, dir: String,
       numBuckets: Int = 4): (String, String) = {
     // names are a pure function of (dir, numBuckets); only the writes are
-    // memoized (the map's value is unused)
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + s"_$numBuckets"
+    // memoized (the map's value is unused). The hashCode suffix keeps the
+    // tag injective — sanitization alone could collapse distinct dirs
+    // ("/x/sf0.1" vs "/x/sf0_1") onto one catalog table name
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(dir.hashCode) + s"_$numBuckets"
     val local = s"graft_store_bkt$tag"
     val remote = s"graft_remote_bkt$tag"
     materialized.computeIfAbsent((dir + "!bucketed", numBuckets), { _ =>

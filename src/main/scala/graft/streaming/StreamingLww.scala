@@ -62,9 +62,18 @@ object StreamingLww {
     * replayed batches): suppress EXACT duplicate rows — all four columns
     * equal — within the watermark window, so downstream per-batch work
     * (merges, counts, billing) isn't inflated by redelivery. State is one
-    * fingerprint per distinct row, evicted once the watermark passes; the
-    * LWW kernel itself is idempotent, so this is a cost optimization, not
-    * a correctness requirement (SURVEY §2.2 streaming bullet). */
+    * fingerprint per distinct row, evicted once the watermark passes.
+    *
+    * CONTRACT — this trades late-data tolerance for bounded state: any row
+    * (duplicate or DISTINCT) whose event time falls behind the watermark is
+    * dropped by Spark's standard late-data filter before the operator.
+    * Use it only when the source's event-time disorder is bounded by
+    * `watermarkDelay`; for unboundedly-late sources feed the LWW kernel
+    * directly — its strict-`>` merge is already idempotent under
+    * redelivery, so dedup is a cost optimization you can skip, never a
+    * correctness requirement. (Asserted in StreamingLwwSpec: an in-window
+    * redelivery is suppressed, an in-window distinct row passes, and a
+    * behind-watermark distinct row is dropped.) */
   def dedupWithinWatermark(updates: Dataset[Triple],
       watermarkDelay: String): Dataset[Triple] = {
     import updates.sparkSession.implicits._

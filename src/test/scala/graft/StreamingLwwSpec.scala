@@ -268,23 +268,32 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(store == batch)
   }
 
-  test("dedupWithinWatermark: redelivered identical rows are emitted once; " +
-    "distinct rows all pass") {
+  test("dedupWithinWatermark: in-window redelivery suppressed, in-window " +
+    "distinct rows pass, behind-watermark rows drop (the documented trade)") {
     implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000L
     val source = MemoryStream[Triple]
+    // delay 1h; event times chosen so the watermark actually moves
     val q = StreamingLww.dedupWithinWatermark(source.toDS(), "1 hour")
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode(OutputMode.Append()).start()
+    val t1 = Triple("<a>", "<p>", "v1", 2 * hour)
+    val t2 = Triple("<b>", "<p>", "v1", 2 * hour + 1)
+    // comfortably above the ~1h watermark (exactly-at-watermark behavior is
+    // an implementation detail Spark leaves unspecified)
+    val inWindow = Triple("<c>", "<p>", "w", 2 * hour - 1000L)
+    val late = Triple("<d>", "<p>", "LATE", 1000L)      // far behind it
     try {
-      source.addData(batch1: _*); q.processAllAvailable()
-      // redeliver batch1 verbatim (at-least-once source), plus new rows
-      source.addData(batch1: _*); q.processAllAvailable()
-      source.addData(batch2: _*); q.processAllAvailable()
+      source.addData(t1, t2); q.processAllAvailable()    // watermark -> 1h
+      source.addData(t1); q.processAllAvailable()        // exact redelivery
+      source.addData(inWindow, late); q.processAllAvailable()
     } finally q.stop()
     val emitted = spark.table("dedup_stream").as[Triple].collect().toSeq
     assert(emitted.size == emitted.distinct.size, "a duplicate got through")
-    assert(emitted.toSet == (batch1 ++ batch2).toSet,
-      "a distinct row was dropped")
+    assert(emitted.toSet == Set(t1, t2, inWindow),
+      s"expected the three in-window distinct rows only, got $emitted")
+    assert(!emitted.contains(late),
+      "a behind-watermark row passed — the documented drop semantics changed")
   }
 
   test("winnersWithTtl: state evicts after ttl, stale late arrivals are " +
