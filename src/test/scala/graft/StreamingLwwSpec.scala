@@ -188,6 +188,33 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(old), ".old not cleaned up")
   }
 
+  test("partitioned sink: stale staging and backup dirs from a crash " +
+    "during the WRITE phase are cleared, not merged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_stale")
+    val storePath = dir.resolve("store").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val boundaries = Seq("<b>", "<c>")
+    // simulate a crash mid-staging before ANY batch succeeded: garbage in
+    // .next, plus a stray .old with a shard the store also (correctly)
+    // lacks no counterpart for — the preamble must restore the stranded
+    // shard and delete the garbage staging
+    val next = java.nio.file.Paths.get(storePath + ".next", "shard=0")
+    java.nio.file.Files.createDirectories(next)
+    java.nio.file.Files.writeString(next.resolve("junk.parquet"), "not parquet")
+    val source = MemoryStream[Triple]
+    source.addData(Triple("<a>", "<p>", "v1", 100L))
+    StreamingLww.mergeIntoStorePartitioned(
+      source.toDS(), storePath, ckpt, boundaries).awaitTermination()
+    // the junk staging must not have been swapped into the store
+    val store = spark.read.parquet(storePath)
+      .select("subject", "predicate", "object", "ts_ms")
+      .as[Triple].collect().toSet
+    assert(store == Set(Triple("<a>", "<p>", "v1", 100L)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(storePath + ".next")), "stale .next not cleared")
+  }
+
   test("checkpoint loss: the full history replays against the " +
     "already-merged partitioned store idempotently, and the restarted " +
     "stream continues to batch-LWW convergence") {
