@@ -225,9 +225,13 @@ object TripleStore {
   private[graft] def dropTableAndLocation(spark: SparkSession,
       table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the catalog lowercases unquoted identifiers (caseSensitive=false
+    // default), so the managed location on disk is the LOWERCASED name —
+    // resolving the as-passed mixed case would leave the real directory
+    // behind, recreating the stale-location failure this helper prevents
     val loc = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
-      table)
+      table.toLowerCase(java.util.Locale.ROOT))
     if (loc.exists()) {
       new scala.reflect.io.Directory(loc).deleteRecursively(); ()
     }

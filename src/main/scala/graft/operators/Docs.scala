@@ -64,14 +64,17 @@ object Docs {
   // --- Q37: BPE-style pre-tokenizer token counting --------------------------
 
   /** GPT-2-style pre-tokenization (the regex pass every BPE tokenizer runs
-    * before merges): a token is an optionally-space-prefixed letter run, an
-    * optionally-space-prefixed digit run, or a punctuation run. The pattern
-    * sticks to a conservative alternation subset that Java regex (Spark)
-    * and RE2 (DuckDB) evaluate identically — no lookarounds, no unicode
-    * classes. Token COUNT is the training-cost estimator a data pipeline
-    * budgets with; whitespace count (q16 `n_tokens`) undercounts
-    * punctuation-heavy text. One narrow scan, no shuffle but the ORDER BY. */
-  private val BpePattern = " ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
+    * before merges): a token is an optionally-space-prefixed letter run
+    * (either case — lumping uppercase into the punctuation class would
+    * merge "USA." into one symbol run and skew the estimate on mixed-case
+    * text, ADVICE r6), an optionally-space-prefixed digit run, or a
+    * punctuation run. The pattern sticks to a conservative alternation
+    * subset that Java regex (Spark) and RE2 (DuckDB) evaluate identically —
+    * no lookarounds, no unicode classes. Token COUNT is the training-cost
+    * estimator a data pipeline budgets with; whitespace count (q16
+    * `n_tokens`) undercounts punctuation-heavy text. One narrow scan, no
+    * shuffle but the ORDER BY. */
+  private[graft] val BpePattern = " ?[a-zA-Z]+| ?[0-9]+|[^a-zA-Z0-9 ]+"
 
   def q37BpeTokens(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")

@@ -212,6 +212,14 @@ object Graph {
       e = small
       iter += 1
     }
+    // A hit iteration cap without the star fixed point would mean the edge
+    // set is only partially contracted — the groupBy/min below would then
+    // hand back non-minimal, SPLIT component labels with no error. Refuse
+    // loudly instead of silently mislabeling (expected rounds are
+    // O(log diameter); 20 covers any graph a 100 TB store can hold).
+    require(stable,
+      s"ccStar did not reach the star fixed point within $maxIter rounds; " +
+        "raise maxIter — returning labels here would silently split components")
     // fixed point = stars: each non-root appears as `hi` pointing at its
     // component min; roots and isolated nodes label themselves
     nodes.join(e.select(col("hi").as("node"), col("lo").as("label")),

@@ -66,18 +66,18 @@ object RangeBucket {
   }
 
   /** Upper-bound binary search: first index whose boundary is `> key`
-    * == count of boundaries `<= key`. Called from generated code.
-    * A null boundary element orders FIRST (counts as `<= key`), matching
-    * where Spark's array_sort would place it — so a user-supplied SQL array
-    * containing nulls degrades gracefully instead of NPE-ing inside
-    * generated code. */
+    * == count of non-null boundaries `<= key`. Called from generated code.
+    * A null boundary element orders LAST (never counts as `<= key`) —
+    * exactly where Spark's `array_sort` places nulls — so feeding
+    * `array_sort` output with trailing nulls preserves the sorted invariant
+    * and degrades gracefully instead of NPE-ing inside generated code. */
   def bucket(key: UTF8String, bounds: ArrayData): Int = {
     var lo = 0
     var hi = bounds.numElements()
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
       val b = bounds.getUTF8String(mid)
-      if (b == null || b.compareTo(key) <= 0) lo = mid + 1
+      if (b != null && b.compareTo(key) <= 0) lo = mid + 1
       else hi = mid
     }
     lo

@@ -81,6 +81,19 @@ class GraphSpec extends AnyFunSuite {
     assert(star("<q>") == "<p>" && star("<solo>") == "<solo>")
   }
 
+  test("ccStar refuses to return labels when the iteration cap is hit " +
+    "before the star fixed point") {
+    // a 30-node chain is far from star-shaped after one round; a silent
+    // return here would hand back split components (ADVICE r6)
+    val chain = (1 until 30).map(i => (f"<c_$i%02d>", f"<c_${i + 1}%02d>"))
+    val e = chain.toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] { Graph.ccStar(e, maxIter = 1) }
+    assert(ex.getMessage.contains("star fixed point"))
+    // and the same input converges fine under the default cap
+    val ok = Graph.ccStar(e).as[(String, String)].collect().toMap
+    assert(ok.values.toSet == Set("<c_01>"))
+  }
+
   test("pageRank fuses the dangling-mass scalar into the iteration plan — " +
     "no per-iteration driver action") {
     import org.apache.spark.sql.execution.QueryExecution

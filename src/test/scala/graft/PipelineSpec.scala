@@ -21,6 +21,17 @@ class PipelineSpec extends AnyFunSuite {
     Array.fill(Vectors.Dim)(r.nextGaussian().toFloat)
   }
 
+  test("q37 BPE pre-tokenizer keeps mixed-case letter runs whole") {
+    // "The USA won 3-0!" → The | ␣USA | ␣won | ␣3 | - | 0 | ! = 7 tokens;
+    // a lowercase-only letter class would shatter "The" into T + he and
+    // glue "USA" onto adjacent punctuation (ADVICE r6)
+    val n = Seq("The USA won 3-0!").toDF("text")
+      .select(size(expr(
+        s"regexp_extract_all(text, '${Docs.BpePattern}', 0)")).as("n"))
+      .as[Int].head()
+    assert(n == 7)
+  }
+
   test("LSH buckets are locality-sensitive: same-bucket pairs are more " +
     "similar than the population") {
     val topk = Vectors.q21TopkCosine(spark, sf)

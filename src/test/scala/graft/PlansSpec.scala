@@ -53,11 +53,13 @@ class PlansSpec extends AnyFunSuite {
       .as[(Int, Int, Int, Int, Option[Int])].head()
     // bucket = count of boundaries <= key; a boundary key starts ITS bucket
     assert(r == ((1, 1, 0, 2, None)))
-    // a null ARRAY ELEMENT must not NPE in generated code: it orders first
-    // (counts as <= key), the graceful degradation for user-supplied SQL
-    val n = spark.sql("SELECT range_bucket('m', array(NULL, 'a', 'z')) AS x")
+    // a null ARRAY ELEMENT must not NPE in generated code: it orders LAST
+    // (never counts as <= key) — the same place array_sort puts nulls, so
+    // array_sort output feeds straight in without breaking the invariant
+    val n = spark.sql(
+      "SELECT range_bucket('m', array_sort(array('z', NULL, 'a'))) AS x")
       .as[Int].head()
-    assert(n == 2)
+    assert(n == 1)
   }
 
   test("range_bucket routes 1,024 shards (where the fold-of-whens cannot)") {

@@ -115,6 +115,21 @@ class TripleStoreSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dropTableAndLocation clears the LOWERCASED managed location for a " +
+    "mixed-case table name (catalog folds unquoted identifiers)") {
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    // simulate a crashed save: stale staging tree at the catalog's (lower
+    // case) location, no catalog entry
+    val loc = new java.io.File(wh, "graft_mixedcase_tbl")
+    val staging = new java.io.File(loc, "_temporary/0")
+    staging.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(staging, "part-0")).close()
+    TripleStore.dropTableAndLocation(spark, "Graft_MixedCase_TBL")
+    assert(!loc.exists(),
+      "stale lowercased location survived a mixed-case drop")
+  }
+
   test("sharded point lookup: the scan outputs only the probed rows " +
     "(row-group skipping observed via scan metrics)") {
     val df = TripleStore.searchSharded(spark, sf, "<order_42>")
