@@ -133,6 +133,9 @@ object SparkEntry {
     "q36_rollup" -> (Relational.q36Rollup(_, _)),
     // BPE-style pre-tokenizer token counting (training-cost estimation).
     "q37_bpe_tokens" -> (Docs.q37BpeTokens(_, _)),
+    // Embedding-cosine near-dup pairs end-to-end (LSH candidates + exact
+    // verify) — deterministic buckets make the whole pipeline oracle-exact.
+    "q38_cosine_neardup" -> (Vectors.q38CosineNeardup(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -237,5 +240,6 @@ object SparkEntry {
          |FROM triples GROUP BY predicate ORDER BY predicate""".stripMargin,
     "q36_rollup" -> Relational.q36Sql,
     "q37_bpe_tokens" -> Docs.q37Sql,
+    "q38_cosine_neardup" -> Vectors.q38Sql,
   )
 }

@@ -183,18 +183,21 @@ object Vectors {
       .orderBy("vec_id")
   }
 
-  val q22Sql: String = {
-    val bits = planes.take(NumPlanes).map { p =>
-      val lit = p.mkString("[", ", ", "]")
-      s"""CASE WHEN list_sum(list_transform(range(len(embedding)),
-         |  i -> CAST(embedding[i+1] AS DOUBLE) * ($lit)[i+1])) >= 0
-         |  THEN '1' ELSE '0' END""".stripMargin
-    }.mkString(" ||\n ")
-    s"""WITH b AS (SELECT vec_id, $bits AS bucket FROM embeddings)
+  /** DuckDB twin of [[lshBucket]]: the [[NumPlanes]] sign bits concatenated,
+    * as a SQL expression over `embedding` — shared by the q22 and q38
+    * oracles (buckets must agree across both). */
+  private def bucketBitsSql: String = planes.take(NumPlanes).map { p =>
+    val lit = p.mkString("[", ", ", "]")
+    s"""CASE WHEN list_sum(list_transform(range(len(embedding)),
+       |  i -> CAST(embedding[i+1] AS DOUBLE) * ($lit)[i+1])) >= 0
+       |  THEN '1' ELSE '0' END""".stripMargin
+  }.mkString(" ||\n ")
+
+  val q22Sql: String =
+    s"""WITH b AS (SELECT vec_id, $bucketBitsSql AS bucket FROM embeddings)
        |SELECT vec_id, bucket,
        |       CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS n_in_bucket
        |FROM b ORDER BY vec_id""".stripMargin
-  }
 
   // --- IVF (inverted-file) ANN: coarse k-means quantizer + probed lists ----
 
@@ -319,6 +322,40 @@ object Vectors {
         round(dot("va", "vb") / (col("na") * col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** q38's similarity floor: low enough that same-bucket pairs (already
+    * sign-correlated on 8 planes) clear it in meaningful numbers at gate
+    * scale, high enough that the filter stage is actually exercised. */
+  val NearDupThreshold = 0.3
+
+  /** Q38: the embedding near-dup pipeline END-TO-END as a gate query —
+    * banded LSH candidates (gate config: 1 band × [[NumPlanes]] planes, the
+    * same md5-derived buckets as q22), exact cosine on candidates only,
+    * threshold filter. Every stage is deterministic, so unlike a
+    * recall-style ANN result this has an EXACT SQL oracle: DuckDB rebuilds
+    * the buckets from the same plane literals, self-joins within bucket,
+    * and scores with the same sequential-fold double dot product. The
+    * library scale config ([[cosineNearDupPairs]] defaults, 2×16 planes +
+    * bucket guard) is property-tested in PipelineSpec; this entry pins the
+    * pipeline's exact semantics under the driver's hash compare. */
+  def q38CosineNeardup(spark: SparkSession, dir: String): DataFrame =
+    cosineNearDupPairs(table(spark, dir, "embeddings"), NearDupThreshold,
+      numBands = 1, planesPerBand = NumPlanes)
+      .orderBy("id_a", "id_b")
+
+  val q38Sql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketBitsSql AS bucket,
+       |         sqrt(list_sum(list_transform(range(len(embedding)),
+       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+       |  FROM embeddings)
+       |SELECT * FROM (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |         round(list_sum(list_transform(range(len(x.embedding)),
+       |             i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
+       |           / (x.nrm * y.nrm), 4) AS cos_sim
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |WHERE cos_sim >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
 
   /** LSH-bucketed approximate top-k: compare only within a bucket. Used by
     * PipelineSpec to measure recall vs [[q21TopkCosine]]; not a gate query

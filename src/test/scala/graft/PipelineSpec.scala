@@ -32,6 +32,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == 7)
   }
 
+  test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
+    "clear the threshold") {
+    val rows = Vectors.q38CosineNeardup(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "gate-scale data should yield near-dup pairs")
+    assert(rows.forall { case (a, b, c) =>
+      a < b && c >= Vectors.NearDupThreshold })
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
   test("LSH buckets are locality-sensitive: same-bucket pairs are more " +
     "similar than the population") {
     val topk = Vectors.q21TopkCosine(spark, sf)
