@@ -136,6 +136,10 @@ object SparkEntry {
     // Embedding-cosine near-dup pairs end-to-end (LSH candidates + exact
     // verify) — deterministic buckets make the whole pipeline oracle-exact.
     "q38_cosine_neardup" -> (Vectors.q38CosineNeardup(_, _)),
+    // Gap-based sessionization of the event stream: one shuffle by user.
+    "q39_sessionize" -> (Relational.q39Sessionize(_, _)),
+    // Long->wide pivot with a pinned value domain (no schema-inference job).
+    "q40_pivot" -> (Relational.q40Pivot(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -241,5 +245,7 @@ object SparkEntry {
     "q36_rollup" -> Relational.q36Sql,
     "q37_bpe_tokens" -> Docs.q37Sql,
     "q38_cosine_neardup" -> Vectors.q38Sql,
+    "q39_sessionize"     -> Relational.q39Sql,
+    "q40_pivot"          -> Relational.q40Sql,
   )
 }

@@ -331,4 +331,91 @@ object Relational {
       |       event_type, CAST(count(*) AS BIGINT) AS cnt,
       |       round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // --- Q39: gap-based sessionization of the event stream --------------------
+
+  /** A session ends after 30 minutes of per-user inactivity — the classic
+    * clickstream/training-telemetry cut. */
+  private val SessionGapMs = 30L * 60 * 1000
+
+  /** Q39: assign every event to a per-user session (a new session starts
+    * when the gap from the user's previous event exceeds [[SessionGapMs]]),
+    * then aggregate each session. The lag + running-sum windows and the
+    * closing groupBy all cluster by `user_id`, so the WHOLE query is one
+    * shuffle: the session aggregate's (user_id, session_id) grouping is
+    * satisfied by the window's hash-partitioning on user_id alone (a
+    * superset clustering — EnsureRequirements inserts no second exchange).
+    * At 100 TB that's the canonical sessionize shape: shuffle the event log
+    * once by entity, never again; per-user fan-in is bounded by that user's
+    * event count. (ts_ms, event_id) is a TOTAL order — raw ts repeats. */
+  def q39Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    ev.select(col("user_id"), col("event_id"), col("value"),
+        eventTsMs(ev).as("ts_ms"))
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) <= SessionGapMs, 0L)
+          .otherwise(1L))
+      .withColumn("session_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("session_start"),
+        max(col("ts_ms")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q39Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value,
+       |         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+       |  FROM events),
+       |g AS (
+       |  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w <= $SessionGapMs
+       |                 THEN 0 ELSE 1 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+       |s AS (
+       |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id,
+       |       CAST(min(ts_ms) AS BIGINT) AS session_start,
+       |       CAST(max(ts_ms) AS BIGINT) AS session_end,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       round(sum(value), 2) AS sum_value
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // --- Q40: pivot (long -> wide reshaping) ----------------------------------
+
+  /** The event-type domain, pinned so the pivot's output schema is static:
+    * a values-less `pivot` runs an extra distinct-collect job and makes the
+    * column set data-dependent — exactly what a 100 TB plan must not do. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Q40: long→wide reshape — per-user event counts as one column per event
+    * type. `groupBy(user).pivot(type, values)` expands to per-type
+    * conditional aggregates inside ONE shuffle-once aggregation (the same
+    * plan the hand-written CASE oracle describes), with the value list
+    * pinned (no schema-inference job). */
+  def q40Pivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+
+  val q40Sql: String = {
+    val cols = EventTypes.map(t =>
+      s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t")
+      .mkString(",\n       ")
+    s"""SELECT user_id,
+       |       $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
 }

@@ -62,6 +62,20 @@ class PlansSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("q39 sessionize clusters once: lag, running sum, and the session " +
+    "aggregate share a single hash exchange") {
+    val plan = graft.operators.Relational.q39Sessionize(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hashpartitioning(user_id) feeds both windows AND the
+    // (user_id, session_id) aggregate — a superset clustering, so
+    // EnsureRequirements must not insert a second hash exchange; the only
+    // other exchange is the presentation ORDER BY's range partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(rangeEx == 1, s"expected 1 range exchange (ORDER BY):\n$plan")
+  }
+
   test("range_bucket routes 1,024 shards (where the fold-of-whens cannot)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
