@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.streaming.{ClosedSession, SessionEvent, StreamingSessions}
+
+/** Streaming gap-sessionization: batch equivalence on real driver data,
+  * disorder handling (a late-but-admissible event must FUSE two apparent
+  * sessions), and the split fold itself. */
+class StreamingSessionsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val GapMs = 30L * 60 * 1000
+  private val SentinelUser = -1L
+
+  private def row(user: Long, eid: Long, tsMs: Long,
+      value: Double): (Long, Long, Timestamp, Double) =
+    (user, eid, new Timestamp(tsMs), value)
+
+  test("split folds a sorted buffer into gap-delimited sessions") {
+    val e = Seq(SessionEvent(0L, 0L, 1.0), SessionEvent(10L, 1L, 1.0),
+      SessionEvent(10L + GapMs, 2L, 1.0),        // still within gap of 10
+      SessionEvent(11L + 2 * GapMs, 3L, 1.0))    // > gap after previous
+    val s = StreamingSessions.split(e, GapMs)
+    assert(s.map(_.map(_.event_id)) == Seq(Seq(0L, 1L, 2L), Seq(3L)))
+    assert(StreamingSessions.split(Seq.empty, GapMs).isEmpty)
+  }
+
+  test("streaming sessions == batch q39 on the driver's events table") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // nanosAsLong=true in the test session: surface ts as a real timestamp
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"), col("value"))
+    val rows = ev.as[(Long, Long, Timestamp, Double)].collect()
+    val maxTs = rows.map(_._3.getTime).max
+
+    val source = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = StreamingSessions.sessionize(
+        source.toDF().toDF("user_id", "event_id", "ts", "value"),
+        GapMs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_stream").start()
+    try {
+      // two batches split at the median TIMESTAMP (a parity split would
+      // strand half the events weeks behind the watermark), each batch
+      // deterministically shuffled so arrival order ≠ event-time order;
+      // sessions straddling the cut ride the state across the boundary
+      val mid = rows.map(_._3.getTime).sorted.apply(rows.length / 2)
+      val (a, b) = rows.partition(_._3.getTime < mid)
+      val rnd = new scala.util.Random(7)
+      source.addData(rnd.shuffle(a.toIndexedSeq)); q.processAllAvailable()
+      source.addData(rnd.shuffle(b.toIndexedSeq)); q.processAllAvailable()
+      // sentinel advances the watermark far past every end + gap; second
+      // one triggers the pending event-time timeouts
+      source.addData(row(SentinelUser, 0L, maxTs + 10 * GapMs, 0.0))
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 1L, maxTs + 11 * GapMs, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sessions_stream").as[ClosedSession].collect()
+      .filter(_.user_id != SentinelUser)
+      .map(s => (s.user_id, s.session_start) -> s).toMap
+    val batch = Relational.q39Sessionize(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(batch.nonEmpty && streamed.nonEmpty)
+    assert(streamed.size == batch.length,
+      s"session count: stream=${streamed.size} batch=${batch.length}")
+    batch.foreach { case (u, start, end, n, sum) =>
+      val s = streamed.getOrElse((u, start),
+        fail(s"batch session ($u, $start) missing from stream"))
+      assert(s.session_end == end && s.n_events == n)
+      // same addends, different fold order (batch rounds to 2 at the edge)
+      assert(math.abs(s.sum_value - sum) < 0.011,
+        s"sum mismatch for ($u, $start): ${s.sum_value} vs $sum")
+    }
+  }
+
+  test("a late-but-admissible event fuses two apparent sessions (emission " +
+    "waits for the watermark, not the raw gap)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 100L * GapMs
+    val source = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = StreamingSessions.sessionize(
+        source.toDF().toDF("user_id", "event_id", "ts", "value"),
+        GapMs, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("fuse_stream").start()
+    try {
+      // two events 2 gaps apart — looks like two sessions...
+      source.addData(row(7L, 0L, base, 1.0), row(7L, 2L, base + 2 * GapMs, 1.0))
+      q.processAllAvailable()
+      // ...until the bridge lands inside the gap, within the watermark
+      source.addData(row(7L, 1L, base + GapMs, 1.0))
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 0L, base + 20 * GapMs, 0.0))
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 1L, base + 21 * GapMs, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fuse_stream").as[ClosedSession].collect()
+      .filter(_.user_id == 7L)
+    assert(out.toSeq == Seq(
+      ClosedSession(7L, base, base + 2 * GapMs, 3L, 3.0)),
+      s"expected ONE fused session, got ${out.toSeq}")
+  }
+}
