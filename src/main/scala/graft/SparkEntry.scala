@@ -140,6 +140,9 @@ object SparkEntry {
     "q39_sessionize" -> (Relational.q39Sessionize(_, _)),
     // Long->wide pivot with a pinned value domain (no schema-inference job).
     "q40_pivot" -> (Relational.q40Pivot(_, _)),
+    // Exact continuous percentiles; the mergeable approx sketch twin is
+    // property-tested against this in PipelineSpec.
+    "q41_percentiles" -> (Relational.q41Percentiles(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -247,5 +250,6 @@ object SparkEntry {
     "q38_cosine_neardup" -> Vectors.q38Sql,
     "q39_sessionize"     -> Relational.q39Sql,
     "q40_pivot"          -> Relational.q40Sql,
+    "q41_percentiles"    -> Relational.q41Sql,
   )
 }

@@ -418,4 +418,33 @@ object Relational {
        |       $cols
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
+
+  // --- Q41: distribution statistics (exact percentiles) ---------------------
+
+  /** Q41: per-event-type value distribution — exact continuous percentiles
+    * (linear interpolation at p·(n−1), the definition DuckDB's
+    * `quantile_cont` shares) plus min/max. Exact `percentile` buffers a
+    * group's values, which is fine per bounded group; the 100 TB path for
+    * heavy groups is the MERGEABLE sketch twin `approx_percentile` (each
+    * partition builds a bounded-memory sketch, the shuffle carries sketches,
+    * not values) — approximate, so it is property-tested against this exact
+    * result in PipelineSpec instead of oracle-gated. */
+  def q41Percentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(min(col("value")), 2).as("v_min"),
+        round(max(col("value")), 2).as("v_max"))
+      .orderBy("event_type")
+
+  val q41Sql: String =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90,
+      |       round(quantile_cont(value, 0.99), 4) AS p99,
+      |       round(min(value), 2) AS v_min,
+      |       round(max(value), 2) AS v_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -21,6 +21,36 @@ class PipelineSpec extends AnyFunSuite {
     Array.fill(Vectors.Dim)(r.nextGaussian().toFloat)
   }
 
+  test("mergeable sketches track their exact twins: approx_percentile " +
+    "within accuracy bounds, approx_count_distinct within HLL error") {
+    import org.apache.spark.sql.functions._
+    val sfd = "/root/testdata/sf0.01"
+    // percentile sketch (the 100 TB path for q41's heavy groups): the
+    // partial aggregate carries a bounded sketch, not the group's values
+    val exact = graft.operators.Relational.q41Percentiles(spark, sfd)
+      .select("event_type", "p50", "p90").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = spark.read.parquet(s"$sfd/events.parquet")
+      .groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("p"))
+      .select(col("event_type"), col("p")(0).as("a50"), col("p")(1).as("a90"))
+      .as[(String, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (t, a50, a90) =>
+      val (p50, p90) = exact(t)
+      // 1/accuracy = 1e-4 rank error; values span ~[0, 500], so a loose
+      // value-space bound of 5% of the p90 magnitude is far above it
+      assert(math.abs(a50 - p50) <= 0.05 * p90, s"$t p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= 0.05 * p90, s"$t p90: $a90 vs $p90")
+    }
+    // HLL++ distinct-count sketch vs exact distinct, default 5% rsd
+    val (ex, ap) = spark.read.parquet(s"$sfd/events.parquet")
+      .agg(countDistinct(col("user_id")).cast("double"),
+        approx_count_distinct(col("user_id")).cast("double"))
+      .as[(Double, Double)].head()
+    assert(math.abs(ap - ex) / ex < 0.15, s"HLL too far off: $ap vs $ex")
+  }
+
   test("q37 BPE pre-tokenizer keeps mixed-case letter runs whole") {
     // "The USA won 3-0!" → The | ␣USA | ␣won | ␣3 | - | 0 | ! = 7 tokens;
     // a lowercase-only letter class would shatter "The" into T + he and
