@@ -313,13 +313,17 @@ object Docs {
     * [[graft.plans.HammingDistance hamming_distance]] expression registered
     * through `SparkSessionExtensions`. Never an all-pairs cross join.
     *
-    * Band width is the scale dial: the q24 gate runs the reference-scale
-    * 32/4 config (8-bit bands, 256 values), while a 10^9-doc corpus should
-    * run 64/4 (16-bit bands, 65,536 values per band — bucket population
-    * shrinks ~2× per added band bit, same candidate shape; asserted in
-    * PipelineSpec). */
+    * Band COUNT is pigeonhole-OPTIMAL at `maxHamming + 1`: this banding is
+    * exact (candidates are verified, recall is 1 by the pigeonhole bound),
+    * so extra bands buy nothing — they only SHORTEN each band and loosen
+    * its buckets. Measured at sf0.1: the old 4×8-bit config generated
+    * 7.5M candidate pairs for 23k true pairs, while 2×16-bit bands are
+    * lossless for the same hamming ≤ 1 and collapse the candidate set ~60×.
+    * Band WIDTH (via `simBits`) stays the bucket-population dial for corpus
+    * scale: a 10^9-doc corpus should run a 64-bit simhash (2×32-bit bands;
+    * population shrinks ~2× per added band bit; asserted in PipelineSpec). */
   def simhashNeardupPairs(spark: SparkSession, dir: String,
-      simBits: Int = SimBits, numBands: Int = 4,
+      simBits: Int = SimBits, numBands: Int = 2,
       maxHamming: Long = 1L): DataFrame = {
     require(simBits % numBands == 0, s"$numBands bands must tile $simBits bits")
     require(maxHamming < numBands, "banding is lossless only for hamming < numBands")
@@ -455,8 +459,7 @@ object Docs {
        |bands AS (
        |  SELECT doc_id, simhash, b.* FROM sh,
        |  LATERAL (SELECT * FROM (VALUES
-       |    ('0', substr(simhash, 1, 8)), ('1', substr(simhash, 9, 8)),
-       |    ('2', substr(simhash, 17, 8)), ('3', substr(simhash, 25, 8)))
+       |    ('0', substr(simhash, 1, 16)), ('1', substr(simhash, 17, 16)))
        |    t(band_idx, band_val)) b),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

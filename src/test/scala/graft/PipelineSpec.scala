@@ -231,8 +231,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == Set((1L, 2L)))
   }
 
-  test("wide SimHash bands: the 64/4 scale config shrinks band buckets and " +
-    "its pairs are a verified subset of the 32/4 gate result") {
+  test("wide SimHash: the 64-bit scale config shrinks band buckets and " +
+    "its pairs are a verified subset of the 32-bit gate result") {
     def maxBandPop(bits: Int): Long = {
       val w = bits / 4
       val stackArgs = (0 until 4)
