@@ -32,8 +32,9 @@ object LwwObjectToMaxBy extends Rule[LogicalPlan] {
 }
 
 /** Engine extensions, installed via `spark.sql.extensions=graft.plans.
-  * GraftExtensions`: the [[HammingDistance]] and [[RangeBucket]] native
-  * functions and the [[LwwObjectToMaxBy]] optimizer rule. */
+  * GraftExtensions`: the [[HammingDistance]], [[RangeBucket]] and
+  * [[RollingKgramHashes]] native functions and the [[LwwObjectToMaxBy]]
+  * optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -46,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RangeBucket].getName, "range_bucket"),
       (children: Seq[Expression]) =>
         RangeBucket(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_kgram_hashes"),
+      new ExpressionInfo(classOf[RollingKgramHashes].getName,
+        "rolling_kgram_hashes"),
+      (children: Seq[Expression]) =>
+        RollingKgramHashes(children(0), children(1))))
     // `lww_object(object, ts_ms)` in SQL text: the reference's whole surface
     // is queries-from-outside (MasterServer.py:292-330), so the LWW winner
     // function must be reachable from spark.sql, not just the Column API.

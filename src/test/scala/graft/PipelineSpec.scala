@@ -259,7 +259,7 @@ class PipelineSpec extends AnyFunSuite {
   test("winnowing: near-dup docs share most fingerprints; distinct docs " +
     "share few") {
     val fps = graft.operators.Docs.q26Winnowing(spark, sf)
-      .as[(Long, String)].collect()
+      .as[(Long, Long)].collect()
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
     // planted near-dup pair at sf0.001 (q19 jaccard 0.9865) vs unrelated
     def overlap(a: Long, b: Long): Double = {

@@ -62,6 +62,29 @@ class PlansSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("rolling_kgram_hashes: rolling update equals the direct polynomial, " +
+    "handles non-ASCII code points, short text, and nulls") {
+    import spark.implicits._
+    import graft.plans.RollingKgramHashes.{Mod, modPow}
+    val text = "The quick brown fox ₩é😀 jumps" // ₩ é 😀
+    def direct(s: String, k: Int): Seq[Long] = {
+      val c = s.codePoints().toArray
+      (0 to c.length - k).map(i =>
+        (0 until k).map(j => c(i + j) * modPow(k - 1 - j) % Mod)
+          .foldLeft(0L)((a, x) => (a + x) % Mod))
+    }
+    val got = spark.sql(
+      s"SELECT rolling_kgram_hashes('${text.replace("'", "''")}', 8) AS h")
+      .as[Seq[Long]].head()
+    assert(got == direct(text, 8), "rolling != direct polynomial")
+    // shorter than k -> empty, never negative length; null text -> null
+    val (short, nul) = spark.sql(
+      "SELECT rolling_kgram_hashes('abc', 8), " +
+        "rolling_kgram_hashes(CAST(NULL AS STRING), 8)")
+      .as[(Seq[Long], Option[Seq[Long]])].head()
+    assert(short.isEmpty && nul.isEmpty)
+  }
+
   test("q39 sessionize clusters once: lag, running sum, and the session " +
     "aggregate share a single hash exchange") {
     val plan = graft.operators.Relational.q39Sessionize(spark, sf)
