@@ -143,6 +143,8 @@ object SparkEntry {
     // Exact continuous percentiles; the mergeable approx sketch twin is
     // property-tested against this in PipelineSpec.
     "q41_percentiles" -> (Relational.q41Percentiles(_, _)),
+    // Wide->long unpivot (q40's inverse shape) + per-measure summary.
+    "q42_unpivot" -> (Relational.q42Unpivot(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -251,5 +253,6 @@ object SparkEntry {
     "q39_sessionize"     -> Relational.q39Sql,
     "q40_pivot"          -> Relational.q40Sql,
     "q41_percentiles"    -> Relational.q41Sql,
+    "q42_unpivot"        -> Relational.q42Sql,
   )
 }
