@@ -432,11 +432,14 @@ object Relational {
   def q41Percentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+      // ONE percentile buffer per group (array argument), not three — each
+      // separate percentile() call would hold its own copy of the group
+      .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("p"),
         round(min(col("value")), 2).as("v_min"),
         round(max(col("value")), 2).as("v_max"))
+      .select(col("event_type"),
+        round(col("p")(0), 4).as("p50"), round(col("p")(1), 4).as("p90"),
+        round(col("p")(2), 4).as("p99"), col("v_min"), col("v_max"))
       .orderBy("event_type")
 
   val q41Sql: String =
