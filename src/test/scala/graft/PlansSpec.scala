@@ -77,6 +77,27 @@ class PlansSpec extends AnyFunSuite {
       s"SELECT rolling_kgram_hashes('${text.replace("'", "''")}', 8) AS h")
       .as[Seq[Long]].head()
     assert(got == direct(text, 8), "rolling != direct polynomial")
+    // property: rolling == direct over random strings from an alphabet that
+    // spans ASCII, a BMP multi-byte char, and a surrogate-pair char
+    locally {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.unsafe.types.UTF8String
+      import org.scalacheck.{Gen, Prop, Test => SCTest}
+      val cps = Seq(0x61, 0x7A, 0x30, 0x20A9, 0x1F600)
+      val genS: Gen[String] = Gen.choose(0, 24).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(cps)).map(l =>
+          new String(l.toArray, 0, l.length)))
+      val genK: Gen[Int] = Gen.choose(1, 10)
+      val prop = Prop.forAll(genS, genK) { (s, k) =>
+        val arr = graft.plans.RollingKgramHashes
+          .hashes(UTF8String.fromString(s), k)
+          .asInstanceOf[ArrayData].toLongArray().toSeq
+        arr == direct(s, k)
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+      assert(res.passed, res.status.toString)
+    }
     // shorter than k -> empty, never negative length; null text -> null
     val (short, nul) = spark.sql(
       "SELECT rolling_kgram_hashes('abc', 8), " +

@@ -33,6 +33,29 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(StreamingSessions.split(Seq.empty, GapMs).isEmpty)
   }
 
+  test("split property: sessions partition the sorted buffer, in-session " +
+    "gaps <= gap, between-session gaps > gap") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEvents: Gen[List[SessionEvent]] = Gen.listOf(for {
+      ts <- Gen.choose(0L, 40L * GapMs)
+      id <- Gen.choose(0L, 1000L)
+      } yield SessionEvent(ts, id, 1.0))
+    val prop = Prop.forAll(genEvents) { evs0 =>
+      val evs = evs0.sortBy(e => (e.ts_ms, e.event_id))
+      val ss = StreamingSessions.split(evs, GapMs)
+      val partitions = ss.flatten == evs
+      val nonEmpty = ss.forall(_.nonEmpty)
+      val inGaps = ss.forall(s =>
+        s.zip(s.tail).forall { case (a, b) => b.ts_ms - a.ts_ms <= GapMs })
+      val betweenGaps = ss.zip(ss.drop(1)).forall { case (a, b) =>
+        b.head.ts_ms - a.last.ts_ms > GapMs }
+      partitions && nonEmpty && inGaps && betweenGaps
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming sessions == batch q39 on the driver's events table") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
