@@ -162,11 +162,15 @@ object Graph {
     * [[connectedComponents]]: `(node, label)` including isolated
     * self-loop-only nodes. */
   def ccStar(edgeDf: DataFrame, maxIter: Int = 20): DataFrame = {
+    // one materialization of the input: the edge list feeds canon here AND
+    // both sides of the closing node-domain union — without this the source
+    // scan (a parquet read for the store graph) runs three times
+    val edges0 = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("hi"), col("lo")).as("hi"),
         least(col("hi"), col("lo")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-    var e = canon(edgeDf.select(col("src").as("hi"), col("dst").as("lo")))
+    var e = canon(edges0.select(col("src").as("hi"), col("dst").as("lo")))
       .localCheckpoint(true)
     // Fixed-point test WITHOUT running an extra no-op round: a set of
     // disjoint stars (every `hi` points at exactly one `lo`, and no `lo` is
@@ -234,8 +238,8 @@ object Graph {
     // themselves. The node domain is fed UN-deduplicated — the closing
     // groupBy already dedupes, so a separate distinct+materialization of
     // the node set would be a wasted upfront shuffle.
-    edgeDf.select(col("src").as("node"))
-      .union(edgeDf.select(col("dst").as("node")))
+    edges0.select(col("src").as("node"))
+      .union(edges0.select(col("dst").as("node")))
       .join(e.select(col("hi").as("node"), col("lo").as("label")),
         Seq("node"), "left_outer")
       .groupBy("node")
