@@ -145,6 +145,10 @@ object SparkEntry {
     "q41_percentiles" -> (Relational.q41Percentiles(_, _)),
     // Wide->long unpivot (q40's inverse shape) + per-measure summary.
     "q42_unpivot" -> (Relational.q42Unpivot(_, _)),
+    // Rank-distribution window family: ntile / percent_rank / cume_dist.
+    "q43_rank_dist" -> (Relational.q43RankDist(_, _)),
+    // As-of attribute propagation: latest preceding purchase per event.
+    "q44_asof_attr" -> (Relational.q44AsofAttr(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -254,5 +258,7 @@ object SparkEntry {
     "q40_pivot"          -> Relational.q40Sql,
     "q41_percentiles"    -> Relational.q41Sql,
     "q42_unpivot"        -> Relational.q42Sql,
+    "q43_rank_dist"      -> Relational.q43Sql,
+    "q44_asof_attr"      -> Relational.q44Sql,
   )
 }

@@ -451,6 +451,71 @@ object Relational {
       |       round(max(value), 2) AS v_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- Q43: ranking-distribution window family ------------------------------
+
+  /** Q43: the remaining rank-family window functions — `ntile` (equal-depth
+    * bucketing, the window twin of `range_bucket`'s equal-width routing),
+    * `percent_rank` and `cume_dist` (relative standing inside a group).
+    * Same total-order discipline as q7: suppliers partition, price +
+    * unique-key tie-break order. One shuffle (the window), pruned scan. */
+  def q43RankDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    table(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val q43Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       round(percent_rank() OVER w, 4) AS pct_rank,
+      |       round(cume_dist() OVER w, 4) AS cume
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // --- Q44: as-of attribute propagation within a stream ---------------------
+
+  /** Q44: attach to every event the user's most recent PURCHASE value — the
+    * as-of / "latest label as of event time" pattern every training-data
+    * pipeline needs (join features to the newest preceding annotation).
+    * Expressed as `last(<conditional>, ignoreNulls)` over an unbounded
+    * preceding frame: one shuffle by user, no self-join, no range join —
+    * the frame IS the as-of semantics. DuckDB's `last_value(... IGNORE
+    * NULLS)` is the exact twin. */
+  def q44AsofAttr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), eventTsMs(ev).as("ts_ms"))
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        col("event_type"), col("last_purchase_value"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  val q44Sql: String =
+    """SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+      |       event_type,
+      |       last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |                  IGNORE NULLS) OVER (
+      |         PARTITION BY user_id
+      |         ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS last_purchase_value
+      |FROM events
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   // --- Q42: unpivot (wide -> long reshaping, q40's inverse shape) -----------
 
   private val MeltMeasures =
