@@ -109,6 +109,54 @@ class StreamingSessionsSpec extends AnyFunSuite {
     }
   }
 
+  test("session state survives a checkpoint restart: an open session " +
+    "extends across a stopped-and-restarted query") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sess_restart")
+    val (srcDir, ckpt, outDir) = (s"$root/src", s"$root/ckpt", s"$root/out")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val base = 1000L * GapMs
+    def writeFile(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val f = java.nio.file.Paths.get(srcDir, name)
+      val lines = rows.map { case (u, e, ts, v) =>
+        s"""{"user_id":$u,"event_id":$e,"ts_ms":$ts,"value":$v}"""
+      }
+      java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+      ()
+    }
+    def startQuery() = StreamingSessions.sessionize(
+        spark.readStream
+          .schema("user_id LONG, event_id LONG, ts_ms LONG, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .json(srcDir)
+          .withColumn("ts", timestamp_millis(col("ts_ms"))),
+        GapMs, watermarkDelay = "10 minutes")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // first life: an OPEN session for user 1 (two events, half a gap apart)
+    writeFile("f1.json",
+      Seq((1L, 0L, base, 1.0), (1L, 1L, base + GapMs / 2, 1.0)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // second life, SAME checkpoint: an extension of that session (within
+    // gap of its last event), then two sentinel files to advance the
+    // watermark and fire the timeout
+    writeFile("f2.json", Seq((1L, 2L, base + GapMs, 1.0)))
+    writeFile("f3.json", Seq((SentinelUser, 0L, base + 20 * GapMs, 0.0)))
+    writeFile("f4.json", Seq((SentinelUser, 1L, base + 21 * GapMs, 0.0)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir).as[ClosedSession].collect()
+      .filter(_.user_id == 1L)
+    // state loss would surface as TWO sessions (or n_events < 3); the
+    // restored open session must absorb the post-restart extension
+    assert(out.toSeq == Seq(
+      ClosedSession(1L, base, base + GapMs, 3L, 3.0)),
+      s"expected one continued session, got ${out.toSeq}")
+  }
+
   test("a late-but-admissible event fuses two apparent sessions (emission " +
     "waits for the watermark, not the raw gap)") {
     implicit val sqlCtx = spark.sqlContext
