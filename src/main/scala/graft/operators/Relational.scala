@@ -451,6 +451,36 @@ object Relational {
       |       round(max(value), 2) AS v_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- Q42: unpivot (wide -> long reshaping, q40's inverse shape) -----------
+
+  private val MeltMeasures =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Q42: melt lineitem's four measure columns into (measure, value) rows —
+    * `Dataset.unpivot`, the narrow wide→long reshape (a per-row explode
+    * inside one stage, no shuffle until the aggregate), then a per-measure
+    * summary. The unpivot itself is the operator under test; the aggregate
+    * keeps the oracle small and total-ordered. */
+  def q42Unpivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey") +: MeltMeasures.map(col): _*)
+      .unpivot(Array(col("l_orderkey")),
+        MeltMeasures.map(col).toArray, "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+        round(avg(col("value")), 4).as("mean"))
+      .orderBy("measure")
+
+  val q42Sql: String = {
+    val legs = MeltMeasures.map(m =>
+      s"SELECT l_orderkey, '$m' AS measure, $m AS value FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""SELECT measure, CAST(count(*) AS BIGINT) AS n,
+       |       round(sum(value), 2) AS total, round(avg(value), 4) AS mean
+       |FROM ($legs)
+       |GROUP BY measure ORDER BY measure""".stripMargin
+  }
+
   // --- Q43: ranking-distribution window family ------------------------------
 
   /** Q43: the remaining rank-family window functions — `ntile` (equal-depth
@@ -515,34 +545,4 @@ object Relational {
       |         AS last_purchase_value
       |FROM events
       |ORDER BY user_id, ts_ms, event_id""".stripMargin
-
-  // --- Q42: unpivot (wide -> long reshaping, q40's inverse shape) -----------
-
-  private val MeltMeasures =
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-
-  /** Q42: melt lineitem's four measure columns into (measure, value) rows —
-    * `Dataset.unpivot`, the narrow wide→long reshape (a per-row explode
-    * inside one stage, no shuffle until the aggregate), then a per-measure
-    * summary. The unpivot itself is the operator under test; the aggregate
-    * keeps the oracle small and total-ordered. */
-  def q42Unpivot(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .select(col("l_orderkey") +: MeltMeasures.map(col): _*)
-      .unpivot(Array(col("l_orderkey")),
-        MeltMeasures.map(col).toArray, "measure", "value")
-      .groupBy("measure")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-        round(avg(col("value")), 4).as("mean"))
-      .orderBy("measure")
-
-  val q42Sql: String = {
-    val legs = MeltMeasures.map(m =>
-      s"SELECT l_orderkey, '$m' AS measure, $m AS value FROM lineitem")
-      .mkString("\n  UNION ALL ")
-    s"""SELECT measure, CAST(count(*) AS BIGINT) AS n,
-       |       round(sum(value), 2) AS total, round(avg(value), 4) AS mean
-       |FROM ($legs)
-       |GROUP BY measure ORDER BY measure""".stripMargin
-  }
 }

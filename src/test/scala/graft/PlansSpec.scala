@@ -88,7 +88,9 @@ class PlansSpec extends AnyFunSuite {
         Gen.listOfN(n, Gen.oneOf(cps)).map(l =>
           new String(l.toArray, 0, l.length)))
       val genK: Gen[Int] = Gen.choose(1, 10)
-      val prop = Prop.forAll(genS, genK) { (s, k) =>
+      // forAllNoShrink: the default Shrink[Int] would retry a genuine
+      // failure at k=0, where hashes() throws — masking the real input
+      val prop = Prop.forAllNoShrink(genS, genK) { (s, k) =>
         val arr = graft.plans.RollingKgramHashes
           .hashes(UTF8String.fromString(s), k)
           .asInstanceOf[ArrayData].toLongArray().toSeq

@@ -142,12 +142,19 @@ class StreamingSessionsSpec extends AnyFunSuite {
     try q1.processAllAvailable() finally q1.stop()
     // second life, SAME checkpoint: an extension of that session (within
     // gap of its last event), then two sentinel files to advance the
-    // watermark and fire the timeout
-    writeFile("f2.json", Seq((1L, 2L, base + GapMs, 1.0)))
-    writeFile("f3.json", Seq((SentinelUser, 0L, base + 20 * GapMs, 0.0)))
-    writeFile("f4.json", Seq((SentinelUser, 1L, base + 21 * GapMs, 0.0)))
+    // watermark and fire the timeout. Each file is consumed before the next
+    // is written: FileStreamSource orders pending files by ms-granularity
+    // mtime with NO path tie-break, so pre-writing all three could process
+    // a sentinel first and drop the extension as late (flake)
     val q2 = startQuery()
-    try q2.processAllAvailable() finally q2.stop()
+    try {
+      writeFile("f2.json", Seq((1L, 2L, base + GapMs, 1.0)))
+      q2.processAllAvailable()
+      writeFile("f3.json", Seq((SentinelUser, 0L, base + 20 * GapMs, 0.0)))
+      q2.processAllAvailable()
+      writeFile("f4.json", Seq((SentinelUser, 1L, base + 21 * GapMs, 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
     val out = spark.read.parquet(outDir).as[ClosedSession].collect()
       .filter(_.user_id == 1L)
     // state loss would surface as TWO sessions (or n_events < 3); the
