@@ -261,6 +261,27 @@ class StreamingLwwSpec extends AnyFunSuite {
     assert(store == batch)
   }
 
+  test("jsonl file source: a malformed line fails the batch loudly " +
+    "(FAILFAST), never silently nulling keys into the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_file_bad")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.writeString(in.resolve("bad.json"),
+      """{"subject":"<a>","predicate":"<p>","object":"v","ts_ms":1}""" +
+        "\nnot json at all\n")
+    val q = StreamingLww.jsonlSource(spark, in.toString)
+      .writeStream.format("memory").queryName("failfast_stream").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the failure must be the parser's corrupt-record abort, not incidental
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.getClass.getName.contains("MalformedRecord") ||
+        String.valueOf(c.getMessage).toLowerCase.contains("malformed")),
+      s"unexpected failure chain: ${causes(ex).map(_.getClass.getName)}")
+  }
+
   test("jsonl file source: files dropped into a directory stream through " +
     "the partitioned merge sink to batch-LWW convergence") {
     val dir = java.nio.file.Files.createTempDirectory("graft_file_src")
