@@ -1,0 +1,43 @@
+package graft
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A served engine runs queries CONCURRENTLY on one session. The shared
+  * surfaces with concurrency exposure — temp-view registration (q32), the
+  * memoized bucketed/sharded materializations (q31/q1), call-scoped caches
+  * (q19), the injected SQL functions — must produce serial-identical
+  * results under parallel execution. */
+class ConcurrencySpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val names = Seq("q1_sharded_scan", "q32_sql_merge",
+    "q31_bucketed_merge", "q19_minhash_neardup", "q12_lww_udaf",
+    "q39_sessionize", "q34_range_bucket", "q38_cosine_neardup")
+
+  private def run(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+
+  test("gate queries return serial-identical results under concurrent " +
+    "execution on one shared session") {
+    val serial = names.map(n => n -> run(n)).toMap
+    val pool = Executors.newFixedThreadPool(names.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // two interleaved waves of every query, all in flight at once
+      val futs = (1 to 2).flatMap(_ =>
+        names.map(n => Future(n -> run(n))))
+      val results = Await.result(
+        Future.sequence(futs), 5.minutes)
+      results.foreach { case (n, r) =>
+        assert(r == serial(n), s"$n diverged under concurrent execution")
+      }
+    } finally { pool.shutdown(); () }
+  }
+}
