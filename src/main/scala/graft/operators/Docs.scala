@@ -200,10 +200,21 @@ object Docs {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // materialized: the pair set (bounded by the banding) now feeds the
+      // intersection join AND the doc-id prune below — re-evaluating the
+      // signature/banding subtree per consumer measurably dominates
+      .localCheckpoint(true)
+    // verify-side prune: the exact-Jaccard joins only ever touch docs that
+    // appear in a candidate pair, so semi-join the shingle table down to
+    // them FIRST — at corpus scale the verify shuffle then carries the
+    // candidate docs' shingles (bounded by the banding), not the corpus
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = shC.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.as("xa"), col("doc_a") === col("xa.doc_id"))
-      .join(sh.as("xb"),
+      .join(shC.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(shC.as("xb"),
         col("doc_b") === col("xb.doc_id") && col("xa.s") === col("xb.s"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
