@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 import graft.functions.{LwwObject, Multimodal}
-import graft.operators.{Docs, Graph, Lww, Relational, Skew, Vectors}
+import graft.operators.{Docs, Graph, Lww, Relational, Skew, Temporal, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -149,6 +149,12 @@ object SparkEntry {
     "q43_rank_dist" -> (Relational.q43RankDist(_, _)),
     // As-of attribute propagation: latest preceding purchase per event.
     "q44_asof_attr" -> (Relational.q44AsofAttr(_, _)),
+    // Range (interval-containment) join via time-binned equi-join — never
+    // the nested-loop fallback (plan-asserted in TemporalSpec).
+    "q45_range_join" -> (Temporal.q45RangeJoin(_, _)),
+    // Two-table as-of join with a tolerance bound: one window shuffle,
+    // no join node (generic Temporal.asofJoin).
+    "q46_asof_join" -> (Temporal.q46AsofJoin(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -260,5 +266,7 @@ object SparkEntry {
     "q42_unpivot"        -> Relational.q42Sql,
     "q43_rank_dist"      -> Relational.q43Sql,
     "q44_asof_attr"      -> Relational.q44Sql,
+    "q45_range_join"     -> Temporal.q45Sql,
+    "q46_asof_join"      -> Temporal.q46Sql,
   )
 }

@@ -24,7 +24,7 @@ object Relational {
   /** events.ts is nanosecond-precision parquet; normalize to epoch millis the
     * same way DuckDB's `epoch_ms(CAST(ts AS TIMESTAMP))` does (floor to ms)
     * whether Spark surfaces it as a (truncated) timestamp or as raw ns longs. */
-  private def eventTsMs(df: DataFrame): Column =
+  private[operators] def eventTsMs(df: DataFrame): Column =
     df.schema("ts").dataType match {
       case LongType => expr("ts div 1000000")
       case _        => unix_millis(col("ts").cast(TimestampType))

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** The temporal join operators: binned range join + union-window as-of join.
+  * Semantics on hand-built frames, plan shape on the gate queries (the scale
+  * claim is "no nested-loop join node, bounded shuffles" — assert it). */
+class TemporalSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // --- rangeJoin semantics ---------------------------------------------------
+
+  private def probeDf = Seq(
+    // (key, time, id)
+    ("u1", 100L, "e1"), // inside [50, 150)
+    ("u1", 150L, "e2"), // AT end -> excluded (half-open)
+    ("u1", 50L, "e3"),  // AT start -> included
+    ("u1", 49L, "e4"),  // before start -> excluded
+    ("u2", 100L, "e5"), // other key: no interval -> excluded
+    ("u1", 910L, "e6"), // inside the bucket-spanning interval [870, 970)
+    ("u1", 969L, "e7"), // last admissible ms of it
+    ("u1", 970L, "e8")  // its end -> excluded
+  ).toDF("k", "t", "id")
+
+  private def intervalsDf = Seq(
+    ("u1", 50L, 150L, "w1"),
+    ("u1", 870L, 970L, "w2"), // spans the 100-wide bucket boundary at 900
+    ("u1", 60L, 140L, "w3"),  // overlaps w1: e1 must match BOTH
+    ("u1", 300L, 300L, "w4"), // empty -> matches nothing
+    ("u1", 400L, 350L, "w5")  // inverted -> dropped, matches nothing
+  ).toDF("k", "s", "e", "w")
+
+  test("rangeJoin: half-open containment, bucket spanning, overlap, empty/inverted") {
+    val got = Temporal.rangeJoin(probeDf, intervalsDf, Seq("k"), "t", "s", "e", 100L)
+      .select("id", "w").as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("e1", "w1"), ("e1", "w3"), ("e3", "w1"),
+      ("e6", "w2"), ("e7", "w2")))
+  }
+
+  test("rangeJoin: pairs are unique even when interval and probe share a bucket twice") {
+    // interval exactly one bucket wide starting mid-bucket -> replicated to
+    // 2 buckets; each probe row lives in ONE bucket, so no pair dup
+    val n = Temporal.rangeJoin(probeDf, intervalsDf, Seq("k"), "t", "s", "e", 100L)
+      .groupBy("id", "w").count().filter(col("count") > 1).count()
+    assert(n == 0L)
+  }
+
+  test("q45 plan: equi-join on (key, bucket), no nested-loop or cartesian node") {
+    val plan = SparkEntry.queries("q45_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("_gbucket"), s"bucket key missing from join:\n$plan")
+  }
+
+  test("q45 matches a direct (unscalable) inequality-join evaluation") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("ts div 1000000").as("ts_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("win_id"),
+        col("ts_ms").as("ws"))
+    val naive = ev.join(p, col("user_id") === col("pu") &&
+        col("ts_ms") >= col("ws") &&
+        col("ts_ms") < col("ws") + Temporal.AttributionWindowMs)
+      .groupBy(col("user_id"), col("win_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    val fast = SparkEntry.queries("q45_range_join")(spark, sf)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  // --- asofJoin semantics ----------------------------------------------------
+
+  private def leftDf = Seq(
+    ("u1", 100L, 1L), // after r at 90 -> matches it
+    ("u1", 90L, 2L),  // EXACTLY at r's time -> exact match allowed
+    ("u1", 89L, 3L),  // before any r -> null
+    ("u1", 501L, 4L), // latest r at 200 is 301 old: outside tolerance 300 -> null
+    ("u1", 250L, 5L), // two r at 200: larger tie wins
+    ("u2", 100L, 6L)  // key with no r rows at all -> null
+  ).toDF("k", "t", "lid")
+
+  private def rightDf = Seq(
+    ("u1", 90L, 10L, "a"),
+    ("u1", 200L, 11L, "b1"), // same time as the next: tie 12 > 11
+    ("u1", 200L, 12L, "b2")
+  ).toDF("k", "t", "rid", "pay")
+
+  test("asofJoin: exact match, tie-break, tolerance, no-match nulls, key isolation") {
+    val got = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+        "lid", "rid", Seq("pay"), Some(300L))
+      .select("lid", "pay").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("a"), 2L -> Some("a"), 3L -> None,
+      4L -> None, 5L -> Some("b2"), 6L -> None))
+  }
+
+  test("asofJoin: unbounded lookback when tolerance is None") {
+    val got = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+        "lid", "rid", Seq("pay"), None)
+      .filter(col("lid") === 4L).select("pay").as[String].head()
+    assert(got == "b2")
+  }
+
+  test("asofJoin plan: one hash exchange, no join node") {
+    val plan = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "t", "t",
+        "lid", "rid", Seq("pay"), Some(300L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join node in as-of plan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("q46 matches a direct (unscalable) inequality-join evaluation") {
+    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_asof")
+    val naive = spark.sql(
+      s"""WITH e AS (SELECT user_id, event_id, event_type, round(value, 2) AS value,
+         |                  ts div 1000000 AS ts_ms FROM ev_asof),
+         |l AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+         |r AS (SELECT user_id AS ru, ts_ms AS rt, event_id AS rid, value AS rv
+         |      FROM e WHERE event_type = 'purchase')
+         |SELECT l.user_id, l.event_id, l.ts_ms, l.event_type,
+         |       max_by(rid, struct(rt, rid)) AS purchase_id,
+         |       max_by(rv, struct(rt, rid)) AS purchase_value
+         |FROM l LEFT JOIN r ON l.user_id = ru
+         |  AND rt <= l.ts_ms AND rt >= l.ts_ms - ${Temporal.AsofToleranceMs}
+         |GROUP BY l.user_id, l.event_id, l.ts_ms, l.event_type""".stripMargin)
+    val fast = SparkEntry.queries("q46_asof_join")(spark, sf)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}
