@@ -155,6 +155,8 @@ object SparkEntry {
     // Two-table as-of join with a tolerance bound: one window shuffle,
     // no join node (generic Temporal.asofJoin).
     "q46_asof_join" -> (Temporal.q46AsofJoin(_, _)),
+    // Gopher-style repetition quality metrics: top/dup n-gram fractions.
+    "q47_repetition" -> (Docs.q47Repetition(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -268,5 +270,6 @@ object SparkEntry {
     "q44_asof_attr"      -> Relational.q44Sql,
     "q45_range_join"     -> Temporal.q45Sql,
     "q46_asof_join"      -> Temporal.q46Sql,
+    "q47_repetition"     -> Docs.q47Sql,
   )
 }

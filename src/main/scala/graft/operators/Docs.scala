@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -480,6 +480,74 @@ object Docs {
        |FROM stats s JOIN reps USING (doc_id) JOIN lang USING (doc_id)
        |WHERE s.keep AND lang.pred_lang = 'en'
        |ORDER BY s.doc_id""".stripMargin
+
+  // --- Q47: Gopher-style repetition metrics ---------------------------------
+
+  /** Per-document n-gram repetition signals (the "repetition" block of the
+    * published Gopher quality heuristics): for n = 1, 2, 3, the fraction of
+    * n-gram positions held by the single most frequent n-gram (`topN_frac`)
+    * and by n-grams that occur more than once (`dupN_frac`). These flag
+    * boilerplate / crawler-loop documents whose repetition is WITHIN one
+    * document — invisible to exact (q18) and near (q19/q24) dedup, which
+    * both compare across documents.
+    *
+    * Plan: one scan; per-row higher-order functions expand the per-document
+    * gram arrays (bounded by doc length, no quadratic in-row work), then
+    * explode + two map-combined hash aggregates. The only wide shuffle
+    * carries (doc_id, n, gram) partial counts — the text column never
+    * moves, and because doc_id is in the grouping key the per-partition
+    * partial aggregate already collapses every within-document repeat,
+    * which is exactly the data these metrics target. */
+  def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(array(1, 2, 3), n ->
+          |  transform(filter(sequence(0, size(w) - 1), i -> i + n <= size(w)),
+          |    i -> named_struct('n', n,
+          |                      'gram', array_join(slice(w, i + 1, n), ' ')))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    def frac(n: Int, num: Column) =
+      round(max(when(col("n") === n, num / col("tot"))), 4)
+    grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(max("cnt").as("top_cnt"), sum("cnt").as("tot"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
+      .groupBy("doc_id")
+      .agg(
+        frac(1, col("top_cnt")).as("top1_frac"),
+        frac(1, col("dup_cnt")).as("dup1_frac"),
+        frac(2, col("top_cnt")).as("top2_frac"),
+        frac(2, col("dup_cnt")).as("dup2_frac"),
+        frac(3, col("top_cnt")).as("top3_frac"),
+        frac(3, col("dup_cnt")).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q47Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM w
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i+1])) AS gram FROM w
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM w
+      |),
+      |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      |p AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS tot,
+      |        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+      |      FROM c GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  round(max(CASE WHEN n = 1 THEN top_cnt / tot END), 4) AS top1_frac,
+      |  round(max(CASE WHEN n = 1 THEN dup_cnt / tot END), 4) AS dup1_frac,
+      |  round(max(CASE WHEN n = 2 THEN top_cnt / tot END), 4) AS top2_frac,
+      |  round(max(CASE WHEN n = 2 THEN dup_cnt / tot END), 4) AS dup2_frac,
+      |  round(max(CASE WHEN n = 3 THEN top_cnt / tot END), 4) AS top3_frac,
+      |  round(max(CASE WHEN n = 3 THEN dup_cnt / tot END), 4) AS dup3_frac
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),

@@ -62,6 +62,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == 7)
   }
 
+  test("q47 repetition metrics match hand-computed fractions, incl. a doc " +
+    "too short for 3-grams") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq((0L, "a a a b"), (1L, "x y z"), (2L, "p q"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Docs.q47Repetition(spark, dir)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      // "a a a b": 1-grams a,a,a,b → top 3/4, dup 3/4; 2-grams "a a"×2,
+      // "a b" → top 2/3, dup 2/3; 3-grams "a a a","a a b" → top 1/2, dup 0
+      (0L, Some(0.75), Some(0.75), Some(0.6667), Some(0.6667),
+        Some(0.5), Some(0.0)),
+      // "x y z": all grams unique; single 3-gram is trivially "top" 1.0
+      (1L, Some(0.3333), Some(0.0), Some(0.5), Some(0.0),
+        Some(1.0), Some(0.0)),
+      // "p q": no 3-gram exists → NULL fracs, not 0 (absence ≠ evidence)
+      (2L, Some(0.5), Some(0.0), Some(1.0), Some(0.0), None, None)))
+  }
+
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
     "clear the threshold") {
     val rows = Vectors.q38CosineNeardup(spark, "/root/testdata/sf0.01")
