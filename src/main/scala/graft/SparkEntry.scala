@@ -157,6 +157,8 @@ object SparkEntry {
     "q46_asof_join" -> (Temporal.q46AsofJoin(_, _)),
     // Gopher-style repetition quality metrics: top/dup n-gram fractions.
     "q47_repetition" -> (Docs.q47Repetition(_, _)),
+    // Benchmark decontamination: 8-gram overlap vs a broadcast held-out set.
+    "q48_decontaminate" -> (Docs.q48Decontaminate(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -271,5 +273,6 @@ object SparkEntry {
     "q45_range_join"     -> Temporal.q45Sql,
     "q46_asof_join"      -> Temporal.q46Sql,
     "q47_repetition"     -> Docs.q47Sql,
+    "q48_decontaminate"  -> Docs.q48Sql,
   )
 }

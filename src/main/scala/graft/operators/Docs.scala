@@ -549,6 +549,47 @@ object Docs {
       |  round(max(CASE WHEN n = 3 THEN dup_cnt / tot END), 4) AS dup3_frac
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- Q48: benchmark decontamination by n-gram overlap ---------------------
+
+  /** Benchmark decontamination — the published training-corpus hygiene step
+    * (GPT-2/3-style n-gram overlap; 13-grams there, 8-grams here because the
+    * synthetic docs are short): flag every corpus document sharing at least
+    * one word 8-gram with a held-out benchmark set, with the count of
+    * distinct shared grams as evidence. The benchmark stand-in is the
+    * deterministic `doc_id % 7 == 0` sample; benchmark members themselves
+    * are excluded from the output (they "contaminate" trivially).
+    *
+    * Scale shape: eval benchmarks are MBs even when the corpus is 100 TB, so
+    * the distinct benchmark gram set is BROADCAST and corpus grams probe it
+    * map-side — the corpus never shuffles on gram. Only hit rows (a tiny
+    * fraction) reach the per-doc distinct-count aggregate. At real scale the
+    * broadcast shrinks further by joining on `xxhash64(gram)` instead of the
+    * gram text (not done here: the oracle has no xxhash64 twin). */
+  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
+          |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 7 === 0).select("gram").distinct()
+    grams.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+      |        i -> array_to_string(w[i:i+7], ' '))) AS gram FROM w),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+      |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+      |FROM g JOIN b USING (gram)
+      |WHERE g.doc_id % 7 <> 0
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),
        |bands AS (

@@ -82,6 +82,62 @@ class PipelineSpec extends AnyFunSuite {
       (2L, Some(0.5), Some(0.0), Some(1.0), Some(0.0), None, None)))
   }
 
+  test("q47 repetition fractions match an in-memory model on a randomized " +
+    "small-vocab corpus (forced gram collisions)") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 40L).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_prop").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Docs.q47Repetition(spark, dir)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // Spark's round() is HALF_UP over the decimal (toString) value — so is
+    // Scala's BigDecimal(Double); the divisions are exact-integer doubles,
+    // so the model is bit-compatible, not just approximately equal.
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ").toSeq
+      def m(n: Int): (Option[Double], Option[Double]) = {
+        val grams = w.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        if (grams.isEmpty) (None, None)
+        else {
+          val c = grams.groupBy(identity).values.map(_.size).toSeq
+          val tot = grams.size.toDouble
+          (Some(round4(c.max / tot)),
+            Some(round4(c.filter(_ > 1).sum / tot)))
+        }
+      }
+      val (t1, d1) = m(1); val (t2, d2) = m(2); val (t3, d3) = m(3)
+      assert(got(id) === ((id, t1, d1, t2, d2, t3, d3)), s"doc $id: '$text'")
+    }
+  }
+
+  test("q48 decontamination: planted 8-gram overlaps are found and counted, " +
+    "benchmark members and gram-free docs excluded, via a broadcast probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    val bench = "w1 w2 w3 w4 w5 w6 w7 w8 w9" // doc 0: two 8-grams
+    Seq(
+      (0L, bench),                           // benchmark member (0 % 7 == 0)
+      (1L, s"x $bench w1"),                  // shares both benchmark 8-grams
+      (2L, "y w1 w2 w3 w4 w5 w6 w7 w8"),     // shares exactly one
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),    // 8-grams, none shared
+      (4L, "w1 w2 w3 w4 w5 w6 w7"),          // too short for any 8-gram
+      (7L, bench))                           // contaminated but 7 % 7 == 0
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val q = Docs.q48Decontaminate(spark, dir)
+    assert(q.as[(Long, Long)].collect().toSeq === Seq((1L, 2L), (2L, 1L)))
+    // the benchmark gram set must probe as a broadcast hash join — the
+    // corpus side never shuffles on gram
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
     "clear the threshold") {
     val rows = Vectors.q38CosineNeardup(spark, "/root/testdata/sf0.01")
