@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingDedup
+
+/** Ingest-time exact dedup: first copy per content hash survives, in-horizon
+  * duplicates drop, state evicts with the watermark, and the out-of-horizon
+  * re-emission bound is pinned (not hidden). */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** (doc_id, text, event-time millis) → the streaming input frame. */
+  private def frame(src: MemoryStream[(Long, String, Long)]) =
+    StreamingDedup.firstSeen(
+      src.toDS().toDF("doc_id", "text", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))),
+      "10 seconds")
+
+  test("first copy per content hash survives; in-horizon duplicates drop " +
+    "across micro-batches; state evicts with the watermark; an " +
+    "out-of-horizon copy re-emits (the documented bounded-state contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Long)]
+    val q = frame(source)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two copies of "alpha" in ONE batch + a singleton
+      source.addData((0L, "alpha", 1_000L), (1L, "alpha", 2_000L),
+        (2L, "beta", 1_500L))
+      q.processAllAvailable()
+      // batch 2: a later in-horizon copy of "alpha" (dropped), a new doc,
+      // and a copy of "beta" (dropped)
+      source.addData((3L, "alpha", 4_000L), (4L, "gamma", 5_000L),
+        (5L, "beta", 6_000L))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(kept === Set((0L, "alpha"), (2L, "beta"), (4L, "gamma")),
+        "exactly the first-arriving copy per hash")
+
+      // batch 3: jump event time far past horizon → old hash state evicts
+      source.addData((6L, "delta", 60_000L))
+      q.processAllAvailable()
+      // batch 4: "alpha" again, beyond the horizon of its first copy — the
+      // state that would have dropped it is gone, so it re-emits
+      source.addData((7L, "alpha", 61_000L))
+      q.processAllAvailable()
+      val evicted = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(evicted > 0, "watermark must evict expired hash state")
+      val again = spark.table("dedup_stream")
+        .filter(col("doc_id") === 7L).count()
+      assert(again === 1L, "out-of-horizon copy re-emits by design")
+    } finally q.stop()
+  }
+
+  test("with all rows inside one horizon, streaming output == batch " +
+    "first-per-hash on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (0L, "doc x", 1_000L), (1L, "doc y", 2_000L), (2L, "doc x", 3_000L),
+      (3L, "doc z", 3_500L), (4L, "doc y", 4_000L), (5L, "doc x", 5_000L))
+    val source = MemoryStream[(Long, String, Long)]
+    val q = frame(source)
+      .writeStream.format("memory").queryName("dedup_stream_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.grouped(2).foreach { g =>
+        source.addData(g: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("dedup_stream_eq")
+      .select("doc_id").as[Long].collect().toSet
+    // batch twin: first arrival per text — arrival order here is doc_id
+    // order, so min(doc_id) per distinct text
+    val batch = rows.toDF("doc_id", "text", "ts_ms")
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(0L, 1L, 3L))
+  }
+}
