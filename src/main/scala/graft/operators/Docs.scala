@@ -491,37 +491,30 @@ object Docs {
     * document — invisible to exact (q18) and near (q19/q24) dedup, which
     * both compare across documents.
     *
-    * Plan: one scan; per-row higher-order functions expand the per-document
-    * gram arrays (bounded by doc length, no quadratic in-row work), then
-    * explode + two map-combined hash aggregates. The only wide shuffle
-    * carries (doc_id, n, gram) partial counts — the text column never
-    * moves, and because doc_id is in the grouping key the per-partition
-    * partial aggregate already collapses every within-document repeat,
-    * which is exactly the data these metrics target. */
+    * Plan: a MAP-ONLY job. The metrics are per-document functions, so
+    * shuffling gram-level rows across the cluster (explode + re-group by
+    * doc shuffles ~3× the corpus's token stream for a per-row answer) buys
+    * nothing: the native [[graft.plans.GramRunStats gram_run_stats]]
+    * expression counts each row's grams in one compiled O(L) hash pass.
+    * No gram ever leaves its row; the only exchange in the plan is the
+    * gate's final doc_id sort. */
   def q47Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams = table(spark, dir, "documents")
+    def stats(n: Int) = expr(s"gram_run_stats(w, $n)")
+    def frac(s: Column, field: String) =
+      when(s.getField("tot") > 0,
+        round(s.getField(field) / s.getField("tot"), 4))
+    val withStats = table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """flatten(transform(array(1, 2, 3), n ->
-          |  transform(filter(sequence(0, size(w) - 1), i -> i + n <= size(w)),
-          |    i -> named_struct('n', n,
-          |                      'gram', array_join(slice(w, i + 1, n), ' ')))))"""
-          .stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-    def frac(n: Int, num: Column) =
-      round(max(when(col("n") === n, num / col("tot"))), 4)
-    grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id", "n")
-      .agg(max("cnt").as("top_cnt"), sum("cnt").as("tot"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
-      .groupBy("doc_id")
-      .agg(
-        frac(1, col("top_cnt")).as("top1_frac"),
-        frac(1, col("dup_cnt")).as("dup1_frac"),
-        frac(2, col("top_cnt")).as("top2_frac"),
-        frac(2, col("dup_cnt")).as("dup2_frac"),
-        frac(3, col("top_cnt")).as("top3_frac"),
-        frac(3, col("dup_cnt")).as("dup3_frac"))
+      .select(col("doc_id"),
+        stats(1).as("s1"), stats(2).as("s2"), stats(3).as("s3"))
+    withStats.select(
+      col("doc_id"),
+      frac(col("s1"), "top").as("top1_frac"),
+      frac(col("s1"), "dup").as("dup1_frac"),
+      frac(col("s2"), "top").as("top2_frac"),
+      frac(col("s2"), "dup").as("dup2_frac"),
+      frac(col("s3"), "top").as("top3_frac"),
+      frac(col("s3"), "dup").as("dup3_frac"))
       .orderBy("doc_id")
   }
 

@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         RangeBucket(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("gram_run_stats"),
+      new ExpressionInfo(classOf[GramRunStats].getName, "gram_run_stats"),
+      (children: Seq[Expression]) =>
+        GramRunStats(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("rolling_kgram_hashes"),
       new ExpressionInfo(classOf[RollingKgramHashes].getName,
         "rolling_kgram_hashes"),

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `gram_run_stats(words, n)`: per-document word n-gram occupancy stats in
+  * ONE compiled pass — returns `struct<top: bigint, dup: bigint,
+  * tot: bigint>` where `top` is the count of the most frequent n-gram,
+  * `dup` the number of n-gram positions held by grams occurring more than
+  * once, and `tot` the total n-gram count (`size(words) - n + 1`, 0 when
+  * the document is too short).
+  *
+  * Why a native expression: repetition metrics (q47) are PER-DOCUMENT
+  * functions, so the natural plans both overpay at scale —
+  * explode + re-group shuffles the entire gram stream across the cluster
+  * (~3× corpus bytes of exchange for a per-row answer), while the
+  * declarative in-row fold (`aggregate(array_sort(...))`) stays map-only
+  * but pays an interpreted lambda per comparison (measured 2.6 s vs this
+  * expression's compiled hash count at sf0.1). A hash-map count is O(L)
+  * per document with zero data movement: the shape that survives 100 TB is
+  * map-only AND compiled.
+  */
+case class GramRunStats(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"gram_run_stats requires (array<string>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false),
+    StructField("tot", LongType, nullable = false)))
+
+  override def prettyName: String = "gram_run_stats"
+
+  override def nullSafeEval(words: Any, n: Any): Any =
+    GramRunStats.stats(words.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, n) =>
+      s"graft.plans.GramRunStats.stats($w, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramRunStats =
+    copy(left = newLeft, right = newRight)
+}
+
+object GramRunStats {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** One pass: count each n-gram in a hash map, then reduce to
+    * (top, dup, tot). Called from generated code. */
+  def stats(words: ArrayData, n: Int): InternalRow = {
+    val tot = words.numElements() - n + 1
+    if (tot <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Int](tot * 2)
+    var i = 0
+    while (i < tot) {
+      var gram = word(words, i)
+      var j = 1
+      while (j < n) {
+        gram = UTF8String.concat(gram, Space, word(words, i + j))
+        j += 1
+      }
+      counts.merge(gram, 1, Integer.sum)
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c.toLong
+      if (c > 1) dup += c
+    }
+    new GenericInternalRow(Array[Any](top, dup, tot.toLong))
+  }
+
+  /** Null array elements count as empty strings (split() never produces
+    * them; this just keeps the expression total). */
+  private def word(words: ArrayData, i: Int): UTF8String = {
+    val s = words.getUTF8String(i)
+    if (s == null) UTF8String.EMPTY_UTF8 else s
+  }
+}

@@ -34,6 +34,21 @@ class PlansSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("gram_run_stats is registered, SQL-callable, and total on edge inputs") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT gram_run_stats(split('a a a b', ' '), 2) AS s2,
+        |       gram_run_stats(split('a b', ' '), 3) AS short,
+        |       gram_run_stats(array('x', CAST(NULL AS STRING), 'x'), 1) AS nl,
+        |       gram_run_stats(CAST(NULL AS ARRAY<STRING>), 1) AS n""".stripMargin)
+      .selectExpr("s2.top", "s2.dup", "s2.tot", "short.tot",
+        "nl.top", "nl.dup", "nl.tot", "n IS NULL AS is_null")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)].head()
+    // "a a","a a","a b" → top 2, dup 2, tot 3; too-short doc → tot 0;
+    // a null element counts as the empty string (total function, no NPE)
+    assert(r == ((2L, 2L, 3L, 0L, 2L, 2L, 3L, true)))
+  }
+
   test("optimizer rewrites the lww_object UDAF to native max_by (Q12 plan)") {
     val df = SparkEntry.queries("q12_lww_udaf")(spark, sf)
     val optimized = df.queryExecution.optimizedPlan.toString
