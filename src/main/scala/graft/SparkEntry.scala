@@ -159,6 +159,10 @@ object SparkEntry {
     "q47_repetition" -> (Docs.q47Repetition(_, _)),
     // Benchmark decontamination: 8-gram overlap vs a broadcast held-out set.
     "q48_decontaminate" -> (Docs.q48Decontaminate(_, _)),
+    // Deterministic stratified corpus mixing: per-language epochs.
+    "q49_stratified_mix" -> (Docs.q49StratifiedSample(_, _)),
+    // Sequence packing: per-shard concat-and-chunk into token budgets.
+    "q50_pack" -> (Docs.q50Pack(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -274,5 +278,7 @@ object SparkEntry {
     "q46_asof_join"      -> Temporal.q46Sql,
     "q47_repetition"     -> Docs.q47Sql,
     "q48_decontaminate"  -> Docs.q48Sql,
+    "q49_stratified_mix" -> Docs.q49Sql,
+    "q50_pack"           -> Docs.q50Sql,
   )
 }

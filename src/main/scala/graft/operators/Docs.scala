@@ -583,6 +583,110 @@ object Docs {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // --- Q49: deterministic stratified corpus mixing --------------------------
+
+  /** Corpus-mixing rates: epochs-per-language. A rate below 1 downsamples
+    * (the dominant stratum), above 1 upsamples by replication — the
+    * standard way a training mix over/under-weights sources. */
+  val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "fr" -> 2.25, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0)
+
+  /** Stratified corpus mixing — the per-stratum generalization of q29's
+    * deterministic split: each document draws `n_copies =
+    * floor(rate(lang)) + [hash < frac(rate(lang))]` where the "draw" is a
+    * salted md5 of (lang, doc_id). Deterministic ⇒ the mix is reproducible
+    * across runs, reshards and engines (no RNG seed plumbing), and any
+    * doc's fate is auditable after the fact. Zero shuffle: the predicate
+    * and copy count are row-local; at 100 TB this is a map-only pass that
+    * composes with the curation scan (q30) for free. */
+  def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    def fracThr(r: Double): String =
+      f"${math.round(r % 1.0 * 65536).toInt}%04x"
+    val whole = MixRates.tail.foldLeft(
+      when(col("lang") === MixRates.head._1, math.floor(MixRates.head._2))) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, math.floor(r))
+    }.otherwise(1.0).cast(LongType)
+    val thr = MixRates.tail.foldLeft(
+      when(col("lang") === MixRates.head._1, fracThr(MixRates.head._2))) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, fracThr(r))
+    }.otherwise("0000")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(lit("mix:"), col("lang"), lit(":"),
+          col("doc_id").cast("string"))), 1, 4).as("h"))
+      .select(col("doc_id"), col("lang"),
+        (whole + when(col("h") < thr, 1L).otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .orderBy("doc_id")
+  }
+
+  val q49Sql: String = {
+    def fracThr(r: Double): String =
+      f"${math.round(r % 1.0 * 65536).toInt}%04x"
+    val whole = MixRates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN ${math.floor(r).toLong}" }.mkString(" ")
+    val thr = MixRates.map { case (l, r) =>
+      s"WHEN lang = '$l' THEN '${fracThr(r)}'" }.mkString(" ")
+    s"""SELECT doc_id, lang, n_copies FROM (
+       |  SELECT doc_id, lang,
+       |    (CASE $whole ELSE 1 END) +
+       |    (CASE WHEN substr(md5('mix:' || lang || ':' || doc_id), 1, 4)
+       |          < (CASE $thr ELSE '0000' END) THEN 1 ELSE 0 END)
+       |    AS n_copies
+       |  FROM documents)
+       |WHERE n_copies > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- Q50: sequence packing (concat-and-chunk) -----------------------------
+
+  /** Sequence packing — the step that turns a curated document set into
+    * fixed-budget training sequences: concatenate documents in a stable
+    * order and cut every `PackBudget` tokens; a document belongs to the
+    * chunk where it STARTS. Emits one row per chunk with its doc count,
+    * token mass and doc-id range.
+    *
+    * Scale shape: the cumulative sum runs per SHARD (`doc_id % 16`), never
+    * globally — a single global running sum would serialize the corpus
+    * through one partition, while per-shard packing is exactly how
+    * distributed training workers consume data anyway (each worker packs
+    * its own shard). One hash exchange on shard, then window + aggregate
+    * ride the same partitioning. */
+  val PackBudget = 2048
+
+  def q50Pack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tokens")) / PackBudget))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard", "chunk_id")
+  }
+
+  val q50Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 16 AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT shard,
+       |  CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c
+       |GROUP BY 1, 2
+       |ORDER BY shard, chunk_id""".stripMargin
+
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),
        |bands AS (

@@ -138,6 +138,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q49 stratified mix: copy counts obey the per-language rate bands, " +
+    "the en downsample is near 0.5, and the draw is deterministic") {
+    val got = Docs.q49StratifiedSample(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, Long)].collect()
+    val byLang = got.groupBy(_._2)
+    // rate bands: floor(r) <= n_copies <= ceil(r) for every surviving row
+    Docs.MixRates.foreach { case (l, r) =>
+      byLang.get(l).toSeq.flatten.foreach { case (id, _, c) =>
+        assert(c >= math.floor(r).toLong && c <= math.ceil(r).toLong,
+          s"$l doc $id: $c copies for rate $r")
+      }
+    }
+    // en is a coin-flip downsample: kept fraction within a loose CLT band
+    val enKept = byLang.getOrElse("en", Array.empty).length.toDouble / 218.0
+    assert(enKept > 0.35 && enKept < 0.65, s"en kept fraction $enKept")
+    // fr upsample: every fr doc survives with 2 or 3 copies
+    assert(byLang("fr").length == 64)
+    // deterministic: a second evaluation is identical
+    val again = Docs.q49StratifiedSample(spark, "/root/testdata/sf0.01")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("q50 packing: chunk ids are contiguous per shard, token mass is " +
+    "conserved, and every chunk holds the docs that start inside it") {
+    val chunks = Docs.q50Pack(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val totalTokens = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .selectExpr("sum(cast(size(split(text, ' ')) as long))").as[Long].head()
+    assert(chunks.map(_._4).sum === totalTokens, "token conservation")
+    chunks.groupBy(_._1).foreach { case (shard, cs) =>
+      val ids = cs.map(_._2).sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq,
+        s"shard $shard chunk ids not contiguous from 0: $ids")
+      // chunk k starts at cumulative offset in [k*B, (k+1)*B): its token
+      // mass can exceed B (a doc belongs where it STARTS) but two
+      // consecutive chunks can never both be empty-started — n_docs >= 1
+      assert(cs.forall(_._3 >= 1L))
+    }
+  }
+
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
     "clear the threshold") {
     val rows = Vectors.q38CosineNeardup(spark, "/root/testdata/sf0.01")
