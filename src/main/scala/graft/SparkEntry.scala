@@ -163,6 +163,8 @@ object SparkEntry {
     "q49_stratified_mix" -> (Docs.q49StratifiedSample(_, _)),
     // Sequence packing: per-shard concat-and-chunk into token budgets.
     "q50_pack" -> (Docs.q50Pack(_, _)),
+    // Corpus vocabulary: top-100 words by tf with df, total-order cut.
+    "q51_vocab" -> (Docs.q51Vocab(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -280,5 +282,6 @@ object SparkEntry {
     "q48_decontaminate"  -> Docs.q48Sql,
     "q49_stratified_mix" -> Docs.q49Sql,
     "q50_pack"           -> Docs.q50Sql,
+    "q51_vocab"          -> Docs.q51Sql,
   )
 }

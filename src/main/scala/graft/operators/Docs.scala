@@ -687,6 +687,38 @@ object Docs {
        |GROUP BY 1, 2
        |ORDER BY shard, chunk_id""".stripMargin
 
+  // --- Q51: corpus vocabulary (term + document frequency) -------------------
+
+  /** The tokenizer-training / IDF corpus statistic: top-100 words by term
+    * frequency with document frequency alongside. The cut is over the TOTAL
+    * order (tf DESC, word ASC) so the top-k boundary is deterministic even
+    * mid-tie.
+    *
+    * Scale shape: word counts are the canonical Zipf-skewed aggregation,
+    * and partial (map-side) aggregation already neutralizes the skew — a
+    * hot word like "the" leaves each partition as ONE combined row, so the
+    * shuffle carries |distinct words per partition| rows regardless of how
+    * lopsided the word distribution is. Document frequency adds the
+    * (word, doc_id)-distinct pre-aggregate; the final top-k is a
+    * TakeOrdered, never a global sort materialization. */
+  def q51Vocab(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("word"))
+      .limit(100)
+
+  val q51Sql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |      FROM documents)
+      |GROUP BY word
+      |ORDER BY n_occurrences DESC, word
+      |LIMIT 100""".stripMargin
+
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),
        |bands AS (
