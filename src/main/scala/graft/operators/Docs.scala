@@ -503,7 +503,11 @@ object Docs {
     def frac(s: Column, field: String) =
       when(s.getField("tot") > 0,
         round(s.getField(field) / s.getField("tot"), 4))
+    // NULL text produces zero gram rows in the oracle's unnest, so it must
+    // drop the row here too (split(NULL) would otherwise keep it with NULL
+    // fractions and break row parity)
     val withStats = table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         stats(1).as("s1"), stats(2).as("s2"), stats(3).as("s3"))
@@ -591,6 +595,15 @@ object Docs {
   val MixRates: Seq[(String, Double)] = Seq(
     "en" -> 0.5, "fr" -> 2.25, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0)
 
+  /** 4-hex-char md5-prefix threshold encoding P(extra copy) = frac(rate).
+    * Shared by the Spark query and its oracle SQL so the encoding can never
+    * desynchronize. Clamped to 0xffff: a fractional part close enough to 1
+    * to round to 65536 would otherwise format as the 5-char "10000", which
+    * sorts BELOW most 4-char prefixes and silently flips a ~1.0 keep
+    * probability to ~1/16. */
+  private def fracThr(r: Double): String =
+    f"${math.min(math.round(r % 1.0 * 65536), 65535L)}%04x"
+
   /** Stratified corpus mixing — the per-stratum generalization of q29's
     * deterministic split: each document draws `n_copies =
     * floor(rate(lang)) + [hash < frac(rate(lang))]` where the "draw" is a
@@ -600,8 +613,6 @@ object Docs {
     * and copy count are row-local; at 100 TB this is a map-only pass that
     * composes with the curation scan (q30) for free. */
   def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    def fracThr(r: Double): String =
-      f"${math.round(r % 1.0 * 65536).toInt}%04x"
     val whole = MixRates.tail.foldLeft(
       when(col("lang") === MixRates.head._1, math.floor(MixRates.head._2))) {
       case (acc, (l, r)) => acc.when(col("lang") === l, math.floor(r))
@@ -621,8 +632,6 @@ object Docs {
   }
 
   val q49Sql: String = {
-    def fracThr(r: Double): String =
-      f"${math.round(r % 1.0 * 65536).toInt}%04x"
     val whole = MixRates.map { case (l, r) =>
       s"WHEN lang = '$l' THEN ${math.floor(r).toLong}" }.mkString(" ")
     val thr = MixRates.map { case (l, r) =>

@@ -62,8 +62,12 @@ object GramRunStats {
   private val Space = UTF8String.fromString(" ")
 
   /** One pass: count each n-gram in a hash map, then reduce to
-    * (top, dup, tot). Called from generated code. */
+    * (top, dup, tot). Called from generated code. A non-positive `n` (the
+    * function is SQL-registered, so any literal can reach it) yields the
+    * same "no grams" result as a too-short document — never an
+    * out-of-range array read. */
   def stats(words: ArrayData, n: Int): InternalRow = {
+    if (n <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
     val tot = words.numElements() - n + 1
     if (tot <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
     val counts = new java.util.HashMap[UTF8String, Int](tot * 2)

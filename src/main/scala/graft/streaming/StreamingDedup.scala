@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * horizon and drops that row once the watermark passes its event time —
   * bounded state, where plain `dropDuplicates` on an unbounded stream keeps
   * every key forever (state grows with corpus size = guaranteed OOM at
-  * scale). The one shuffle clusters by hash, carrying (hash, metadata)
-  * after the map-side projection — the text column rides only to its first
-  * sink write.
+  * scale). The one shuffle clusters the candidate rows by hash — including
+  * the text column, since the surviving row is emitted whole. At full
+  * ingest scale the refinement is to run this operator over a
+  * (hash, doc_id, ts) projection and let the sink's foreachBatch join the
+  * winning doc_ids back to the batch's payload, so only winners' text is
+  * ever fetched; the operator itself is unchanged by that split.
   *
   * Distinct from [[StreamingLww.dedupWithinWatermark]], which suppresses
   * REDELIVERY (the same row arriving twice: all columns equal): here the

@@ -161,23 +161,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
-  test("q50 packing: chunk ids are contiguous per shard, token mass is " +
-    "conserved, and every chunk holds the docs that start inside it") {
+  test("q50 packing: token mass is conserved and every chunk's id equals " +
+    "floor(its start offset / budget) — incl. budget-spanning docs that " +
+    "legitimately skip chunk ids") {
+    def checkInvariant(chunks: Array[(Long, Long, Long, Long, Long, Long)])
+        : Unit =
+      chunks.groupBy(_._1).foreach { case (shard, cs) =>
+        val ordered = cs.sortBy(_._2)
+        var offset = 0L // cumulative tokens of all earlier chunks
+        ordered.foreach { case (_, chunkId, nDocs, nTokens, _, _) =>
+          assert(chunkId === offset / Docs.PackBudget,
+            s"shard $shard: chunk $chunkId does not start in its own window")
+          assert(nDocs >= 1L)
+          offset += nTokens
+        }
+      }
     val chunks = Docs.q50Pack(spark, "/root/testdata/sf0.01")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
     val totalTokens = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
       .selectExpr("sum(cast(size(split(text, ' ')) as long))").as[Long].head()
     assert(chunks.map(_._4).sum === totalTokens, "token conservation")
-    chunks.groupBy(_._1).foreach { case (shard, cs) =>
-      val ids = cs.map(_._2).sorted.toSeq
-      assert(ids === (0L until ids.length).toSeq,
-        s"shard $shard chunk ids not contiguous from 0: $ids")
-      // chunk k starts at cumulative offset in [k*B, (k+1)*B): its token
-      // mass can exceed B (a doc belongs where it STARTS) but two
-      // consecutive chunks can never both be empty-started — n_docs >= 1
-      assert(cs.forall(_._3 >= 1L))
-    }
+    checkInvariant(chunks)
+
+    // a doc longer than the whole budget advances the offset past an
+    // entire chunk window: ids skip (0, 2) and the invariant still holds
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    Seq((0L, Seq.fill(5000)("t").mkString(" ")),
+      (16L, Seq.fill(10)("t").mkString(" ")),
+      (32L, Seq.fill(10)("t").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val skewed = Docs.q50Pack(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(skewed.map(c => (c._2, c._3)).toSeq.sorted ===
+      Seq((0L, 1L), (2L, 2L)), s"got: ${skewed.toSeq}")
+    checkInvariant(skewed)
   }
 
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +

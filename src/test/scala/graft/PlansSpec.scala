@@ -47,6 +47,13 @@ class PlansSpec extends AnyFunSuite {
     // "a a","a a","a b" → top 2, dup 2, tot 3; too-short doc → tot 0;
     // a null element counts as the empty string (total function, no NPE)
     assert(r == ((2L, 2L, 3L, 0L, 2L, 2L, 3L, true)))
+    // non-positive n (reachable from SQL) = "no grams", never an
+    // out-of-range array read
+    val z = spark.sql(
+      """SELECT gram_run_stats(split('a b c', ' '), 0) AS z0,
+        |       gram_run_stats(split('a b c', ' '), -5) AS zn""".stripMargin)
+      .selectExpr("z0.tot", "zn.tot").as[(Long, Long)].head()
+    assert(z == ((0L, 0L)))
   }
 
   test("optimizer rewrites the lww_object UDAF to native max_by (Q12 plan)") {
