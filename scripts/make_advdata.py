@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Build an adversarial documents corpus for cross-engine parity sweeps:
+copies an sf dir and replaces documents.parquet with rows exercising NULL
+text, empty text, irregular whitespace (empty tokens), astral-plane
+unicode, heavy repetition, control characters and quote/backslash content.
+
+Usage: make_advdata.py [<srcSfDir> <outDir>]
+Then:  sbt "runMain graft.Verify <outDir> /tmp/verify_adv"
+       python3 scripts/check.py /tmp/verify_adv <outDir>
+
+Round-7 result: all 55 gate queries hash-exact on this corpus (the
+NULL-text row is the case that motivated q47's explicit filter)."""
+import sys, shutil, os, glob
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 2 else '/root/testdata/sf0.001'
+adv = sys.argv[2] if len(sys.argv) > 2 else '/tmp/advdata'
+
+shutil.rmtree(adv, ignore_errors=True)
+os.makedirs(adv)
+for p in glob.glob(os.path.join(src, '*.parquet')):
+    shutil.copy(p, adv)
+
+rows = [
+    (0, None, 'en', 'src0', None),                        # NULL text
+    (1, '', 'en', 'src0', 0),                             # empty text
+    (2, 'word', 'es', 'src1', 4),                         # single word
+    (3, 'a  b   c', 'de', 'src1', 8),                     # empty tokens
+    (4, ' leading and trailing ', 'fr', 'src2', 22),      # boundary spaces
+    (5, 'emoji \U0001F600 and \U0001F680 fly', 'zh', 'src2', None),
+    (6, 'the the the the the the', 'en', 'src3', 23),     # heavy repetition
+    (7, 'Ünïcödé wörds ünïcödé wörds', 'de', 'src3', 27),
+    (8, 'tab\tand\nnewline chars', 'en', 'src4', 21),     # control chars
+    (9, 'quote\'s and "double" and back\\slash', 'en', 'src4', None),
+] + [(10 + i, f'filler doc {i} with some shared tokens the a of',
+      'en', f'src{i % 3}', None) for i in range(20)]
+
+con = duckdb.connect()
+con.execute("CREATE TABLE adv(doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)")
+con.executemany("INSERT INTO adv VALUES (?,?,?,?,?)", rows)
+con.execute(f"COPY adv TO '{adv}/documents.parquet' (FORMAT PARQUET)")
+print(f'{adv}: {con.execute("select count(*) from adv").fetchone()[0]} '
+      'adversarial docs')
