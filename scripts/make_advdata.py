@@ -8,7 +8,7 @@ Usage: make_advdata.py [<srcSfDir> <outDir>]
 Then:  sbt "runMain graft.Verify <outDir> /tmp/verify_adv"
        python3 scripts/check.py /tmp/verify_adv <outDir>
 
-Round-7 result: all 55 gate queries hash-exact on this corpus (the
+Round-7 result: the full gate hash-exact on this corpus (the
 NULL-text row is the case that motivated q47's explicit filter)."""
 import sys, shutil, os, glob
 import duckdb

@@ -165,6 +165,8 @@ object SparkEntry {
     "q50_pack" -> (Docs.q50Pack(_, _)),
     // Corpus vocabulary: top-100 words by tf with df, total-order cut.
     "q51_vocab" -> (Docs.q51Vocab(_, _)),
+    // Incremental dedup: new batch anti-joined against the corpus hashes.
+    "q52_incremental_dedup" -> (Docs.q52IncrementalDedup(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -283,5 +285,6 @@ object SparkEntry {
     "q49_stratified_mix" -> Docs.q49Sql,
     "q50_pack"           -> Docs.q50Sql,
     "q51_vocab"          -> Docs.q51Sql,
+    "q52_incremental_dedup" -> Docs.q52Sql,
   )
 }

@@ -728,6 +728,47 @@ object Docs {
       |ORDER BY n_occurrences DESC, word
       |LIMIT 100""".stripMargin
 
+  // --- Q52: incremental dedup (new batch vs existing corpus) ----------------
+
+  /** The daily-crawl shape of exact dedup: an incoming batch is admitted
+    * only where its content hash is absent from the EXISTING corpus, with
+    * within-batch duplicates collapsed to their min-doc_id representative
+    * (q18's rule). Stand-in partition on the driver's single table:
+    * `doc_id % 10 < 8` = existing corpus, the rest = new batch.
+    *
+    * Scale shape: a LEFT ANTI join keyed on the 64-byte hash. The corpus
+    * side is the 100 TB side, so it must NEVER be the broadcast build —
+    * both sides hash-partition on content_hash, shuffling 72 bytes/doc for
+    * the (tiny) batch and the corpus's hash column only (never text). With
+    * the corpus maintained hash-bucketed on disk the corpus-side exchange
+    * disappears entirely and only the new batch shuffles into the
+    * bucketing — the same co-located layout the triple store's
+    * `writeBucketed` merge uses. NULL-equality discipline: the oracle uses
+    * NOT EXISTS (not NOT IN) so a NULL hash on either side behaves exactly
+    * like Spark's anti-join — never poisons the whole result. */
+  def q52IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = table(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    val corpus = hashed.filter(col("doc_id") % 10 < 8)
+    val batch = hashed.filter(col("doc_id") % 10 >= 8)
+    batch.join(corpus, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .select("doc_id", "content_hash", "n_in_batch")
+      .orderBy("doc_id")
+  }
+
+  val q52Sql: String =
+    """WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+      |c AS (SELECT content_hash FROM h WHERE doc_id % 10 < 8),
+      |b AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 >= 8)
+      |SELECT CAST(min(b.doc_id) AS BIGINT) AS doc_id, b.content_hash,
+      |       CAST(count(*) AS BIGINT) AS n_in_batch
+      |FROM b
+      |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.content_hash = b.content_hash)
+      |GROUP BY b.content_hash
+      |ORDER BY doc_id""".stripMargin
+
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),
        |bands AS (

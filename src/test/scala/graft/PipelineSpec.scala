@@ -198,6 +198,22 @@ class PipelineSpec extends AnyFunSuite {
     checkInvariant(skewed)
   }
 
+  test("q52 incremental dedup: corpus-known hashes rejected, within-batch " +
+    "dups collapse to min doc_id, batch-unique docs admitted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Seq(
+      (0L, "known doc"),    // corpus (0 % 10 < 8)
+      (1L, "other corpus"), // corpus
+      (8L, "known doc"),    // batch: hash exists in corpus → rejected
+      (9L, "fresh doc"),    // batch: unique → admitted
+      (18L, "twin doc"),    // batch: within-batch dup pair...
+      (19L, "twin doc"))    // ...collapses to doc 18 with n_in_batch 2
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Docs.q52IncrementalDedup(spark, dir)
+      .select("doc_id", "n_in_batch").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((9L, 1L), (18L, 2L)))
+  }
+
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
     "clear the threshold") {
     val rows = Vectors.q38CosineNeardup(spark, "/root/testdata/sf0.01")
