@@ -176,13 +176,21 @@ class PipelineSpec extends AnyFunSuite {
           offset += nTokens
         }
       }
-    val chunks = Docs.q50Pack(spark, "/root/testdata/sf0.01")
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val q50 = Docs.q50Pack(spark, "/root/testdata/sf0.01")
+    val chunks = q50.as[(Long, Long, Long, Long, Long, Long)].collect()
     val totalTokens = spark.read
       .parquet("/root/testdata/sf0.01/documents.parquet")
       .selectExpr("sum(cast(size(split(text, ' ')) as long))").as[Long].head()
     assert(chunks.map(_._4).sum === totalTokens, "token conservation")
     checkInvariant(chunks)
+    // the closing aggregate rides the window's shard partitioning
+    // (hash-partitioning on shard satisfies the (shard, chunk_id) grouping):
+    // exactly one hash exchange + the gate's final range sort, nothing more
+    val exchanges = "Exchange \\w+artitioning".r
+      .findAllIn(q50.queryExecution.executedPlan.toString).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1 &&
+      exchanges.count(_.contains("rangepartitioning")) == 1,
+      s"unexpected exchanges: $exchanges")
 
     // a doc longer than the whole budget advances the offset past an
     // entire chunk window: ids skip (0, 2) and the invariant still holds
