@@ -13,13 +13,19 @@ NULL-text row is the case that motivated q47's explicit filter)."""
 import sys, shutil, os, glob
 import duckdb
 
-src = sys.argv[1] if len(sys.argv) > 2 else '/root/testdata/sf0.001'
-adv = sys.argv[2] if len(sys.argv) > 2 else '/tmp/advdata'
+if len(sys.argv) not in (1, 3):
+    sys.exit(f'usage: {sys.argv[0]} [<srcSfDir> <outDir>] '
+             '(both or neither — one arg alone would silently use defaults)')
+src = sys.argv[1] if len(sys.argv) == 3 else '/root/testdata/sf0.001'
+adv = sys.argv[2] if len(sys.argv) == 3 else '/tmp/advdata'
 
 shutil.rmtree(adv, ignore_errors=True)
 os.makedirs(adv)
 for p in glob.glob(os.path.join(src, '*.parquet')):
-    shutil.copy(p, adv)
+    # skip the one file being replaced: if the COPY below ever failed, a
+    # pre-copied real documents.parquet would masquerade as adversarial
+    if os.path.basename(p) != 'documents.parquet':
+        shutil.copy(p, adv)
 
 rows = [
     (0, None, 'en', 'src0', None),                        # NULL text

@@ -736,16 +736,20 @@ object Docs {
     * (q18's rule). Stand-in partition on the driver's single table:
     * `doc_id % 10 < 8` = existing corpus, the rest = new batch.
     *
-    * Scale shape: a LEFT ANTI join keyed on the 64-byte hash. The corpus
-    * side is the 100 TB side, so it must NEVER be the broadcast build —
-    * both sides hash-partition on content_hash, shuffling 72 bytes/doc for
-    * the (tiny) batch and the corpus's hash column only (never text). With
-    * the corpus maintained hash-bucketed on disk the corpus-side exchange
-    * disappears entirely and only the new batch shuffles into the
-    * bucketing — the same co-located layout the triple store's
-    * `writeBucketed` merge uses. NULL-equality discipline: the oracle uses
-    * NOT EXISTS (not NOT IN) so a NULL hash on either side behaves exactly
-    * like Spark's anti-join — never poisons the whole result. */
+    * Scale shape: a LEFT ANTI join keyed on the 64-byte hash. At test
+    * scale the corpus side sits under the broadcast threshold and the
+    * planner rightly broadcasts it; at corpus scale the threshold excludes
+    * it and the plan degrades gracefully to a shuffled anti-join with both
+    * sides hash-partitioned on content_hash — 72 bytes/doc for the (tiny)
+    * batch and the corpus's hash column only (never text). That scale plan
+    * is pinned in PipelineSpec by disabling broadcast and asserting the
+    * hash-partitioned LeftAnti with identical results. With the corpus
+    * maintained hash-bucketed on disk the corpus-side exchange disappears
+    * entirely and only the new batch shuffles into the bucketing — the
+    * same co-located layout the triple store's `writeBucketed` merge uses.
+    * NULL-equality discipline: the oracle uses NOT EXISTS (not NOT IN) so
+    * a NULL hash on either side behaves exactly like Spark's anti-join —
+    * never poisons the whole result. */
   def q52IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val hashed = table(spark, dir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))

@@ -185,12 +185,17 @@ class PipelineSpec extends AnyFunSuite {
     checkInvariant(chunks)
     // the closing aggregate rides the window's shard partitioning
     // (hash-partitioning on shard satisfies the (shard, chunk_id) grouping):
-    // exactly one hash exchange + the gate's final range sort, nothing more
-    val exchanges = "Exchange \\w+artitioning".r
-      .findAllIn(q50.queryExecution.executedPlan.toString).toSeq
-    assert(exchanges.count(_.contains("hashpartitioning")) == 1 &&
+    // exactly one hash exchange + the gate's final range sort, nothing
+    // more — count EVERY exchange node so a SinglePartition degeneration
+    // (global cumsum) or stray broadcast can't slip past the two named
+    // kinds
+    val plan = q50.queryExecution.executedPlan.toString
+    val exchanges = "(?:Exchange|BroadcastExchange) \\S+".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.size == 2 &&
+      exchanges.count(_.contains("hashpartitioning")) == 1 &&
       exchanges.count(_.contains("rangepartitioning")) == 1,
-      s"unexpected exchanges: $exchanges")
+      s"unexpected exchanges: $exchanges\n$plan")
 
     // a doc longer than the whole budget advances the offset past an
     // entire chunk window: ids skip (0, 2) and the invariant still holds
@@ -220,6 +225,26 @@ class PipelineSpec extends AnyFunSuite {
     val got = Docs.q52IncrementalDedup(spark, dir)
       .select("doc_id", "n_in_batch").as[(Long, Long)].collect().toSeq
     assert(got === Seq((9L, 1L), (18L, 2L)))
+  }
+
+  test("q52 at simulated corpus scale (broadcast disabled): shuffled " +
+    "hash-partitioned LeftAnti, results identical to the broadcast plan") {
+    val sfd = "/root/testdata/sf0.01"
+    val expected = Docs.q52IncrementalDedup(spark, sfd)
+      .as[(Long, String, Long)].collect().toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // a 100 TB corpus never fits the threshold
+      val q = Docs.q52IncrementalDedup(spark, sfd)
+      val got = q.as[(Long, String, Long)].collect().toSeq
+      assert(got === expected)
+      val plan = q.queryExecution.executedPlan.toString // post-exec: final
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("LeftAnti"), plan)
+      assert("hashpartitioning\\(content_hash".r.findFirstIn(plan).nonEmpty,
+        plan)
+    } finally spark.conf.set(key, saved)
   }
 
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
