@@ -167,6 +167,8 @@ object SparkEntry {
     "q51_vocab" -> (Docs.q51Vocab(_, _)),
     // Incremental dedup: new batch anti-joined against the corpus hashes.
     "q52_incremental_dedup" -> (Docs.q52IncrementalDedup(_, _)),
+    // Capstone: quality ∘ dedup ∘ mix ∘ decontaminate ∘ pack in one plan.
+    "q53_corpus_to_batches" -> (Docs.q53CorpusToBatches(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -286,5 +288,6 @@ object SparkEntry {
     "q50_pack"           -> Docs.q50Sql,
     "q51_vocab"          -> Docs.q51Sql,
     "q52_incremental_dedup" -> Docs.q52Sql,
+    "q53_corpus_to_batches" -> Docs.q53Sql,
   )
 }

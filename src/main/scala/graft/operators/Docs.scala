@@ -604,15 +604,9 @@ object Docs {
   private def fracThr(r: Double): String =
     f"${math.min(math.round(r % 1.0 * 65536), 65535L)}%04x"
 
-  /** Stratified corpus mixing — the per-stratum generalization of q29's
-    * deterministic split: each document draws `n_copies =
-    * floor(rate(lang)) + [hash < frac(rate(lang))]` where the "draw" is a
-    * salted md5 of (lang, doc_id). Deterministic ⇒ the mix is reproducible
-    * across runs, reshards and engines (no RNG seed plumbing), and any
-    * doc's fate is auditable after the fact. Zero shuffle: the predicate
-    * and copy count are row-local; at 100 TB this is a map-only pass that
-    * composes with the curation scan (q30) for free. */
-  def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** Row-local `n_copies` draw shared by q49 and the q53 capstone: expects
+    * `lang` and the salted-hash prefix `h` in scope. */
+  private def nCopiesCol: Column = {
     val whole = MixRates.tail.foldLeft(
       when(col("lang") === MixRates.head._1, math.floor(MixRates.head._2))) {
       case (acc, (l, r)) => acc.when(col("lang") === l, math.floor(r))
@@ -621,31 +615,48 @@ object Docs {
       when(col("lang") === MixRates.head._1, fracThr(MixRates.head._2))) {
       case (acc, (l, r)) => acc.when(col("lang") === l, fracThr(r))
     }.otherwise("0000")
-    table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        substring(md5(concat(lit("mix:"), col("lang"), lit(":"),
-          col("doc_id").cast("string"))), 1, 4).as("h"))
-      .select(col("doc_id"), col("lang"),
-        (whole + when(col("h") < thr, 1L).otherwise(0L)).as("n_copies"))
-      .filter(col("n_copies") > 0)
-      .orderBy("doc_id")
+    whole + when(col("h") < thr, 1L).otherwise(0L)
   }
 
-  val q49Sql: String = {
+  private def mixHashCol: Column =
+    substring(md5(concat(lit("mix:"), col("lang"), lit(":"),
+      col("doc_id").cast("string"))), 1, 4)
+
+  /** SQL twin of [[nCopiesCol]] (expects `lang` in scope; inlines the
+    * hash). */
+  private def nCopiesSql: String = {
     val whole = MixRates.map { case (l, r) =>
       s"WHEN lang = '$l' THEN ${math.floor(r).toLong}" }.mkString(" ")
     val thr = MixRates.map { case (l, r) =>
       s"WHEN lang = '$l' THEN '${fracThr(r)}'" }.mkString(" ")
+    s"""(CASE $whole ELSE 1 END) +
+       |    (CASE WHEN substr(md5('mix:' || lang || ':' || doc_id), 1, 4)
+       |          < (CASE $thr ELSE '0000' END) THEN 1 ELSE 0 END)""".stripMargin
+  }
+
+  /** Stratified corpus mixing — the per-stratum generalization of q29's
+    * deterministic split: each document draws `n_copies =
+    * floor(rate(lang)) + [hash < frac(rate(lang))]` where the "draw" is a
+    * salted md5 of (lang, doc_id). Deterministic ⇒ the mix is reproducible
+    * across runs, reshards and engines (no RNG seed plumbing), and any
+    * doc's fate is auditable after the fact. Zero shuffle: the predicate
+    * and copy count are row-local; at 100 TB this is a map-only pass that
+    * composes with the curation scan (q30) for free. */
+  def q49StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), mixHashCol.as("h"))
+      .select(col("doc_id"), col("lang"), nCopiesCol.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .orderBy("doc_id")
+
+  val q49Sql: String =
     s"""SELECT doc_id, lang, n_copies FROM (
        |  SELECT doc_id, lang,
-       |    (CASE $whole ELSE 1 END) +
-       |    (CASE WHEN substr(md5('mix:' || lang || ':' || doc_id), 1, 4)
-       |          < (CASE $thr ELSE '0000' END) THEN 1 ELSE 0 END)
+       |    $nCopiesSql
        |    AS n_copies
        |  FROM documents)
        |WHERE n_copies > 0
        |ORDER BY doc_id""".stripMargin
-  }
 
   // --- Q50: sequence packing (concat-and-chunk) -----------------------------
 
@@ -772,6 +783,109 @@ object Docs {
       |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.content_hash = b.content_hash)
       |GROUP BY b.content_hash
       |ORDER BY doc_id""".stripMargin
+
+  // --- Q53: capstone — corpus in, training batches out ----------------------
+
+  /** The whole pipeline as ONE program: quality gate (q16's keep rule) ∘
+    * exact-dedup representatives (q18/q30's min-doc_id rule) ∘ stratified
+    * mix (q49's per-language copies; language weighting happens HERE, so no
+    * separate language filter) ∘ benchmark decontamination (q48's 8-gram
+    * probe) ∘ sequence packing (q50, with each doc's token mass scaled by
+    * its mix copies). Output: one row per training chunk.
+    *
+    * Composition discipline, in the order a 100 TB job must apply it:
+    * every row-local signal (quality, mix draw, token count, content hash)
+    * computes in the ONE initial scan projection; the dedup winner is a
+    * window riding a content_hash shuffle of hashes + a few longs (never
+    * text); and gram EXPLOSION — the expensive part — runs only over the
+    * docs that survived everything cheaper, probing the broadcast
+    * benchmark gram set. Note the held-out benchmark docs remove
+    * THEMSELVES here (their grams collide with their own benchmark set) —
+    * the correct pipeline behavior: the eval set is never trained on.
+    * Equivalence with the standalone q16/q18/q48/q49/q50 legs is asserted
+    * in PipelineSpec by recomputing the chunk table from those queries'
+    * outputs in plain Scala; the gate checks the composed result
+    * end-to-end. */
+  def q53CorpusToBatches(spark: SparkSession, dir: String): DataFrame = {
+    val totLen =
+      expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+    val scored = table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"),
+        sha2(col("text"), 256).as("content_hash"), mixHashCol.as("h"))
+      .select(col("doc_id"), col("w"), col("content_hash"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        (size(col("w")) >= 5 &&
+          (totLen.cast(DoubleType) / size(col("w"))).between(2.0, 12.0))
+          .as("keep"),
+        nCopiesCol.as("n_copies"))
+    val kept = scored
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy("content_hash")))
+      .filter(col("keep") && col("n_copies") > 0 && col("doc_id") === col("rep"))
+    val gramExpr = expr(
+      """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
+        |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)
+    val bench = table(spark, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id") % 7 === 0)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(gramExpr).as("gram")).distinct()
+    val contaminated = kept.select(col("doc_id"), explode(gramExpr).as("gram"))
+      .join(broadcast(bench), "gram").select("doc_id").distinct()
+    val w16 = Window.partitionBy("shard").orderBy("doc_id")
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        (col("n_tokens") * col("n_copies")).as("mass"))
+      .withColumn("cum", sum("mass").over(w16))
+      .withColumn("chunk_id", floor((col("cum") - col("mass")) / PackBudget))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("mass").as("n_tokens"))
+      .orderBy("shard", "chunk_id")
+  }
+
+  val q53Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w,
+       |         sha256(text) AS content_hash
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, w, content_hash,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    (len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x)))
+       |       AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0) AS keep,
+       |    $nCopiesSql AS n_copies
+       |  FROM d),
+       |r AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS rep
+       |      FROM s),
+       |kept AS (SELECT doc_id, w, n_tokens, n_copies FROM r
+       |         WHERE keep AND n_copies > 0 AND doc_id = rep),
+       |bench AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+       |             i -> array_to_string(w[i:i+7], ' '))) AS gram
+       |    FROM d WHERE doc_id % 7 = 0)),
+       |contaminated AS (
+       |  SELECT DISTINCT k.doc_id FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+       |             i -> array_to_string(w[i:i+7], ' '))) AS gram
+       |    FROM kept) k JOIN bench USING (gram)),
+       |clean AS (
+       |  SELECT doc_id, doc_id % 16 AS shard, n_tokens * n_copies AS mass
+       |  FROM kept
+       |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+       |                    WHERE c.doc_id = kept.doc_id)),
+       |cm AS (
+       |  SELECT shard, mass,
+       |    sum(mass) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM clean)
+       |SELECT shard,
+       |  CAST(floor((cum - mass) / $PackBudget) AS BIGINT) AS chunk_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(mass) AS BIGINT) AS n_tokens
+       |FROM cm
+       |GROUP BY 1, 2
+       |ORDER BY shard, chunk_id""".stripMargin
 
   val q24Sql: String =
     s"""WITH sh AS ($q20Core),

@@ -247,6 +247,41 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set(key, saved)
   }
 
+  test("q53 capstone equals the composition of its standalone legs " +
+    "(recomputed in plain Scala from q16/q18/q48/q49 outputs)") {
+    val sfd = "/root/testdata/sf0.01"
+    val stats = Docs.q16TextStats(spark, sfd)
+      .select("doc_id", "n_tokens", "keep").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val copies = Docs.q49StratifiedSample(spark, sfd)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    val reps = Docs.q18ExactDedup(spark, sfd)
+      .select("rep_doc_id").as[Long].collect().toSet
+    // q48 reports flagged non-benchmark docs; benchmark members with >= 8
+    // words flag themselves in q53 (their grams are in the benchmark set)
+    val flagged = Docs.q48Decontaminate(spark, sfd)
+      .select("doc_id").as[Long].collect().toSet ++
+      stats.keys.filter(id => id % 7 == 0 && stats(id)._1 >= 8)
+    val survivors = stats.keys.toSeq.sorted.filter { id =>
+      stats(id)._2 && copies.contains(id) && reps(id) && !flagged(id)
+    }
+    val expected = survivors.map(id => (id, id % 16, stats(id)._1 * copies(id)))
+      .groupBy(_._2).toSeq.flatMap { case (shard, docs) =>
+        var offset = 0L
+        docs.sortBy(_._1).map { case (_, _, mass) =>
+          val chunk = offset / Docs.PackBudget
+          offset += mass
+          ((shard, chunk), mass)
+        }.groupBy(_._1).map { case ((sh, ch), ms) =>
+          (sh, ch, ms.size.toLong, ms.map(_._2).sum)
+        }
+      }.sortBy(c => (c._1, c._2))
+    val got = Docs.q53CorpusToBatches(spark, sfd)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.map(_._3).sum == survivors.size)
+  }
+
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
     "clear the threshold") {
     val rows = Vectors.q38CosineNeardup(spark, "/root/testdata/sf0.01")
