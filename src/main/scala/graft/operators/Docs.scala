@@ -819,28 +819,41 @@ object Docs {
           (totLen.cast(DoubleType) / size(col("w"))).between(2.0, 12.0))
           .as("keep"),
         nCopiesCol.as("n_copies"))
+    // The curated set feeds two consumers (the contamination probe and the
+    // pack input) whose differing projections defeat ReuseExchange — left
+    // lazy, the scan + dedup window run once per consumer. Materialize it
+    // ONCE, call-scoped (q19's pattern): this is exactly the "curated
+    // corpus" checkpoint a real pipeline writes between curation and
+    // packing rather than re-deriving curation per downstream job.
     val kept = scored
       .withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy("content_hash")))
       .filter(col("keep") && col("n_copies") > 0 && col("doc_id") === col("rep"))
-    val gramExpr = expr(
-      """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
-        |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)
-    val bench = table(spark, dir, "documents")
-      .filter(col("text").isNotNull && col("doc_id") % 7 === 0)
-      .select(split(col("text"), " ").as("w"))
-      .select(explode(gramExpr).as("gram")).distinct()
-    val contaminated = kept.select(col("doc_id"), explode(gramExpr).as("gram"))
-      .join(broadcast(bench), "gram").select("doc_id").distinct()
-    val w16 = Window.partitionBy("shard").orderBy("doc_id")
-    kept.join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
-        (col("n_tokens") * col("n_copies")).as("mass"))
-      .withColumn("cum", sum("mass").over(w16))
-      .withColumn("chunk_id", floor((col("cum") - col("mass")) / PackBudget))
-      .groupBy("shard", "chunk_id")
-      .agg(count(lit(1)).as("n_docs"), sum("mass").as("n_tokens"))
-      .orderBy("shard", "chunk_id")
+      .select("doc_id", "w", "n_tokens", "n_copies")
+      .cache()
+    try {
+      val gramExpr = expr(
+        """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
+          |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)
+      val bench = table(spark, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") % 7 === 0)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(gramExpr).as("gram")).distinct()
+      val contaminated = kept.select(col("doc_id"), explode(gramExpr).as("gram"))
+        .join(broadcast(bench), "gram").select("doc_id").distinct()
+      val w16 = Window.partitionBy("shard").orderBy("doc_id")
+      kept.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+          (col("n_tokens") * col("n_copies")).as("mass"))
+        .withColumn("cum", sum("mass").over(w16))
+        .withColumn("chunk_id", floor((col("cum") - col("mass")) / PackBudget))
+        .groupBy("shard", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum("mass").as("n_tokens"))
+        .orderBy("shard", "chunk_id")
+        // eager: the chunk table is tiny; materializing it here lets the
+        // finally drop the curated-set cache before returning
+        .localCheckpoint(true)
+    } finally { kept.unpersist(); () }
   }
 
   val q53Sql: String =
