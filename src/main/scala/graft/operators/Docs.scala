@@ -24,6 +24,30 @@ object Docs {
 
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** q16's quality rule — one definition shared by q16, q30 and the q53
+    * capstone (with [[KeepSql]] as its oracle twin) so a threshold tweak
+    * can never desynchronize the capstone from its leg. Expects the token
+    * array `w` in scope. */
+  private def keepCol: Column =
+    size(col("w")) >= 5 &&
+      (expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+        .cast(DoubleType) / size(col("w"))).between(2.0, 12.0)
+
+  private val KeepSql: String =
+    "(len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x))) " +
+      "AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0)"
+
+  /** Word 8-gram window (the published decontamination overlap shape; 8
+    * rather than GPT-3's 13 because the synthetic docs are short) — one
+    * definition shared by q48 and q53 with [[Gram8Sql]] as its oracle
+    * twin. Expects `w` in scope. */
+  private val Gram8Expr: Column = expr(
+    """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
+      |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)
+
+  private val Gram8Sql: String =
+    "list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))"
+
   // --- Q16: token counting, quality stats, fingerprint ----------------------
 
   /** Per-document token/char counts, average token length, stopword ratio, a
@@ -43,9 +67,7 @@ object Docs {
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(LongType)
           .as("n_alpha_tokens"),
         substring(md5(col("text")), 1, 16).as("fingerprint"),
-        (size(col("w")) >= 5 &&
-          (expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-            .cast(DoubleType) / size(col("w"))).between(2.0, 12.0)).as("keep"))
+        keepCol.as("keep"))
       .orderBy("doc_id")
 
   private val q16Core: String =
@@ -56,7 +78,7 @@ object Docs {
        |  round(CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS DOUBLE)/len(w), 4) AS stop_ratio,
        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
        |  substr(md5(text), 1, 16) AS fingerprint,
-       |  (len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0) AS keep
+       |  $KeepSql AS keep
        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
 
   val q16Sql: String = q16Core + "\nORDER BY doc_id"
@@ -460,8 +482,7 @@ object Docs {
       .select(col("doc_id"),
         size(col("w")).cast(LongType).as("n_tokens"),
         substring(md5(col("text")), 1, 16).as("fingerprint"),
-        (size(col("w")) >= 5 &&
-          (totLen.cast(DoubleType) / size(col("w"))).between(2.0, 12.0)).as("keep"),
+        keepCol.as("keep"),
         (score("en") > score("es") && score("en") > score("de")).as("is_en"),
         sha2(col("text"), 256).as("content_hash"))
       .withColumn("rep_doc_id",
@@ -565,9 +586,7 @@ object Docs {
   def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val grams = table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
-          |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)).as("gram"))
+      .select(col("doc_id"), explode(Gram8Expr).as("gram"))
     val bench = grams.filter(col("doc_id") % 7 === 0).select("gram").distinct()
     grams.filter(col("doc_id") % 7 =!= 0)
       .join(broadcast(bench), "gram")
@@ -577,9 +596,8 @@ object Docs {
   }
 
   val q48Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-      |        i -> array_to_string(w[i:i+7], ' '))) AS gram FROM w),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest($Gram8Sql) AS gram FROM w),
       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
       |SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
       |FROM g JOIN b USING (gram)
@@ -807,17 +825,13 @@ object Docs {
     * outputs in plain Scala; the gate checks the composed result
     * end-to-end. */
   def q53CorpusToBatches(spark: SparkSession, dir: String): DataFrame = {
-    val totLen =
-      expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
     val scored = table(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"),
         sha2(col("text"), 256).as("content_hash"), mixHashCol.as("h"))
       .select(col("doc_id"), col("w"), col("content_hash"),
         size(col("w")).cast(LongType).as("n_tokens"),
-        (size(col("w")) >= 5 &&
-          (totLen.cast(DoubleType) / size(col("w"))).between(2.0, 12.0))
-          .as("keep"),
+        keepCol.as("keep"),
         nCopiesCol.as("n_copies"))
     // The curated set feeds two consumers (the contamination probe and the
     // pack input) whose differing projections defeat ReuseExchange — left
@@ -832,14 +846,11 @@ object Docs {
       .select("doc_id", "w", "n_tokens", "n_copies")
       .cache()
     try {
-      val gramExpr = expr(
-        """transform(filter(sequence(0, size(w) - 1), i -> i + 8 <= size(w)),
-          |  i -> array_join(slice(w, i + 1, 8), ' '))""".stripMargin)
       val bench = table(spark, dir, "documents")
         .filter(col("text").isNotNull && col("doc_id") % 7 === 0)
         .select(split(col("text"), " ").as("w"))
-        .select(explode(gramExpr).as("gram")).distinct()
-      val contaminated = kept.select(col("doc_id"), explode(gramExpr).as("gram"))
+        .select(explode(Gram8Expr).as("gram")).distinct()
+      val contaminated = kept.select(col("doc_id"), explode(Gram8Expr).as("gram"))
         .join(broadcast(bench), "gram").select("doc_id").distinct()
       val w16 = Window.partitionBy("shard").orderBy("doc_id")
       kept.join(contaminated, Seq("doc_id"), "left_anti")
@@ -864,8 +875,7 @@ object Docs {
        |s AS (
        |  SELECT doc_id, w, content_hash,
        |    CAST(len(w) AS BIGINT) AS n_tokens,
-       |    (len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x)))
-       |       AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0) AS keep,
+       |    $KeepSql AS keep,
        |    $nCopiesSql AS n_copies
        |  FROM d),
        |r AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS rep
@@ -874,13 +884,11 @@ object Docs {
        |         WHERE keep AND n_copies > 0 AND doc_id = rep),
        |bench AS (
        |  SELECT DISTINCT gram FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-       |             i -> array_to_string(w[i:i+7], ' '))) AS gram
+       |    SELECT doc_id, unnest($Gram8Sql) AS gram
        |    FROM d WHERE doc_id % 7 = 0)),
        |contaminated AS (
        |  SELECT DISTINCT k.doc_id FROM (
-       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
-       |             i -> array_to_string(w[i:i+7], ' '))) AS gram
+       |    SELECT doc_id, unnest($Gram8Sql) AS gram
        |    FROM kept) k JOIN bench USING (gram)),
        |clean AS (
        |  SELECT doc_id, doc_id % 16 AS shard, n_tokens * n_copies AS mass

@@ -19,7 +19,8 @@ class ConcurrencySpec extends AnyFunSuite {
 
   private val names = Seq("q1_sharded_scan", "q32_sql_merge",
     "q31_bucketed_merge", "q19_minhash_neardup", "q12_lww_udaf",
-    "q39_sessionize", "q34_range_bucket", "q38_cosine_neardup")
+    "q39_sessionize", "q34_range_bucket", "q38_cosine_neardup",
+    "q53_corpus_to_batches")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -248,8 +248,9 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("q53 capstone equals the composition of its standalone legs " +
-    "(recomputed in plain Scala from q16/q18/q48/q49 outputs)") {
-    val sfd = "/root/testdata/sf0.01"
+    "(recomputed in plain Scala from q16/q18/q48/q49 outputs) — at sf0.1, " +
+    "where per-shard mass spans many chunks, so the packing cut is real") {
+    val sfd = "/root/testdata/sf0.1"
     val stats = Docs.q16TextStats(spark, sfd)
       .select("doc_id", "n_tokens", "keep").as[(Long, Long, Boolean)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
@@ -280,6 +281,9 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got === expected)
     assert(got.nonEmpty && got.map(_._3).sum == survivors.size)
+    // at this scale the cut is exercised: multiple chunks per shard
+    assert(got.groupBy(_._1).values.forall(_.size > 1),
+      s"every shard should span >1 chunk, got ${got.groupBy(_._1).view.mapValues(_.size).toMap}")
   }
 
   test("q38 end-to-end near-dup: pairs are ordered, deduplicated, and all " +
