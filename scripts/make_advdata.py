@@ -24,7 +24,8 @@ os.makedirs(adv)
 for p in glob.glob(os.path.join(src, '*.parquet')):
     # skip the one file being replaced: if the COPY below ever failed, a
     # pre-copied real documents.parquet would masquerade as adversarial
-    if os.path.basename(p) != 'documents.parquet':
+    if os.path.basename(p) not in ('documents.parquet',
+                                   'embeddings.parquet'):
         shutil.copy(p, adv)
 
 rows = [
@@ -48,3 +49,29 @@ con.executemany("INSERT INTO adv VALUES (?,?,?,?,?)", rows)
 con.execute(f"COPY adv TO '{adv}/documents.parquet' (FORMAT PARQUET)")
 print(f'{adv}: {con.execute("select count(*) from adv").fetchone()[0]} '
       'adversarial docs')
+
+# adversarial embeddings: zero vector (no direction — under ANSI mode an
+# unguarded cosine is a DIVIDE_BY_ZERO crash, found by this sweep), huge /
+# tiny magnitudes (float overflow/underflow through the double fold), and
+# an all-NaN vector (NaN sorts greatest in BOTH engines, so parity holds)
+import random
+random.seed(7)
+vrows = []
+for i in range(60):
+    if i == 0:
+        v = [0.0] * 64
+    elif i == 1:
+        v = [1e30] * 64
+    elif i == 2:
+        v = [1e-30] * 64
+    elif i == 3:
+        v = [float('nan')] * 64
+    else:
+        v = [random.gauss(0, 1) for _ in range(64)]
+    vrows.append((i, v, i % 5))
+con.execute("CREATE TABLE adve(vec_id BIGINT, embedding FLOAT[], "
+            "label INTEGER)")
+con.executemany("INSERT INTO adve VALUES (?,?,?)", vrows)
+con.execute(f"COPY adve TO '{adv}/embeddings.parquet' (FORMAT PARQUET)")
+print(f'{adv}: {con.execute("select count(*) from adve").fetchone()[0]} '
+      'adversarial embeddings')

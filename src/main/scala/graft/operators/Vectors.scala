@@ -62,9 +62,13 @@ object Vectors {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
   def q21TopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    // a zero-norm vector has no direction: it can neither query nor rank
+    // (and under ANSI mode its cosine is a DIVIDE_BY_ZERO crash, not a
+    // quiet NaN — surfaced by the adversarial-embeddings sweep)
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         sqrt(dot("embedding", "embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
@@ -84,12 +88,13 @@ object Vectors {
        |         sqrt(list_sum(list_transform(range(len(embedding)),
        |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
        |  FROM embeddings),
+       |e2 AS (SELECT * FROM e WHERE nrm > 0),
        |cos AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
        |         round(list_sum(list_transform(range(len(q.embedding)),
        |             i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
        |           / (q.nrm * e.nrm), 4) AS cos_sim
-       |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+       |  FROM e2 q JOIN e2 e ON e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NumQueries)
        |SELECT query_id, neighbor_id, cos_sim, rank FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -311,8 +316,10 @@ object Vectors {
     val cand =
       try candidatePairs(banded).localCheckpoint(true)
       finally { banded.unpersist(); () }
+    // zero-norm vectors carry no direction: drop them before the divide
     val proj = vectors.select(col("vec_id"), col("embedding"),
       sqrt(dot("embedding", "embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     cand
       .join(proj.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), Seq("id_a"))
@@ -354,7 +361,8 @@ object Vectors {
        |         round(list_sum(list_transform(range(len(x.embedding)),
        |             i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
        |           / (x.nrm * y.nrm), 4) AS cos_sim
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE x.nrm > 0 AND y.nrm > 0)
        |WHERE cos_sim >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
 
   /** LSH-bucketed approximate top-k: compare only within a bucket. Used by
@@ -364,7 +372,8 @@ object Vectors {
       numPlanes: Int = NumPlanes): DataFrame = {
     // cache feeds both sides of the bucket self-join; call-scoped — the
     // n×k result is materialized eagerly, then the cache dropped
-    val e = lshProjected(table(spark, dir, "embeddings"), numPlanes).cache()
+    val e = lshProjected(table(spark, dir, "embeddings"), numPlanes)
+      .filter(col("nrm") > 0).cache()
     try {
       val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("bucket").as("qb"), col("nrm").as("qn"))
