@@ -25,7 +25,8 @@ for p in glob.glob(os.path.join(src, '*.parquet')):
     # skip the one file being replaced: if the COPY below ever failed, a
     # pre-copied real documents.parquet would masquerade as adversarial
     if os.path.basename(p) not in ('documents.parquet',
-                                   'embeddings.parquet'):
+                                   'embeddings.parquet',
+                                   'events.parquet'):
         shutil.copy(p, adv)
 
 rows = [
@@ -75,3 +76,42 @@ con.executemany("INSERT INTO adve VALUES (?,?,?)", vrows)
 con.execute(f"COPY adve TO '{adv}/embeddings.parquet' (FORMAT PARQUET)")
 print(f'{adv}: {con.execute("select count(*) from adve").fetchone()[0]} '
       'adversarial embeddings')
+
+# adversarial events (ns timestamps via pyarrow — duckdb COPY would write
+# us-precision and flip Spark's nanosAsLong schema branch): duplicate
+# (user, ts) pairs (total-order tie-breaks), NULL user/type/value/props,
+# NaN value (excluded from percentiles: engines disagree on NaN rank),
+# malformed + non-numeric + null-valued JSON (try_cast/json_valid
+# discipline), unicode event_type, 1e308 value. NULL ts is deliberately
+# absent: events without timestamps are an ingest-contract violation.
+import pyarrow as pa, pyarrow.parquet as pq
+base_ns = 1704067200 * 10**9  # 2024-01-01
+erows = []
+def add(eid, ts_off_ns, uid, etype, value, props):
+    erows.append((eid, base_ns + ts_off_ns, uid, etype, value, props))
+add(0, 10**9, 1, 'click', 1.0, '{"k": 1}')
+add(1, 10**9, 1, 'click', 2.0, '{"k": 2}')
+add(2, 10**9, 1, 'purchase', 3.0, '{"k": 3}')
+add(3, 2*10**9, None, 'click', 4.0, '{"k": 4}')
+add(4, 3*10**9, 2, None, 5.0, '{"k": 5}')
+add(5, 4*10**9, 2, 'click', None, None)
+add(6, 5*10**9, 3, 'error', float('nan'), '{"k": 6}')
+add(7, 6*10**9, 3, 'click', 7.0, 'not json at all')
+add(8, 7*10**9, 3, 'click', 8.0, '{"k": "string not int"}')
+add(9, 8*10**9, 3, 'click', 9.0, '{}')
+add(10, 9*10**9, 4, 'signup', 10.0, '{"k": null}')
+add(11, 10*10**9, 4, '\u0442\u0438\u043f', 1e308, '{"k": 11}')
+for i in range(12, 80):
+    add(i, (i * 37 % 50) * 10**9 + (i % 3) * 10**8, i % 6,
+        ['click', 'purchase', 'signup', 'error'][i % 4],
+        round(random.uniform(0, 500), 2), '{"k": %d}' % i)
+etbl = pa.table({
+    'event_id': pa.array([r[0] for r in erows], pa.int64()),
+    'ts': pa.array([r[1] for r in erows], pa.timestamp('ns')),
+    'user_id': pa.array([r[2] for r in erows], pa.int64()),
+    'event_type': pa.array([r[3] for r in erows], pa.string()),
+    'value': pa.array([r[4] for r in erows], pa.float64()),
+    'props': pa.array([r[5] for r in erows], pa.string()),
+})
+pq.write_table(etbl, f'{adv}/events.parquet')
+print(f'{adv}: {len(erows)} adversarial events')

@@ -275,8 +275,11 @@ object Relational {
     * rounded average matches DuckDB bit-for-bit. */
   def q27JsonExtract(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
+      // try_cast: a non-numeric "k" (or non-JSON props) yields NULL on
+      // BOTH engines instead of an ANSI CAST_INVALID_INPUT crash here and
+      // a value there (adversarial-events sweep)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), round(avg(col("k")), 2).as("avg_k"))
@@ -287,7 +290,8 @@ object Relational {
       |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
       |       round(avg(k), 2) AS avg_k
       |FROM (SELECT event_type,
-      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |             TRY_CAST(CASE WHEN json_valid(props) THEN
+      |               json_extract_string(props, '$.k') END AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -431,6 +435,11 @@ object Relational {
     * result in PipelineSpec instead of oracle-gated. */
   def q41Percentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
+      // NaN values are excluded: Spark sorts NaN greatest while DuckDB's
+      // quantile interpolation ignores it, so a NaN-tolerant percentile
+      // has no cross-engine meaning (adversarial-events sweep); nulls are
+      // already ignored by both engines' aggregates
+      .filter(!isnan(col("value")) || col("value").isNull)
       .groupBy("event_type")
       // ONE percentile buffer per group (array argument), not three — each
       // separate percentile() call would hold its own copy of the group
@@ -449,7 +458,8 @@ object Relational {
       |       round(quantile_cont(value, 0.99), 4) AS p99,
       |       round(min(value), 2) AS v_min,
       |       round(max(value), 2) AS v_max
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM events WHERE NOT isnan(value) OR value IS NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- Q42: unpivot (wide -> long reshaping, q40's inverse shape) -----------
 
