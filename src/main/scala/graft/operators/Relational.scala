@@ -275,11 +275,12 @@ object Relational {
     * rounded average matches DuckDB bit-for-bit. */
   def q27JsonExtract(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      // try_cast: a non-numeric "k" (or non-JSON props) yields NULL on
-      // BOTH engines instead of an ANSI CAST_INVALID_INPUT crash here and
-      // a value there (adversarial-events sweep)
+      // try_cast + DOUBLE: a non-numeric "k" (or non-JSON props) yields
+      // NULL on BOTH engines instead of an ANSI crash, and DOUBLE is the
+      // one numeric target both engines parse identically — string->BIGINT
+      // diverges (Spark rejects '1.5', DuckDB rounds it to 2)
       .select(col("event_type"),
-        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"), round(avg(col("k")), 2).as("avg_k"))
@@ -287,13 +288,13 @@ object Relational {
 
   val q27Sql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-      |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+      |       min(k) AS min_k, max(k) AS max_k,
       |       round(avg(k), 2) AS avg_k
       |FROM (SELECT event_type,
       |             TRY_CAST(CASE WHEN json_valid(props) THEN
-      |               json_extract_string(props, '$.k') END AS BIGINT) AS k
+      |               json_extract_string(props, '$.k') END AS DOUBLE) AS k
       |      FROM events)
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+      |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
   // --- Q36: rollup (multi-level aggregation) over the triple table ----------
 
@@ -391,7 +392,7 @@ object Relational {
        |       CAST(count(*) AS BIGINT) AS n_events,
        |       round(sum(value), 2) AS sum_value
        |FROM s GROUP BY user_id, session_id
-       |ORDER BY user_id, session_id""".stripMargin
+       |ORDER BY user_id NULLS FIRST, session_id""".stripMargin
 
   // --- Q40: pivot (long -> wide reshaping) ----------------------------------
 
@@ -420,7 +421,7 @@ object Relational {
       .mkString(",\n       ")
     s"""SELECT user_id,
        |       $cols
-       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+       |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin
   }
 
   // --- Q41: distribution statistics (exact percentiles) ---------------------
@@ -459,7 +460,7 @@ object Relational {
       |       round(min(value), 2) AS v_min,
       |       round(max(value), 2) AS v_max
       |FROM events WHERE NOT isnan(value) OR value IS NULL
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+      |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
   // --- Q42: unpivot (wide -> long reshaping, q40's inverse shape) -----------
 
@@ -554,5 +555,5 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |         AS last_purchase_value
       |FROM events
-      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+      |ORDER BY user_id NULLS FIRST, ts_ms, event_id""".stripMargin
 }

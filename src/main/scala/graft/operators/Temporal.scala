@@ -160,7 +160,7 @@ object Temporal {
        |FROM p JOIN e ON p.user_id = e.user_id
        |             AND e.ts_ms >= p.w_start AND e.ts_ms < p.w_end
        |GROUP BY p.user_id, p.win_id
-       |ORDER BY p.user_id, p.win_id""".stripMargin
+       |ORDER BY p.user_id NULLS FIRST, p.win_id""".stripMargin
 
   // --- Q46: as-of join — newest preceding purchase within tolerance --------
 
@@ -217,5 +217,5 @@ object Temporal {
        |       CASE WHEN m_t >= t - $AsofToleranceMs THEN m_val END
        |         AS purchase_value
        |FROM m WHERE tag = 1
-       |ORDER BY user_id, ts_ms, event_id""".stripMargin
+       |ORDER BY user_id NULLS FIRST, ts_ms, event_id""".stripMargin
 }

@@ -118,7 +118,10 @@ object Vectors {
     * share (buckets must agree across q22 and lshTopk). */
   private def lshBucket: Column = bitsCol(0, NumPlanes)
 
-  /** (vec_id, embedding, bucket, nrm) projection shared by the LSH paths. */
+  /** (vec_id, embedding, bucket, nrm) projection shared by the LSH paths.
+    * Zero-norm vectors appear in the q22 bucket CENSUS (assignment never
+    * divides) but are excluded from every SCORING path, so census
+    * occupancy is an upper bound on actual probe fan-in. */
   private def lshProjected(vectors: DataFrame, numPlanes: Int = NumPlanes): DataFrame =
     vectors.select(col("vec_id"), col("embedding"),
       bitsCol(0, numPlanes).as("bucket"), sqrt(dot("embedding", "embedding")).as("nrm"))
@@ -220,6 +223,11 @@ object Vectors {
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // a zero vector cannot be sphere-normalized (ANSI: the division
+      // would be a DIVIDE_BY_ZERO crash, not NaN) and has no direction to
+      // cluster — same exclusion as every other scoring path
+      .filter(expr(
+        "aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") > 0)
       .select(col("vec_id"), expr(
         "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
         .as("v"))
@@ -310,16 +318,20 @@ object Vectors {
     // without it the dominant cost (numBands × planesPerBand folds/vector)
     // doubles. Scoped to this call: the candidate set (bounded by the bucket
     // guard) is materialized eagerly, then the cache dropped.
+    // zero-norm vectors carry no direction: excluded ONCE, up front —
+    // banding them would only inflate one bucket (all sign bits fire),
+    // skew the over-full-bucket guard and generate candidate pairs the
+    // scoring join must then discard
+    val proj = vectors.select(col("vec_id"), col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val banded = refineOverfullBuckets(
-      bandedProjection(vectors, numBands, planesPerBand),
+      bandedProjection(proj.select("vec_id", "embedding"), numBands,
+        planesPerBand),
       maxBucketSize, numBands * planesPerBand).cache()
     val cand =
       try candidatePairs(banded).localCheckpoint(true)
       finally { banded.unpersist(); () }
-    // zero-norm vectors carry no direction: drop them before the divide
-    val proj = vectors.select(col("vec_id"), col("embedding"),
-      sqrt(dot("embedding", "embedding")).as("nrm"))
-      .filter(col("nrm") > 0)
     cand
       .join(proj.select(col("vec_id").as("id_a"), col("embedding").as("va"),
         col("nrm").as("na")), Seq("id_a"))
@@ -372,14 +384,18 @@ object Vectors {
       numPlanes: Int = NumPlanes): DataFrame = {
     // cache feeds both sides of the bucket self-join; call-scoped — the
     // n×k result is materialized eagerly, then the cache dropped
-    val e = lshProjected(table(spark, dir, "embeddings"), numPlanes)
-      .filter(col("nrm") > 0).cache()
+    val e = lshProjected(table(spark, dir, "embeddings"), numPlanes).cache()
     try {
-      val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("bucket").as("qb"), col("nrm").as("qn"))
+      // zero-norm vectors keep their bucket assignment (the q22 census and
+      // this path share one bucket definition) but can neither query nor
+      // rank — the division below excludes them on BOTH join sides
+      val q = e.filter(col("nrm") > 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bucket").as("qb"), col("nrm").as("qn"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      q.join(e, col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
+      q.join(e, col("qb") === col("bucket") && col("vec_id") =!= col("query_id")
+          && col("nrm") > 0)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
         .withColumn("rank", row_number().over(w).cast(LongType))
