@@ -82,6 +82,16 @@ class PipelineSpec extends AnyFunSuite {
       (2L, Some(0.5), Some(0.0), Some(1.0), Some(0.0), None, None)))
   }
 
+  test("q47 is map-only: no exchange but the gate's final sort") {
+    val plan = Docs.q47Repetition(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?:Exchange|BroadcastExchange) \\S+".r
+      .findAllIn(plan).toSeq
+    assert(exchanges.size == 1 &&
+      exchanges.head.contains("rangepartitioning"),
+      s"q47 must not shuffle grams: $exchanges\n$plan")
+  }
+
   test("q47 repetition fractions match an in-memory model on a randomized " +
     "small-vocab corpus (forced gram collisions)") {
     val rnd = new scala.util.Random(47)
