@@ -169,6 +169,19 @@ object SparkEntry {
     "q52_incremental_dedup" -> (Docs.q52IncrementalDedup(_, _)),
     // Capstone: quality ∘ dedup ∘ mix ∘ decontaminate ∘ pack in one plan.
     "q53_corpus_to_batches" -> (Docs.q53CorpusToBatches(_, _)),
+    // RAG-style overlapping chunking: fixed token windows, stride < size.
+    "q54_chunks" -> (Docs.q54Chunks(_, _)),
+    // Exact-k deterministic stratified sample per source stratum.
+    "q55_group_sample" -> (Docs.q55GroupSample(_, _)),
+    // TF-IDF keyword extraction: per-doc top-3 terms, broadcast df/N.
+    "q56_tfidf_keywords" -> (Docs.q56TfidfKeywords(_, _)),
+    // Native Morton z-key over the (part, supplier) plane — the
+    // multi-dimensional data-skipping sort key (layout test in PlansSpec).
+    "q57_zorder_key" -> (graft.plans.ZOrderKey.q57(_, _)),
+    // Int8 symmetric embedding quantization with dequant scale.
+    "q58_vec_quantize" -> (Vectors.q58Quantize(_, _)),
+    // PII scrub: count + redact emails/IPv4s/phones (planted payload).
+    "q59_pii_scrub" -> (Docs.q59PiiScrub(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -289,5 +302,11 @@ object SparkEntry {
     "q51_vocab"          -> Docs.q51Sql,
     "q52_incremental_dedup" -> Docs.q52Sql,
     "q53_corpus_to_batches" -> Docs.q53Sql,
+    "q54_chunks"         -> Docs.q54Sql,
+    "q55_group_sample"   -> Docs.q55Sql,
+    "q56_tfidf_keywords" -> Docs.q56Sql,
+    "q57_zorder_key"     -> graft.plans.ZOrderKey.q57Sql,
+    "q58_vec_quantize"   -> Vectors.q58Sql,
+    "q59_pii_scrub"      -> Docs.q59Sql,
   )
 }

@@ -928,4 +928,199 @@ object Docs {
        |WHERE len(list_filter(range(32),
        |        i -> substr(sa, i+1, 1) <> substr(sb, i+1, 1))) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- Q54: RAG-style overlapping chunking -----------------------------------
+
+  /** Sliding-window chunking — the retrieval / context-window shape that cuts
+    * each document into fixed-size token windows with overlap
+    * (stride < size), so a fact straddling a cut still appears whole in the
+    * next chunk. Emits one row per chunk with its token span and content
+    * digest.
+    *
+    * Scale shape: pure row-local array work — the chunk list is built inside
+    * ONE projection (no self-join, no window), then exploded; the only
+    * exchange in the plan is the final presentation sort (plan-asserted in
+    * CorpusOpsSpec). Chunk count per document is ceil(len/stride), so output
+    * rows ≈ corpus_tokens/stride — linear in corpus size, and the text
+    * column itself never moves through a shuffle. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  def q54Chunks(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(filter(sequence(0, size(w) - 1), p -> p % $ChunkStride = 0),
+           |  s -> named_struct(
+           |    'chunk_start', CAST(s AS BIGINT),
+           |    'chunk_len', CAST(size(slice(w, s + 1, $ChunkSize)) AS BIGINT),
+           |    'chunk_md5', md5(array_join(slice(w, s + 1, $ChunkSize), ' '))))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_idx"),
+        col("col.chunk_start"), col("col.chunk_len"), col("col.chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val q54Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |e AS (SELECT doc_id, w,
+       |        unnest(list_filter(range(0, len(w)),
+       |          p -> p % $ChunkStride = 0)) AS s
+       |      FROM d)
+       |SELECT doc_id,
+       |  CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+       |  CAST(s AS BIGINT) AS chunk_start,
+       |  CAST(len(w[s + 1 : s + $ChunkSize]) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(w[s + 1 : s + $ChunkSize], ' ')) AS chunk_md5
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --- Q55: exact-k deterministic stratified sample --------------------------
+
+  /** Exact-k per-stratum sampling — the corpus-inspection / eval-set draw
+    * that needs EXACTLY k documents per source regardless of stratum size
+    * (Bernoulli-rate draws — q49 — can't guarantee cardinality). The draw
+    * key is a salted hash of doc_id, so the sample is stable across runs,
+    * reshards and engine versions, and adding documents only perturbs the
+    * selection locally (a new doc displaces at most one pick per stratum).
+    *
+    * Scale shape: one hash exchange on source + a per-group sort. k is tiny
+    * and fixed; because rank is over a content-independent hash, the same
+    * draw can run as a two-phase per-partition top-k then merge at cluster
+    * scale with no correctness dependence on the physical path. */
+  val SampleK = 5
+
+  def q55GroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("draw")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(":", col("doc_id"), lit("q55"))).as("draw"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= SampleK)
+      .select("source", "rk", "doc_id", "draw")
+      .orderBy("source", "rk")
+  }
+
+  val q55Sql: String =
+    s"""SELECT source, rk, doc_id, draw FROM (
+       |  SELECT doc_id, source, md5(doc_id || ':q55') AS draw,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(doc_id || ':q55')) AS BIGINT) AS rk
+       |  FROM documents)
+       |WHERE rk <= $SampleK ORDER BY source, rk""".stripMargin
+
+  // --- Q56: TF-IDF keyword extraction ----------------------------------------
+
+  /** Top-3 TF-IDF terms per document — the classic keyword/salience
+    * extraction a corpus-indexing pipeline runs next to q51's vocabulary.
+    * Ranking uses the ROUNDED score (desc, then term asc) so rank is
+    * insensitive to last-ulp transcendental (`ln`) differences between
+    * engines: mathematically-equal scores computed through different
+    * expression shapes tie at 4 decimals and fall through to the term
+    * tie-break in both engines.
+    *
+    * Scale shape: term frequencies are one map-side-combined aggregate on
+    * (doc_id, word); document frequencies aggregate to |vocabulary| rows and
+    * BROADCAST back onto the tf relation (the corpus-sized side never
+    * reshuffles for the join); the corpus size joins as a broadcast 1-row
+    * aggregate, and the final per-doc top-3 rides the tf relation's existing
+    * doc_id partitioning. */
+  def q56TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfr = terms.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    tf.join(broadcast(dfr), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast(DoubleType) *
+        log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 4))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val q56Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |       FROM terms GROUP BY 1, 2),
+      |idf AS (SELECT word, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, word, tf,
+      |    round(CAST(tf AS DOUBLE) * ln(n_docs / df), 4) AS score
+      |  FROM tf JOIN idf USING (word), n),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, word) AS BIGINT) AS rk FROM scored)
+      |SELECT doc_id, rk, word, tf, score FROM r
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  // --- Q59: PII scrubbing -----------------------------------------------------
+
+  /** Regex PII scrub — emails, IPv4 addresses and phone-shaped numbers are
+    * counted per document and redacted to typed placeholders, with the
+    * digest of the redacted text as the gate value. The synthetic corpus is
+    * PII-free by construction, so the gate query PLANTS a deterministic PII
+    * payload derived from doc_id into every document first (both engines
+    * plant the identical payload): the scrubber is exercised on every row
+    * instead of vacuously passing over clean text. Patterns stick to the
+    * character-class/quantifier subset that Java regex (Spark) and RE2
+    * (DuckDB) evaluate identically — no lookaround, no backreferences, no
+    * anchors, no escapes.
+    *
+    * Scale shape: map-only — the injection, three count extractions and the
+    * three-pass redaction all fuse into one codegen'd projection over one
+    * scan; the only exchange is the presentation sort. */
+  private[graft] val EmailPat =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  private[graft] val Ipv4Pat =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private[graft] val PhonePat = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+
+  /** The three redaction passes in order (email first: its pattern is the
+    * only one that can contain the others' alphabets as substrings). */
+  private[graft] def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(EmailPat), lit("<EMAIL>")),
+      lit(Ipv4Pat), lit("<IP>")),
+      lit(PhonePat), lit("<PHONE>"))
+
+  def q59PiiScrub(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.7 tel "),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(t, '$EmailPat', 0)"))
+          .cast(LongType).as("n_emails"),
+        size(expr(s"regexp_extract_all(t, '$Ipv4Pat', 0)"))
+          .cast(LongType).as("n_ipv4"),
+        size(expr(s"regexp_extract_all(t, '$PhonePat', 0)"))
+          .cast(LongType).as("n_phone"),
+        md5(scrubPii(col("t"))).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val q59Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || ' reach user' || doc_id || '@mail.example.com or 10.' ||
+       |    (doc_id % 200) || '.0.7 tel ' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$Ipv4Pat')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g')) AS clean_md5
+       |FROM d ORDER BY doc_id""".stripMargin
 }

@@ -403,4 +403,53 @@ object Vectors {
         .localCheckpoint(true)
     } finally { e.unpersist(); () }
   }
+
+  // --- Q58: int8 symmetric quantization -------------------------------------
+
+  /** Per-vector symmetric int8 quantization — the 4× storage/bandwidth
+    * shrink an embedding store runs before serving ANN at 100 TB:
+    * `q_i = round(x_i * 127 / max|x|)`, plus the scale needed to
+    * dequantize. Rounding is an explicit `floor(v + 0.5)` (not `round`) so
+    * both engines share ONE deterministic tie rule, and the per-vector
+    * scale is emitted as integer micro-units for the same reason. The
+    * quantized vector itself travels as a CSV string + checksum: the gate
+    * hash then never depends on how either engine's client formats nested
+    * arrays. A zero vector (max|x| = 0) quantizes to all zeros instead of
+    * dividing by zero — same guard discipline as every cosine path.
+    *
+    * Scale shape: map-only row-local array arithmetic — one scan, one
+    * projection, no shuffle but the presentation sort. */
+  def q58Quantize(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))")
+          .as("mx"))
+      .select(col("vec_id"), col("mx"),
+        expr("""CASE WHEN mx = 0.0D THEN transform(embedding, v -> 0L)
+                |ELSE transform(embedding, v ->
+                |  CAST(floor(CAST(v AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT))
+                |END""".stripMargin).as("q"))
+      .select(col("vec_id"),
+        expr("CAST(floor(mx * 1000000.0D + 0.5D) AS BIGINT)").as("max_abs_micro"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q8_csv"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q8_sum"))
+      .orderBy("vec_id")
+
+  val q58Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, mx,
+      |    CASE WHEN mx = 0.0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(embedding, v ->
+      |        CAST(floor(CAST(v AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))
+      |    END AS q
+      |  FROM e)
+      |SELECT vec_id,
+      |  CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT) AS max_abs_micro,
+      |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q8_csv,
+      |  CAST(list_sum(q) AS BIGINT) AS q8_sum
+      |FROM q ORDER BY vec_id""".stripMargin
 }

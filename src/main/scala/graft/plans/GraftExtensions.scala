@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_kgram_hashes"),
       (children: Seq[Expression]) =>
         RollingKgramHashes(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (children: Seq[Expression]) =>
+        ZOrderKey(children(0), children(1))))
     // `lww_object(object, ts_ms)` in SQL text: the reference's whole surface
     // is queries-from-outside (MasterServer.py:292-330), so the LWW winner
     // function must be reachable from spark.sql, not just the Column API.
