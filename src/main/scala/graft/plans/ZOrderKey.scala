@@ -71,6 +71,32 @@ object ZOrderKey {
   /** Called from generated code. */
   def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
 
+  /** Layout helper: add a z-key over two long columns with each dimension
+    * min-max scaled into an equal `bits`-wide budget first. Raw interleaving
+    * only clusters dimensions of comparable magnitude — a 4-bit column
+    * interleaved with an 8-bit one leaves the key's high bits dominated by
+    * the wide column and the narrow one un-clustered (exactly the failure a
+    * naive z-order hits; production layouts rank- or range-normalize for
+    * this reason). The min/max bounds join in as a broadcast 1-row
+    * aggregate, so the helper stays one declarative plan with no driver
+    * action; callers then `repartitionByRange($col).sortWithinPartitions`
+    * and write. Scaling is double-precision — fine for a LAYOUT key (it
+    * only positions rows on the curve; it never answers a predicate). */
+  def withScaledZKey(df: DataFrame, a: String, b: String,
+      zCol: String = "zkey", bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, max, min}
+    val top = (1L << bits) - 1
+    val bounds = df.agg(
+      min(col(a)).cast("double").as("_amn"), max(col(a)).cast("double").as("_amx"),
+      min(col(b)).cast("double").as("_bmn"), max(col(b)).cast("double").as("_bmx"))
+    def scaled(c: String, mn: String, mx: String) =
+      s"CAST(floor((CAST($c AS DOUBLE) - $mn) * $top.0D / greatest($mx - $mn, 1.0D)) AS BIGINT)"
+    df.crossJoin(broadcast(bounds))
+      .withColumn(zCol, expr(
+        s"zorder_key(${scaled(a, "_amn", "_amx")}, ${scaled(b, "_bmn", "_bmx")})"))
+      .drop("_amn", "_amx", "_bmn", "_bmx")
+  }
+
   /** Gate query q57: the z-key over lineitem's (part, supplier) plane, with
     * the row identity alongside — the exact keys the clustered layout in
     * PlansSpec sorts by. Total order: (zkey, l_orderkey, l_linenumber). */

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Docs, Vectors}
+import graft.plans.ZOrderKey
+
+/** Round-7 corpus/layout operators (q54–q59): the properties the SQL-oracle
+  * gate can't express — coverage/overlap laws, in-memory model cross-checks,
+  * scrub completeness on adversarial shapes, quantization error bounds, and
+  * the z-order layout's BOTH-dimension file pruning. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q54 chunking: stride-aligned starts, full token coverage, " +
+    "exact interior sizes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val byDoc = Docs.q54Chunks(spark, sf).collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id).toLong
+      val sorted = cs.sortBy(_.getLong(1))
+      // starts are exactly the stride multiples below the token count
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        (0L until n by Docs.ChunkStride.toLong).toSeq, s"doc $id starts")
+      sorted.foreach { r =>
+        val (start, len) = (r.getLong(2), r.getLong(3))
+        assert(len == math.min(Docs.ChunkSize.toLong, n - start),
+          s"doc $id chunk at $start")
+      }
+      // union of [start, start+len) covers every token position
+      val covered = sorted
+        .flatMap(r => r.getLong(2) until (r.getLong(2) + r.getLong(3))).toSet
+      assert(covered == (0L until n).toSet, s"doc $id coverage")
+    }
+  }
+
+  test("q55 exact-k sample: exactly min(k, |stratum|) per source, " +
+    "ranks dense, draw stable across runs") {
+    val sizes = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val s1 = Docs.q55GroupSample(spark, sf).collect()
+    val per = s1.groupBy(_.getString(0))
+    assert(per.keySet == sizes.keySet)
+    per.foreach { case (src, rows) =>
+      assert(rows.length == math.min(Docs.SampleK.toLong, sizes(src)),
+        s"stratum $src")
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, s"stratum $src ranks")
+    }
+    val s2 = Docs.q55GroupSample(spark, sf).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq)
+  }
+
+  test("q56 tf-idf matches an in-memory model (score, rounding, tie order)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text"))).as[(Long, String)].collect()
+    val n = docs.length.toDouble
+    val tf = docs.flatMap { case (id, t) => t.split(" ").map(w => (id, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val df = tf.keys.toSeq.groupBy(_._2).map { case (w, ks) => w -> ks.size }
+    def score(id: Long, w: String): Double =
+      BigDecimal(tf((id, w)) * math.log(n / df(w)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = tf.keys.toSeq.groupBy(_._1).map { case (id, ks) =>
+      id -> ks.map(_._2).distinct
+        .map(w => (score(id, w), w)).sortBy { case (s, w) => (-s, w) }.take(3)
+    }
+    val got = Docs.q56TfidfKeywords(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val gotSeq = rows.sortBy(_.getLong(1))
+        .map(r => (r.getDouble(4), r.getString(2))).toSeq
+      assert(gotSeq == expected(id), s"doc $id")
+    }
+  }
+
+  test("q56 plan: df and N join back as broadcasts — the corpus-sized tf " +
+    "relation never reshuffles for them") {
+    val plan = Docs.q56TfidfKeywords(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("zorder_key matches the per-bit definition, masks to 31 bits, " +
+    "and runs through codegen via SQL") {
+    def naive(x: Long, y: Long): Long =
+      (0 until 31).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val r = new scala.util.Random(7)
+    (0 until 1000).foreach { _ =>
+      val x = r.nextLong() & Long.MaxValue
+      val y = r.nextLong() & Long.MaxValue
+      val z = ZOrderKey.interleave(x, y)
+      assert(z == naive(x, y) && z >= 0, s"($x, $y)")
+    }
+    // interleaving is order-preserving per dimension at fixed other dim
+    assert(ZOrderKey.interleave(3, 5) == 39L)
+    val viaSql = Seq((3L, 5L)).toDF("x", "y")
+      .selectExpr("zorder_key(x, y) AS z").as[Long].head()
+    assert(viaSql == 39L)
+  }
+
+  test("z-clustered layout prunes files on BOTH dimensions; a single-column " +
+    "sort cannot prune the other dimension") {
+    // dimensions of unequal bit width MUST be scale-normalized before
+    // interleaving (suppkey spans ~4 bits here vs partkey's ~8 — raw
+    // interleave leaves the key dominated by partkey's high bits)
+    val li = ZOrderKey.withScaledZKey(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_partkey", "l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("graft_zlay").toString
+    val (zdir, sdir) = (s"$base/z", s"$base/s")
+    li.repartitionByRange(8, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(zdir)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sdir)
+    // a file can serve min/max skipping for a predicate iff its [min, max]
+    // stats intersect the predicate range — count intersecting files
+    def overlapping(dir: String, c: String, lo: Long, hi: Long): Int =
+      spark.read.parquet(dir).inputFiles.count { f =>
+        val (mn, mx) = spark.read.parquet(f).agg(min(col(c)), max(col(c)))
+          .as[(Long, Long)].head()
+        mx >= lo && mn <= hi
+      }
+    def nFiles(dir: String): Int = spark.read.parquet(dir).inputFiles.length
+    val (pLo, pHi, sLo, sHi) = li
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .as[(Long, Long, Long, Long)].head()
+    // an eighth-of-range box in each dimension
+    val (pboxHi, sboxHi) = (pLo + (pHi - pLo) / 8, sLo + (sHi - sLo) / 8)
+    val zn = nFiles(zdir)
+    assert(zn >= 4, "need multiple files for a pruning statement")
+    assert(overlapping(zdir, "l_partkey", pLo, pboxHi) <= zn / 2,
+      "z layout should prune most files on the first dimension")
+    assert(overlapping(zdir, "l_suppkey", sLo, sboxHi) <= zn / 2,
+      "z layout should prune most files on the second dimension")
+    // the single-column sort prunes its own column but NOT the other:
+    // suppkey is uncorrelated with partkey, so every file spans its range
+    assert(overlapping(sdir, "l_partkey", pLo, pboxHi) <= 2)
+    assert(overlapping(sdir, "l_suppkey", sLo, sboxHi) == nFiles(sdir))
+  }
+
+  test("q58 quantization: int8 range, max element hits ±127, dequant error " +
+    "bounded by mx/254, checksum consistent") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val rows = Vectors.q58Quantize(spark, sf).collect()
+    assert(rows.length == embs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val q = r.getString(2).split(",").map(_.toLong)
+      val x = embs(id).map(_.toDouble)
+      assert(q.length == x.length)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      val mx = x.map(math.abs).max
+      assert(r.getLong(1) == math.floor(mx * 1e6 + 0.5).toLong)
+      if (mx == 0) assert(q.forall(_ == 0))
+      else {
+        assert(math.abs(q(x.indexWhere(v => math.abs(v) == mx))) == 127L,
+          s"vec $id max element")
+        q.zip(x).foreach { case (qi, xi) =>
+          assert(math.abs(qi * mx / 127.0 - xi) <= mx / 254.0 + 1e-9,
+            s"vec $id dequant error") }
+      }
+      assert(r.getLong(3) == q.sum, s"vec $id checksum")
+    }
+  }
+
+  test("q58 zero vector quantizes to all zeros (no division by zero)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q58z").toString
+    Seq((1L, Array(0f, 0f, 0f, 0f), 0), (2L, Array(1f, -2f, 0.5f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Vectors.q58Quantize(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "0,0,0,0")
+    assert(out(2L) == "64,-127,32,127")
+  }
+
+  test("q59 PII scrub: planted payload counted exactly once per kind and " +
+    "fully redacted; adversarial shapes leave no residual match") {
+    val out = Docs.q59PiiScrub(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+        s"doc ${r.getLong(0)} planted counts")
+    }
+    val fixtures = Seq(
+      "mail a.b-c_d%e+f@sub.domain.co.uk end",
+      "ip 192.168.0.1, 1.2.3.4. trailing dot",
+      "call 555-123-4567 now",
+      "edge a@b.co 999.999.999.999 000-000-0000",
+      "no pii here at all")
+    val cleaned = fixtures.toDF("t")
+      .select(Docs.scrubPii(col("t")).as("c")).as[String].collect()
+    cleaned.foreach { c =>
+      Seq(Docs.EmailPat, Docs.Ipv4Pat, Docs.PhonePat).foreach(p =>
+        assert(p.r.findFirstIn(c).isEmpty, s"residual PII in: $c"))
+    }
+    assert(cleaned(2) == "call <PHONE> now")
+    assert(cleaned(1) == "ip <IP>, <IP>. trailing dot")
+    assert(cleaned(4) == "no pii here at all")
+  }
+
+  test("q54/q58/q59 are map-only: the only exchange is the presentation sort") {
+    Seq(
+      "q54" -> Docs.q54Chunks(spark, sf),
+      "q58" -> Vectors.q58Quantize(spark, sf),
+      "q59" -> Docs.q59PiiScrub(spark, sf)).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      val ex = "Exchange \\w+".r.findAllIn(plan).toSeq
+      assert(ex.nonEmpty && ex.forall(_.contains("rangepartitioning")),
+        s"$name unexpected exchange shape: $ex\n$plan")
+    }
+  }
+}
