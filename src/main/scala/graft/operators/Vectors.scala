@@ -414,8 +414,15 @@ object Vectors {
     * scale is emitted as integer micro-units for the same reason. The
     * quantized vector itself travels as a CSV string + checksum: the gate
     * hash then never depends on how either engine's client formats nested
-    * arrays. A zero vector (max|x| = 0) quantizes to all zeros instead of
-    * dividing by zero — same guard discipline as every cosine path.
+    * arrays. Degenerate vectors — zero (no direction to scale), any
+    * non-finite element (max|x| becomes NaN/Inf), or magnitudes beyond
+    * 1e12 (the micro-unit scale would overflow int64; no real embedding
+    * regime) — quantize to all zeros with a −1 sentinel scale instead of
+    * dividing by zero, casting NaN, or overflowing. The single vector-level
+    * validity predicate `0 < mx ≤ 1e12` covers all three cases identically
+    * in both engines BECAUSE both order NaN greater than every number
+    * (`NaN ≤ 1e12` is false in Spark and DuckDB alike), and a NaN/Inf
+    * element always surfaces as `mx = NaN/Inf`.
     *
     * Scale shape: map-only row-local array arithmetic — one scan, one
     * projection, no shuffle but the presentation sort. */
@@ -425,12 +432,15 @@ object Vectors {
         expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))")
           .as("mx"))
       .select(col("vec_id"), col("mx"),
-        expr("""CASE WHEN mx = 0.0D THEN transform(embedding, v -> 0L)
-                |ELSE transform(embedding, v ->
+        expr("""CASE WHEN mx > 0.0D AND mx <= 1000000000000.0D
+                |THEN transform(embedding, v ->
                 |  CAST(floor(CAST(v AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT))
+                |ELSE transform(embedding, v -> 0L)
                 |END""".stripMargin).as("q"))
       .select(col("vec_id"),
-        expr("CAST(floor(mx * 1000000.0D + 0.5D) AS BIGINT)").as("max_abs_micro"),
+        expr("""CASE WHEN mx > 0.0D AND mx <= 1000000000000.0D
+                |THEN CAST(floor(mx * 1000000.0D + 0.5D) AS BIGINT)
+                |ELSE -1L END""".stripMargin).as("max_abs_micro"),
         expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q8_csv"),
         expr("aggregate(q, 0L, (a, x) -> a + x)").as("q8_sum"))
       .orderBy("vec_id")
@@ -442,13 +452,16 @@ object Vectors {
       |  FROM embeddings),
       |q AS (
       |  SELECT vec_id, mx,
-      |    CASE WHEN mx = 0.0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
-      |      ELSE list_transform(embedding, v ->
+      |    CASE WHEN mx > 0.0 AND mx <= 1000000000000.0
+      |      THEN list_transform(embedding, v ->
       |        CAST(floor(CAST(v AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))
+      |      ELSE list_transform(embedding, v -> CAST(0 AS BIGINT))
       |    END AS q
       |  FROM e)
       |SELECT vec_id,
-      |  CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT) AS max_abs_micro,
+      |  CASE WHEN mx > 0.0 AND mx <= 1000000000000.0
+      |    THEN CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)
+      |    ELSE CAST(-1 AS BIGINT) END AS max_abs_micro,
       |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q8_csv,
       |  CAST(list_sum(q) AS BIGINT) AS q8_sum
       |FROM q ORDER BY vec_id""".stripMargin

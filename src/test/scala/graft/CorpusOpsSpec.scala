@@ -175,15 +175,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q58 zero vector quantizes to all zeros (no division by zero)") {
+  test("q58 degenerate vectors (zero, NaN, Inf, 1e30) quantize to zeros " +
+    "with the -1 sentinel scale; sane vectors unaffected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_q58z").toString
-    Seq((1L, Array(0f, 0f, 0f, 0f), 0), (2L, Array(1f, -2f, 0.5f, 2f), 0))
+    Seq(
+      (1L, Array(0f, 0f, 0f, 0f), 0),
+      (2L, Array(1f, -2f, 0.5f, 2f), 0),
+      (3L, Array(Float.NaN, 1f, 2f, 3f), 0),
+      (4L, Array(1e30f, 1f, 2f, 3f), 0),
+      (5L, Array(Float.PositiveInfinity, 1f, 2f, 3f), 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Vectors.q58Quantize(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(out(1L) == "0,0,0,0")
-    assert(out(2L) == "64,-127,32,127")
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((-1L, "0,0,0,0")))
+    assert(out(2L) == ((2000000L, "64,-127,32,127")))
+    assert(out(3L)._1 == -1L && out(3L)._2 == "0,0,0,0")
+    assert(out(4L)._1 == -1L && out(4L)._2 == "0,0,0,0")
+    assert(out(5L)._1 == -1L && out(5L)._2 == "0,0,0,0")
   }
 
   test("q59 PII scrub: planted payload counted exactly once per kind and " +
