@@ -67,6 +67,12 @@ for i in range(60):
         v = [1e-30] * 64
     elif i == 3:
         v = [float('nan')] * 64
+    elif i == 4:
+        v = []              # empty vector: DuckDB's array_to_string([]) /
+                            # list_sum([]) return NULL where Spark returns
+                            # ''/0 — q58's oracle must CASE them back
+    elif i == 5:
+        v = None            # NULL vector: NULL through both engines
     else:
         v = [random.gauss(0, 1) for _ in range(64)]
     vrows.append((i, v, i % 5))

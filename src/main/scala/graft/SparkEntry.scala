@@ -176,7 +176,7 @@ object SparkEntry {
     // TF-IDF keyword extraction: per-doc top-3 terms, broadcast df/N.
     "q56_tfidf_keywords" -> (Docs.q56TfidfKeywords(_, _)),
     // Native Morton z-key over the (part, supplier) plane — the
-    // multi-dimensional data-skipping sort key (layout test in PlansSpec).
+    // multi-dimensional data-skipping sort key (layout test in CorpusOpsSpec).
     "q57_zorder_key" -> (graft.plans.ZOrderKey.q57(_, _)),
     // Int8 symmetric embedding quantization with dequant scale.
     "q58_vec_quantize" -> (Vectors.q58Quantize(_, _)),

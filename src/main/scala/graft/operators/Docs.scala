@@ -950,7 +950,9 @@ object Docs {
     table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(filter(sequence(0, size(w) - 1), p -> p % $ChunkStride = 0),
+        // stepped sequence, NOT sequence+filter: a filter pass would
+        // allocate a full n-element index array per row to keep n/24 of it
+        s"""transform(sequence(0, size(w) - 1, $ChunkStride),
            |  s -> named_struct(
            |    'chunk_start', CAST(s AS BIGINT),
            |    'chunk_len', CAST(size(slice(w, s + 1, $ChunkSize)) AS BIGINT),
@@ -963,8 +965,7 @@ object Docs {
   val q54Sql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |e AS (SELECT doc_id, w,
-       |        unnest(list_filter(range(0, len(w)),
-       |          p -> p % $ChunkStride = 0)) AS s
+       |        unnest(range(0, len(w), $ChunkStride)) AS s
        |      FROM d)
        |SELECT doc_id,
        |  CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
@@ -1017,21 +1018,24 @@ object Docs {
     * expression shapes tie at 4 decimals and fall through to the term
     * tie-break in both engines.
     *
-    * Scale shape: term frequencies are one map-side-combined aggregate on
-    * (doc_id, word); document frequencies aggregate to |vocabulary| rows and
-    * BROADCAST back onto the tf relation (the corpus-sized side never
-    * reshuffles for the join); the corpus size joins as a broadcast 1-row
-    * aggregate, and the final per-doc top-3 rides the tf relation's existing
-    * doc_id partitioning. */
+    * Scale shape: the corpus is scanned and tokenized exactly ONCE
+    * (plan-asserted) — term frequencies are one map-side-combined aggregate
+    * on (doc_id, word), and document frequency is a window count over the
+    * SAME tf relation (`count over (partition by word)`: one tf row per
+    * (doc, word), so the per-word row count IS df). A separate
+    * `terms.groupBy(word)` branch reads cleaner but costs a second full
+    * corpus scan + explode — the optimizer prunes the two subtrees
+    * differently, so ReuseExchange never fires on them. Only the 1-row
+    * corpus count joins in as a broadcast; the per-doc top-3 then rides a
+    * doc_id exchange of the tf relation. */
   def q56TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val terms = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfr = terms.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
-    tf.join(broadcast(dfr), "word")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf").cast(DoubleType) *
         log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 4))
@@ -1047,7 +1051,7 @@ object Docs {
       |  FROM documents),
       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
       |       FROM terms GROUP BY 1, 2),
-      |idf AS (SELECT word, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |idf AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, word, tf,

@@ -422,7 +422,11 @@ object Vectors {
     * validity predicate `0 < mx ≤ 1e12` covers all three cases identically
     * in both engines BECAUSE both order NaN greater than every number
     * (`NaN ≤ 1e12` is false in Spark and DuckDB alike), and a NaN/Inf
-    * element always surfaces as `mx = NaN/Inf`.
+    * element always surfaces as `mx = NaN/Inf`. An EMPTY vector yields
+    * ('', 0) and a NULL vector yields (NULL, NULL) on both engines — the
+    * oracle needs explicit CASEs because DuckDB's `array_to_string([])`
+    * and `list_sum([])` return NULL where Spark's `array_join`/`aggregate`
+    * return ''/0 (both spec-pinned).
     *
     * Scale shape: map-only row-local array arithmetic — one scan, one
     * projection, no shuffle but the presentation sort. */
@@ -462,7 +466,10 @@ object Vectors {
       |  CASE WHEN mx > 0.0 AND mx <= 1000000000000.0
       |    THEN CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)
       |    ELSE CAST(-1 AS BIGINT) END AS max_abs_micro,
-      |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q8_csv,
-      |  CAST(list_sum(q) AS BIGINT) AS q8_sum
+      |  CASE WHEN q IS NULL THEN NULL WHEN len(q) = 0 THEN ''
+      |    ELSE array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')
+      |  END AS q8_csv,
+      |  CASE WHEN q IS NULL THEN NULL
+      |    ELSE COALESCE(CAST(list_sum(q) AS BIGINT), 0) END AS q8_sum
       |FROM q ORDER BY vec_id""".stripMargin
 }

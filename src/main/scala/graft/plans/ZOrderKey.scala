@@ -19,7 +19,7 @@ import graft.TripleStore.table
   * at once, so parquet min/max stats stay narrow for each column
   * individually and a rectangle predicate (`x BETWEEN … AND y BETWEEN …`)
   * skips most files/row-groups on either dimension — multi-dimensional data
-  * skipping from one sort key, no index structure. PlansSpec writes a
+  * skipping from one sort key, no index structure. CorpusOpsSpec writes a
   * z-clustered layout and asserts both-dimension file pruning against the
   * single-column sort.
   *
@@ -99,7 +99,7 @@ object ZOrderKey {
 
   /** Gate query q57: the z-key over lineitem's (part, supplier) plane, with
     * the row identity alongside — the exact keys the clustered layout in
-    * PlansSpec sorts by. Total order: (zkey, l_orderkey, l_linenumber). */
+    * CorpusOpsSpec sorts by. Total order: (zkey, l_orderkey, l_linenumber). */
   def q57(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),

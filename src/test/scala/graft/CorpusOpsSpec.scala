@@ -81,11 +81,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q56 plan: df and N join back as broadcasts — the corpus-sized tf " +
-    "relation never reshuffles for them") {
+  test("q56 plan: the corpus is scanned and tokenized exactly once — df is " +
+    "a window over tf, and only the 1-row N joins as a broadcast") {
     val plan = Docs.q56TfidfKeywords(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
@@ -191,20 +192,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     "with the -1 sentinel scale; sane vectors unaffected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_q58z").toString
     Seq(
-      (1L, Array(0f, 0f, 0f, 0f), 0),
-      (2L, Array(1f, -2f, 0.5f, 2f), 0),
-      (3L, Array(Float.NaN, 1f, 2f, 3f), 0),
-      (4L, Array(1e30f, 1f, 2f, 3f), 0),
-      (5L, Array(Float.PositiveInfinity, 1f, 2f, 3f), 0))
+      (1L, Some(Array(0f, 0f, 0f, 0f)), 0),
+      (2L, Some(Array(1f, -2f, 0.5f, 2f)), 0),
+      (3L, Some(Array(Float.NaN, 1f, 2f, 3f)), 0),
+      (4L, Some(Array(1e30f, 1f, 2f, 3f)), 0),
+      (5L, Some(Array(Float.PositiveInfinity, 1f, 2f, 3f)), 0),
+      (6L, Some(Array.empty[Float]), 0),
+      (7L, None, 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Vectors.q58Quantize(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
-    assert(out(1L) == ((-1L, "0,0,0,0")))
-    assert(out(2L) == ((2000000L, "64,-127,32,127")))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(out(1L) == ((-1L, "0,0,0,0", Some(0L))))
+    assert(out(2L) == ((2000000L, "64,-127,32,127", Some(96L))))
     assert(out(3L)._1 == -1L && out(3L)._2 == "0,0,0,0")
     assert(out(4L)._1 == -1L && out(4L)._2 == "0,0,0,0")
     assert(out(5L)._1 == -1L && out(5L)._2 == "0,0,0,0")
+    // empty vector: defined ('' / 0), NOT the oracle's raw NULL (the SQL
+    // twin CASEs DuckDB's NULL-on-empty array_to_string/list_sum back)
+    assert(out(6L) == ((-1L, "", Some(0L))))
+    // NULL vector: NULL csv/sum on both engines
+    assert(out(7L)._1 == -1L && out(7L)._2 == null && out(7L)._3.isEmpty)
   }
 
   test("q59 PII scrub: planted payload counted exactly once per kind and " +
