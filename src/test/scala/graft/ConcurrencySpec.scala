@@ -20,7 +20,10 @@ class ConcurrencySpec extends AnyFunSuite {
   private val names = Seq("q1_sharded_scan", "q32_sql_merge",
     "q31_bucketed_merge", "q19_minhash_neardup", "q12_lww_udaf",
     "q39_sessionize", "q34_range_bucket", "q38_cosine_neardup",
-    "q53_corpus_to_batches")
+    "q53_corpus_to_batches",
+    // round-7 continuation: the injected zorder_key function and the
+    // chunk/quantize map-only paths under parallel execution
+    "q57_zorder_key", "q54_chunks", "q58_vec_quantize")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
