@@ -993,7 +993,10 @@ object Docs {
     val w = Window.partitionBy("source").orderBy("draw")
     table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        md5(concat_ws(":", col("doc_id"), lit("q55"))).as("draw"))
+        // null-PROPAGATING concat (not concat_ws, which would skip a NULL
+        // doc_id and hand it a real competing draw while the oracle's `||`
+        // yields NULL — a latent cross-engine rank divergence)
+        md5(concat(col("doc_id").cast("string"), lit(":q55"))).as("draw"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= SampleK)
       .select("source", "rk", "doc_id", "draw")

@@ -418,8 +418,12 @@ object Vectors {
     * non-finite element (max|x| becomes NaN/Inf), or magnitudes beyond
     * 1e12 (the micro-unit scale would overflow int64; no real embedding
     * regime) — quantize to all zeros with a −1 sentinel scale instead of
-    * dividing by zero, casting NaN, or overflowing. The single vector-level
-    * validity predicate `0 < mx ≤ 1e12` covers all three cases identically
+    * dividing by zero, casting NaN, or overflowing. The scale's resolution
+    * is one micro-unit, so magnitudes below 1e-6 have NO representable
+    * scale (micro would round to 0 and dequantize everything to zero) —
+    * they take the sentinel too, keeping the emitted scale's relative
+    * error ≤ 0.5 micro-units always. The single vector-level validity
+    * predicate `1e-6 ≤ mx ≤ 1e12` covers every degenerate case identically
     * in both engines BECAUSE both order NaN greater than every number
     * (`NaN ≤ 1e12` is false in Spark and DuckDB alike), and a NaN/Inf
     * element always surfaces as `mx = NaN/Inf`. An EMPTY vector yields
@@ -436,13 +440,13 @@ object Vectors {
         expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))")
           .as("mx"))
       .select(col("vec_id"), col("mx"),
-        expr("""CASE WHEN mx > 0.0D AND mx <= 1000000000000.0D
+        expr("""CASE WHEN mx >= 0.000001D AND mx <= 1000000000000.0D
                 |THEN transform(embedding, v ->
                 |  CAST(floor(CAST(v AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT))
                 |ELSE transform(embedding, v -> 0L)
                 |END""".stripMargin).as("q"))
       .select(col("vec_id"),
-        expr("""CASE WHEN mx > 0.0D AND mx <= 1000000000000.0D
+        expr("""CASE WHEN mx >= 0.000001D AND mx <= 1000000000000.0D
                 |THEN CAST(floor(mx * 1000000.0D + 0.5D) AS BIGINT)
                 |ELSE -1L END""".stripMargin).as("max_abs_micro"),
         expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q8_csv"),
@@ -456,14 +460,14 @@ object Vectors {
       |  FROM embeddings),
       |q AS (
       |  SELECT vec_id, mx,
-      |    CASE WHEN mx > 0.0 AND mx <= 1000000000000.0
+      |    CASE WHEN mx >= 0.000001 AND mx <= 1000000000000.0
       |      THEN list_transform(embedding, v ->
       |        CAST(floor(CAST(v AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT))
       |      ELSE list_transform(embedding, v -> CAST(0 AS BIGINT))
       |    END AS q
       |  FROM e)
       |SELECT vec_id,
-      |  CASE WHEN mx > 0.0 AND mx <= 1000000000000.0
+      |  CASE WHEN mx >= 0.000001 AND mx <= 1000000000000.0
       |    THEN CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT)
       |    ELSE CAST(-1 AS BIGINT) END AS max_abs_micro,
       |  CASE WHEN q IS NULL THEN NULL WHEN len(q) = 0 THEN ''

@@ -89,8 +89,15 @@ object ZOrderKey {
     val bounds = df.agg(
       min(col(a)).cast("double").as("_amn"), max(col(a)).cast("double").as("_amx"),
       min(col(b)).cast("double").as("_bmn"), max(col(b)).cast("double").as("_bmx"))
+    // constant column => all rows scale to 0 (one z-dimension collapses,
+    // correctly). The zero-range guard must be EXACT, not greatest(range,
+    // 1.0): clamping the divisor to 1 would silently de-normalize any
+    // column whose real range is below 1 (e.g. a [0.2, 0.8] score) —
+    // exactly the unequal-budget failure this helper exists to prevent.
     def scaled(c: String, mn: String, mx: String) =
-      s"CAST(floor((CAST($c AS DOUBLE) - $mn) * $top.0D / greatest($mx - $mn, 1.0D)) AS BIGINT)"
+      s"""CASE WHEN $mx = $mn THEN 0L
+         |ELSE CAST(floor((CAST($c AS DOUBLE) - $mn) * $top.0D / ($mx - $mn)) AS BIGINT)
+         |END""".stripMargin
     df.crossJoin(broadcast(bounds))
       .withColumn(zCol, expr(
         s"zorder_key(${scaled(a, "_amn", "_amx")}, ${scaled(b, "_bmn", "_bmx")})"))

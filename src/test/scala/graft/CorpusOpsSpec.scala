@@ -198,7 +198,11 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, Some(Array(1e30f, 1f, 2f, 3f)), 0),
       (5L, Some(Array(Float.PositiveInfinity, 1f, 2f, 3f)), 0),
       (6L, Some(Array.empty[Float]), 0),
-      (7L, None, 0))
+      (7L, None, 0),
+      // below the micro-unit scale resolution: a 0 scale would dequantize
+      // everything to zero, so these take the sentinel like NaN/Inf do
+      (8L, Some(Array(1e-30f, -1e-31f)), 0),
+      (9L, Some(Array(1e-7f, 2e-7f)), 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Vectors.q58Quantize(spark, dir).collect()
@@ -215,6 +219,9 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(6L) == ((-1L, "", Some(0L))))
     // NULL vector: NULL csv/sum on both engines
     assert(out(7L)._1 == -1L && out(7L)._2 == null && out(7L)._3.isEmpty)
+    // sub-resolution magnitudes: sentinel, never a zero scale
+    assert(out(8L)._1 == -1L && out(8L)._2 == "0,0")
+    assert(out(9L)._1 == -1L && out(9L)._2 == "0,0")
   }
 
   test("q59 PII scrub: planted payload counted exactly once per kind and " +
