@@ -161,6 +161,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(overlapping(sdir, "l_suppkey", sLo, sboxHi) == nFiles(sdir))
   }
 
+  test("withScaledZKey normalizes sub-1 value ranges into the full bit " +
+    "budget; a constant column collapses to zero cleanly") {
+    val df = Seq((0.2, 10L), (0.5, 20L), (0.8, 30L)).toDF("a", "b")
+    val z = ZOrderKey.withScaledZKey(df, "a", "b").select("zkey")
+      .as[Long].collect().sorted
+    // 0.8 and 30 both scale to 65535 — a clamped divisor (the old
+    // greatest(range, 1.0)) would have crushed the [0.2, 0.8] dimension
+    // into a sliver of the budget
+    assert(z.last == ZOrderKey.interleave(65535L, 65535L))
+    assert(z.head == 0L)
+    val zc = ZOrderKey.withScaledZKey(
+      Seq((7.0, 10L), (7.0, 30L)).toDF("a", "b"), "a", "b")
+      .select("zkey").as[Long].collect().sorted
+    assert(zc.toSeq == Seq(0L, ZOrderKey.interleave(0L, 65535L)))
+  }
+
   test("q58 quantization: int8 range, max element hits ±127, dequant error " +
     "bounded by mx/254, checksum consistent") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
