@@ -182,6 +182,14 @@ object SparkEntry {
     "q58_vec_quantize" -> (Vectors.q58Quantize(_, _)),
     // PII scrub: count + redact emails/IPv4s/phones (planted payload).
     "q59_pii_scrub" -> (Docs.q59PiiScrub(_, _)),
+    // Near-dup cluster resolution: connected components over the MinHash
+    // pair graph → canonical survivor per cluster (recursive-CTE oracle).
+    "q60_neardup_clusters" -> (Docs.q60NeardupClusters(_, _)),
+    // Incremental dedup via bloom prefilter: q52's relation with the
+    // corpus never shuffled (map-only bloom + broadcast exact verify).
+    "q61_bloom_dedup" -> (Docs.q61BloomDedup(_, _)),
+    // Per-source curation report: the domain-level keep/drop dashboard.
+    "q62_source_report" -> (Docs.q62SourceReport(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -308,5 +316,8 @@ object SparkEntry {
     "q57_zorder_key"     -> graft.plans.ZOrderKey.q57Sql,
     "q58_vec_quantize"   -> Vectors.q58Sql,
     "q59_pii_scrub"      -> Docs.q59Sql,
+    "q60_neardup_clusters" -> Docs.q60Sql,
+    "q61_bloom_dedup"      -> Docs.q61Sql,
+    "q62_source_report"    -> Docs.q62Sql,
   )
 }

@@ -254,7 +254,9 @@ object Docs {
     } finally { sh.unpersist(); () }
   }
 
-  val q19Sql: String = {
+  /** q19's pair derivation minus the presentation ORDER BY — reusable as a
+    * subquery (q60's cluster oracle builds its edge list from it). */
+  private val q19Core: String = {
     val mhCols = (0 until NumHashes)
       .map(k => s"min(substr(md5('${k / 4}:' || s), ${(k % 4) * 8 + 1}, 8)) AS mh$k")
       .mkString(", ")
@@ -287,9 +289,55 @@ object Docs {
        |       round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 4) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        |           JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= $JaccardThreshold""".stripMargin
   }
+
+  val q19Sql: String = q19Core + "\nORDER BY doc_a, doc_b"
+
+  // --- Q60: near-dup cluster resolution -------------------------------------
+
+  /** The dedup DECISION step the pair list (q19) stops short of: near-dup
+    * similarity is not transitive, but dedup policy treats it as if it were —
+    * docs A~B and B~C must collapse to ONE survivor even when A~C was never
+    * scored. So the pair graph's connected components ARE the dedup clusters:
+    * each doc that appears in any pair gets its cluster's canonical
+    * representative (the minimum doc_id — deterministic across runs and
+    * engines), the cluster size, and a survivor flag.
+    *
+    * Scale shape: the pair set is bounded by the LSH banding (candidates
+    * share a band bucket), so it is orders of magnitude smaller than the
+    * corpus — [[Graph.ccStar]] then runs on pairs, not docs, and its
+    * power-law-safe star rounds cost O(|pairs| · log d). The final corpus
+    * action (drop non-survivors) is a broadcast anti-join of doc ids, never
+    * a text shuffle. Oracle: an independent recursive-CTE transitive closure
+    * over the SAME pair list (DuckDB `WITH RECURSIVE`), labeling each doc
+    * with its minimum reachable doc_id — a different algorithm than the
+    * star contraction, agreeing bit-for-bit. */
+  def q60NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q19MinhashPairs(spark, dir).select("doc_a", "doc_b")
+    val labels = Graph.ccStar(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("rep_id"),
+        col("cluster_size"), (col("node") === col("label")).as("is_rep"))
+      .orderBy("doc_id")
+  }
+
+  val q60Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q19Core)),
+       |ed AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT u, u AS v FROM (SELECT DISTINCT u FROM ed)
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS rep_id FROM reach GROUP BY u),
+       |sz AS (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM comp GROUP BY rep_id)
+       |SELECT c.doc_id, c.rep_id, sz.cluster_size, c.doc_id = c.rep_id AS is_rep
+       |FROM comp c JOIN sz USING (rep_id)
+       |ORDER BY doc_id""".stripMargin
 
   // --- Q20: SimHash fingerprints --------------------------------------------
 
@@ -801,6 +849,121 @@ object Docs {
       |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.content_hash = b.content_hash)
       |GROUP BY b.content_hash
       |ORDER BY doc_id""".stripMargin
+
+  // --- Q61: bloom-prefiltered incremental dedup -----------------------------
+
+  /** q52's contract through a ZERO-corpus-shuffle physical strategy — the
+    * daily-crawl shape at 100 TB, where the corpus is a thousand times the
+    * batch and must never be repartitioned just to admit one day's crawl.
+    *
+    * Three-step plan, corpus touched only by map-side scans:
+    *   1. `bloom_build` aggregates a bloom filter over the corpus hashes —
+    *      map-side partial blooms, one tiny merge (KBs cross the exchange,
+    *      never rows). No false negatives, so every batch row the probe
+    *      rejects is DEFINITELY new and is admitted with no join at all —
+    *      at a realistic dup rate that is almost the whole batch.
+    *   2. The few bloom-positive rows (true dups + the fp rate) have their
+    *      hashes broadcast; a semi-join extracts the matching corpus hashes
+    *      from another map-only corpus scan — the corpus side of the exact
+    *      check never shuffles either.
+    *   3. False positives are restored by an anti-join against that (tiny,
+    *      broadcast) hit set. Result ≡ q52 exactly; the bloom only routes.
+    *
+    * The serialized filter (128 KB here) rides the plan as a binary literal;
+    * at cluster scale hand it to executors as a broadcast or scalar
+    * subquery, and size `num_bits` to corpus cardinality (Spark's runtime
+    * row-level filtering uses this same expression pair with a 67 Mbit cap).
+    * `coalesce(probe, false)` keeps the empty-corpus edge exact: a null
+    * bloom admits everything, matching NOT EXISTS over an empty set. */
+  def q61BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = table(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    val corpus = hashed.filter(col("doc_id") % 10 < 8)
+    val batch = hashed.filter(col("doc_id") % 10 >= 8)
+    val bloomBytes: Array[Byte] = corpus
+      .select(call_function("bloom_build", xxhash64(col("content_hash")),
+        lit(100000L), lit(1L << 20)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val probed = batch.withColumn("maybe_dup",
+      coalesce(call_function("bloom_might_contain", lit(bloomBytes),
+        xxhash64(col("content_hash"))), lit(false)))
+    val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
+    // tiny by construction (dups + fp rate); materialized once so the
+    // bloom probe doesn't re-run for both consumers below
+    val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
+      .localCheckpoint(true)
+    val hits = corpus
+      .join(broadcast(pos.select("content_hash").distinct()),
+        Seq("content_hash"), "left_semi")
+      .select("content_hash").distinct()
+    clean
+      .unionByName(pos.join(broadcast(hits), Seq("content_hash"), "left_anti"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .select("doc_id", "content_hash", "n_in_batch")
+      .orderBy("doc_id")
+  }
+
+  /** The bloom path must be invisible in the result: q61's oracle IS q52's
+    * NOT EXISTS relation. */
+  val q61Sql: String = q52Sql
+
+  // --- Q62: per-source curation report --------------------------------------
+
+  /** The source-level decision table (the RefinedWeb/C4-style "do we keep
+    * this domain at all" dashboard): per source, document count, quality
+    * keeps, exact-dup count, English share, token mass and mean length —
+    * every signal row-local and shared verbatim with its per-doc leg (q16's
+    * keep rule, q17's language argmax, q18's content hash), so the report
+    * can never disagree with the pipeline that acts on it.
+    *
+    * One scan, one shuffle of (source, tiny aggregates); the only
+    * non-trivially-combinable term is the exact distinct-hash count, whose
+    * partial state is the hash set per (source, partition) — at corpus
+    * scale swap `countDistinct` for `approx_count_distinct` (the mergeable
+    * HLL twin q41 already property-tests) if sources are few and huge.
+    * Conditional sums use explicit 0-else so NULL-text documents (adversarial
+    * corpus) count as failures identically in both engines. */
+  def q62SourceReport(spark: SparkSession, dir: String): DataFrame = {
+    def score(l: String) =
+      expr(s"size(filter(lw, x -> x IN ${inList(Stop(l))}))")
+    table(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("w"),
+        split(lower(col("text")), " ").as("lw"),
+        sha2(col("text"), 256).as("content_hash"))
+      .select(col("source"), col("content_hash"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        when(keepCol, 1L).otherwise(0L).as("kept"),
+        when(score("en") > score("es") && score("en") > score("de"), 1L)
+          .otherwise(0L).as("en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - countDistinct(col("content_hash"))).as("n_dup_docs"),
+        sum(col("en")).as("n_en"),
+        sum(col("n_tokens")).as("token_mass"),
+        round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 4)
+          .as("avg_tokens"))
+      .orderBy("source")
+  }
+
+  val q62Sql: String = {
+    def score(l: String) = s"len(list_filter(lw, x -> x IN ${inList(Stop(l))}))"
+    s"""WITH d AS (SELECT source, sha256(text) AS content_hash,
+       |                  string_split(text, ' ') AS w,
+       |                  string_split(lower(text), ' ') AS lw
+       |           FROM documents)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN $KeepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - count(DISTINCT content_hash) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(CASE WHEN ${score("en")} > ${score("es")}
+       |            AND ${score("en")} > ${score("de")} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_en,
+       |  CAST(sum(len(w)) AS BIGINT) AS token_mass,
+       |  round(CAST(sum(len(w)) AS DOUBLE)/count(*), 4) AS avg_tokens
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
 
   // --- Q53: capstone — corpus in, training batches out ----------------------
 

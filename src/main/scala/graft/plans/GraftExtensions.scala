@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{CreateStruct, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, MaxBy}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, CreateStruct, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, BloomFilterAggregate, MaxBy}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
@@ -78,6 +78,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val ts = children(1)
         MaxBy(obj, CreateStruct(Seq(ts, obj))): AggregateFunction
       }))
+    // Spark's OWN bloom-filter expression pair (the machinery behind
+    // runtime row-level filtering), surfaced as callable functions:
+    // `bloom_build(xxhash64(key), est_items, num_bits)` aggregates a
+    // serialized filter; `bloom_might_contain(filter, xxhash64(key))`
+    // probes it — codegen'd, no-false-negative. The q61 zero-corpus-shuffle
+    // incremental dedup is built on these.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_build"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(children(0), children(1), children(2)):
+          AggregateFunction))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children(0), children(1))))
     ext.injectOptimizerRule(_ => LwwObjectToMaxBy)
   }
 }

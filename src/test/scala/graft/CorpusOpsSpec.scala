@@ -276,4 +276,81 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"$name unexpected exchange shape: $ex\n$plan")
     }
   }
+
+  test("q60 cluster labels agree with an in-memory union-find over the " +
+    "same pair list; reps are cluster minima") {
+    val pairs = Docs.q19MinhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+    val got = Docs.q60NeardupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    val bySize = expected.groupBy(_._2).map { case (rep, m) => rep -> m.size }
+    got.foreach { case (doc, (rep, size, isRep)) =>
+      assert(rep == expected(doc), s"doc $doc label")
+      assert(size == bySize(rep).toLong, s"doc $doc cluster size")
+      assert(isRep == (doc == rep), s"doc $doc rep flag")
+    }
+    // every cluster's rep is a member and its minimum
+    expected.groupBy(_._2).foreach { case (rep, m) =>
+      assert(m.keys.min == rep, s"cluster $rep min")
+    }
+  }
+
+  test("q61 bloom path returns exactly q52's relation, with every join " +
+    "broadcast (the corpus never shuffles)") {
+    val q61 = Docs.q61BloomDedup(spark, sf)
+    val got = q61.collect().map(_.toString).toSeq
+    val want = Docs.q52IncrementalDedup(spark, sf).collect()
+      .map(_.toString).toSeq
+    assert(got == want)
+    val plan = q61.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q62 per-source report matches an independent in-memory model") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stop = Map(
+      "en" -> Set("the", "a", "of", "and", "in", "to", "is"),
+      "es" -> Set("el", "la", "de", "que", "y", "en", "los"),
+      "de" -> Set("der", "die", "das", "und", "ist", "von"))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val toks = rows.map { case (_, t) => t.split(" ", -1).toSeq }
+      val keeps = toks.count { w =>
+        val avg = w.map(_.length).sum.toDouble / w.length
+        w.length >= 5 && avg >= 2.0 && avg <= 12.0
+      }
+      val en = rows.count { case (_, t) =>
+        val lw = t.toLowerCase.split(" ", -1)
+        def s(l: String) = lw.count(stop(l))
+        s("en") > s("es") && s("en") > s("de")
+      }
+      val mass = toks.map(_.size.toLong).sum
+      src -> (rows.length.toLong, keeps.toLong,
+        rows.length.toLong - rows.map(r => sha(r._2)).distinct.length,
+        en.toLong, mass,
+        BigDecimal(mass.toDouble / rows.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Docs.q62SourceReport(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got == expected)
+  }
 }
