@@ -190,6 +190,9 @@ object SparkEntry {
     "q61_bloom_dedup" -> (Docs.q61BloomDedup(_, _)),
     // Per-source curation report: the domain-level keep/drop dashboard.
     "q62_source_report" -> (Docs.q62SourceReport(_, _)),
+    // Hashed-feature linear quality classifier (fasttext-shaped plumbing,
+    // exact integer margin).
+    "q63_clf_score" -> (Docs.q63ClfScore(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -319,5 +322,6 @@ object SparkEntry {
     "q60_neardup_clusters" -> Docs.q60Sql,
     "q61_bloom_dedup"      -> Docs.q61Sql,
     "q62_source_report"    -> Docs.q62Sql,
+    "q63_clf_score"        -> Docs.q63Sql,
   )
 }

@@ -908,6 +908,55 @@ object Docs {
     * NOT EXISTS relation. */
   val q61Sql: String = q52Sql
 
+  // --- Q63: hashed-feature quality classifier -------------------------------
+
+  private val ClfBuckets = 64
+  private val ClfHalf = 8388608L // 2^23: centers the 6-hex-digit weight draw
+
+  /** Classifier-based quality filtering (the GPT-3/LLaMA-style step that
+    * replaces hand rules with a trained model) — here the fasttext-shaped
+    * HASHED LINEAR scorer: token → feature-hash to one of 64 buckets →
+    * per-bucket weight → document margin = Σ weights / n. The weight table
+    * is a deterministic pseudo-weight draw (md5 of the bucket id) standing
+    * in for trained weights; the plumbing IS the production shape — swap
+    * the draw for a broadcast trained vector and nothing else changes.
+    *
+    * Engine-exactness by construction: weights are INTEGERS (6 hex digits
+    * re-centered around 0), the margin is an exact row-local integer fold,
+    * and the keep decision compares that integer against 0 — no float
+    * enters until the single final division, performed once on exact
+    * operands and rounded (both engines IEEE-754 + HALF_UP). Map-only:
+    * one scan, one projection, no shuffle but the presentation sort. */
+  def q63ClfScore(spark: SparkSession, dir: String): DataFrame = {
+    val sInt = expr(
+      s"""aggregate(transform(w, t ->
+         |  CAST(conv(substr(md5(concat('w|',
+         |    CAST(CAST(conv(substr(md5(concat('q63|', t)), 1, 4), 16, 10)
+         |         AS BIGINT) % $ClfBuckets AS STRING))), 1, 6), 16, 10)
+         |    AS BIGINT) - $ClfHalf),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"),
+        sInt.as("s_int"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s_int").cast(DoubleType) /
+          (lit(ClfHalf.toDouble) * col("n_tokens")), 6).as("clf_score"),
+        (col("s_int") > 0).as("keep_clf"))
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, len(w) AS n, list_sum(list_transform(w, t ->
+       |  CAST(('0x' || substr(md5('w|' || CAST(CAST(('0x' ||
+       |    substr(md5('q63|' || t), 1, 4)) AS BIGINT) % $ClfBuckets
+       |    AS VARCHAR)), 1, 6)) AS BIGINT) - $ClfHalf)) AS s_int FROM d)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  round(CAST(s_int AS DOUBLE)/($ClfHalf.0 * n), 6) AS clf_score,
+       |  s_int > 0 AS keep_clf
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // --- Q62: per-source curation report --------------------------------------
 
   /** The source-level decision table (the RefinedWeb/C4-style "do we keep

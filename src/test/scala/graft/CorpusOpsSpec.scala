@@ -320,6 +320,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q63 classifier margin matches an in-memory hashed-feature model; " +
+    "keep decision is the exact integer sign") {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(t: String): Long = {
+      val b = java.lang.Long.parseLong(hex("q63|" + t).substring(0, 4), 16) % 64
+      java.lang.Long.parseLong(hex("w|" + b).substring(0, 6), 16) - 8388608L
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val s = w.map(weight).sum
+      id -> (w.length.toLong,
+        BigDecimal(s.toDouble / (8388608.0 * w.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s > 0)
+    }.toMap
+    val got = Docs.q63ClfScore(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got == expected)
+    // both classes represented — the draw isn't degenerate
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("q62 per-source report matches an independent in-memory model") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "text").as[(String, String)].collect()
