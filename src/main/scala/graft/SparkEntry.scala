@@ -193,6 +193,9 @@ object SparkEntry {
     // Hashed-feature linear quality classifier (fasttext-shaped plumbing,
     // exact integer margin).
     "q63_clf_score" -> (Docs.q63ClfScore(_, _)),
+    // Mixture planning: per-source epoch rates from target weights at a
+    // constant token budget (the calculator feeding q49's application).
+    "q64_mix_plan" -> (Docs.q64MixPlan(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -323,5 +326,6 @@ object SparkEntry {
     "q61_bloom_dedup"      -> Docs.q61Sql,
     "q62_source_report"    -> Docs.q62Sql,
     "q63_clf_score"        -> Docs.q63Sql,
+    "q64_mix_plan"         -> Docs.q64Sql,
   )
 }

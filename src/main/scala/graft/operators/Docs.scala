@@ -908,6 +908,59 @@ object Docs {
     * NOT EXISTS relation. */
   val q61Sql: String = q52Sql
 
+  // --- Q64: mixture planning ------------------------------------------------
+
+  /** The data-mixing CALCULATOR (the step before q49's rate APPLICATION):
+    * given per-source token masses and target mixture weights, derive each
+    * source's epoch rate — how many times its tokens are seen per pass of
+    * the re-mixed corpus — holding total token budget constant. Rates > 1
+    * mean upsample-by-replication (q49's fr leg), < 1 mean downsample.
+    * Published pipelines pin exactly this table (sampling proportions per
+    * corpus); here the target weights derive deterministically from the
+    * source name (id % 4 + 1, `try_cast`-guarded so an unparseable or NULL
+    * source degrades to weight 1 identically in both engines) — swapping a
+    * real policy table in changes nothing structural.
+    *
+    * Shape: one corpus scan → per-source token sums (tiny aggregate
+    * shuffle) → 1-row totals broadcast back — the plan a 100 TB corpus
+    * wants, since only (source, mass) pairs ever move. Float determinism:
+    * masses and weights are exact integers; `share` and `epochs` are
+    * single left-associated division chains on exact operands, rounded —
+    * identical IEEE results in both engines. */
+  def q64MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .groupBy("source")
+      .agg(sum(size(col("w")).cast(LongType)).as("token_mass"))
+      .withColumn("weight", coalesce(
+        expr("try_cast(substring(source, 4, 10) AS BIGINT)") % 4 + 1,
+        lit(1L)))
+    val totals = tok.agg(sum("token_mass").cast(DoubleType).as("b"),
+      sum("weight").as("sw"))
+    tok.crossJoin(broadcast(totals))
+      .select(col("source"), col("token_mass"), col("weight"),
+        round(col("weight").cast(DoubleType) / col("sw"), 6).as("share"),
+        round(col("b") * col("weight") / col("sw") / col("token_mass"), 6)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  val q64Sql: String =
+    """WITH tok AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |           AS token_mass
+      |  FROM documents GROUP BY source),
+      |tw AS (SELECT source, token_mass,
+      |         coalesce(TRY_CAST(substr(source, 4) AS BIGINT) % 4 + 1,
+      |                  1) AS weight
+      |       FROM tok),
+      |tot AS (SELECT CAST(sum(token_mass) AS DOUBLE) AS b,
+      |               CAST(sum(weight) AS BIGINT) AS sw FROM tw)
+      |SELECT source, token_mass, CAST(weight AS BIGINT) AS weight,
+      |  round(CAST(weight AS DOUBLE) / sw, 6) AS share,
+      |  round(b * weight / sw / token_mass, 6) AS epochs
+      |FROM tw, tot ORDER BY source""".stripMargin
+
   // --- Q63: hashed-feature quality classifier -------------------------------
 
   private val ClfBuckets = 64

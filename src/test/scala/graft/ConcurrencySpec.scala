@@ -23,7 +23,11 @@ class ConcurrencySpec extends AnyFunSuite {
     "q53_corpus_to_batches",
     // round-7 continuation: the injected zorder_key function and the
     // chunk/quantize map-only paths under parallel execution
-    "q57_zorder_key", "q54_chunks", "q58_vec_quantize")
+    "q57_zorder_key", "q54_chunks", "q58_vec_quantize",
+    // round-7 closing ops: the injected bloom functions (q61), ccStar's
+    // per-round localCheckpoints (q60), and the broadcast totals (q64)
+    "q60_neardup_clusters", "q61_bloom_dedup", "q62_source_report",
+    "q63_clf_score", "q64_mix_plan")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

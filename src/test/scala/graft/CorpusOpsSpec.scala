@@ -320,6 +320,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q64 mix plan conserves the token budget and hits target shares: " +
+    "sum(epochs * token_mass) = total, epochs*mass/total = share") {
+    val rows = Docs.q64MixPlan(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val total = rows.map(_._2).sum.toDouble
+    // budget conservation: re-mixed token count equals the original
+    val remixed = rows.map(r => r._5 * r._2).sum
+    assert(math.abs(remixed - total) / total < 1e-4, s"$remixed vs $total")
+    // each source's re-mixed share equals its target share
+    val sw = rows.map(_._3).sum.toDouble
+    rows.foreach { case (src, mass, w, share, epochs) =>
+      assert(math.abs(share - w / sw) < 1e-5, s"$src share")
+      assert(math.abs(epochs * mass / total - w / sw) < 1e-4,
+        s"$src re-mixed share")
+      assert(w == src.drop(3).toLong % 4 + 1, s"$src weight")
+    }
+  }
+
   test("q63 classifier margin matches an in-memory hashed-feature model; " +
     "keep decision is the exact integer sign") {
     val md5 = java.security.MessageDigest.getInstance("MD5")
