@@ -37,6 +37,22 @@ object Docs {
     "(len(w) >= 5 AND CAST(list_sum(list_transform(w, x -> length(x))) " +
       "AS DOUBLE)/len(w) BETWEEN 2.0 AND 12.0)"
 
+  /** q17's per-language stopword score and its English-argmax boolean —
+    * ONE definition (expects the lowercased token array `lw` in scope)
+    * shared by q17, q30 and q62, with [[IsEnSql]] as the oracle twin, so a
+    * language-rule tweak can never desynchronize the per-source report or
+    * the curation filter from the per-doc leg. */
+  private def langScore(l: String): Column =
+    expr(s"size(filter(lw, x -> x IN ${inList(Stop(l))}))")
+
+  private def isEnCol: Column =
+    langScore("en") > langScore("es") && langScore("en") > langScore("de")
+
+  private val IsEnSql: String = {
+    def s(l: String) = s"len(list_filter(lw, x -> x IN ${inList(Stop(l))}))"
+    s"(${s("en")} > ${s("es")} AND ${s("en")} > ${s("de")})"
+  }
+
   /** Word 8-gram window (the published decontamination overlap shape; 8
     * rather than GPT-3's 13 because the synthetic docs are short) — one
     * definition shared by q48 and q53 with [[Gram8Sql]] as its oracle
@@ -120,11 +136,10 @@ object Docs {
     * `filter` over the token array — no shuffle, no UDF. */
   def q17LangId(spark: SparkSession, dir: String): DataFrame = {
     val scoreCols = Stop.keys.toSeq.sorted.map(l =>
-      expr(s"size(filter(w, x -> x IN ${inList(Stop(l))}))")
-        .cast(LongType).as(s"s_$l"))
+      langScore(l).cast(LongType).as(s"s_$l"))
     val scored = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang").as("lang_meta"),
-        split(lower(col("text")), " ").as("w"))
+        split(lower(col("text")), " ").as("lw"))
       .select(Seq(col("doc_id"), col("lang_meta")) ++ scoreCols: _*)
     scored.select(col("doc_id"), col("lang_meta"),
         col("s_de"), col("s_en"), col("s_es"),
@@ -317,10 +332,15 @@ object Docs {
     val pairs = q19MinhashPairs(spark, dir).select("doc_a", "doc_b")
     val labels = Graph.ccStar(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
+    // cluster size as a window count, NOT a groupBy + join-back: the count
+    // rides one shuffle over one evaluation of the (un-materialized)
+    // ccStar output, where the join shape re-evaluated its closing
+    // subtree per consumer and paid an extra exchange — the same swap
+    // ccStar's own rounds use
+    labels
       .select(col("node").as("doc_id"), col("label").as("rep_id"),
-        col("cluster_size"), (col("node") === col("label")).as("is_rep"))
+        count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"),
+        (col("node") === col("label")).as("is_rep"))
       .orderBy("doc_id")
   }
 
@@ -521,9 +541,6 @@ object Docs {
     * stats) — the text never moves. 1 scan + 1 shuffle total; equivalence
     * with the three-leg composition is asserted in PipelineSpec. */
   def q30Curation(spark: SparkSession, dir: String): DataFrame = {
-    val totLen = expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-    def score(l: String) =
-      expr(s"size(filter(lw, x -> x IN ${inList(Stop(l))}))")
     table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"),
         split(lower(col("text")), " ").as("lw"))
@@ -531,7 +548,7 @@ object Docs {
         size(col("w")).cast(LongType).as("n_tokens"),
         substring(md5(col("text")), 1, 16).as("fingerprint"),
         keepCol.as("keep"),
-        (score("en") > score("es") && score("en") > score("de")).as("is_en"),
+        isEnCol.as("is_en"),
         sha2(col("text"), 256).as("content_hash"))
       .withColumn("rep_doc_id",
         min(col("doc_id")).over(Window.partitionBy("content_hash")))
@@ -827,11 +844,21 @@ object Docs {
     * NULL-equality discipline: the oracle uses NOT EXISTS (not NOT IN) so
     * a NULL hash on either side behaves exactly like Spark's anti-join —
     * never poisons the whole result. */
-  def q52IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+
+  /** The corpus/batch stand-in split shared by q52 and q61 (and pinned by
+    * q52's oracle SQL): `doc_id % 10 < 8` = existing corpus, rest = new
+    * batch — ONE definition so the two physical strategies and the oracle
+    * can never drift apart. */
+  private def corpusBatchSplit(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val hashed = table(spark, dir, "documents")
       .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-    val corpus = hashed.filter(col("doc_id") % 10 < 8)
-    val batch = hashed.filter(col("doc_id") % 10 >= 8)
+    (hashed.filter(col("doc_id") % 10 < 8),
+      hashed.filter(col("doc_id") % 10 >= 8))
+  }
+
+  def q52IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = corpusBatchSplit(spark, dir)
     batch.join(corpus, Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
@@ -876,14 +903,11 @@ object Docs {
     * `coalesce(probe, false)` keeps the empty-corpus edge exact: a null
     * bloom admits everything, matching NOT EXISTS over an empty set. */
   def q61BloomDedup(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = table(spark, dir, "documents")
-      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-    val corpus = hashed.filter(col("doc_id") % 10 < 8)
-    val batch = hashed.filter(col("doc_id") % 10 >= 8)
+    val (corpus, batch) = corpusBatchSplit(spark, dir)
     val bloomBytes: Array[Byte] = corpus
       .select(call_function("bloom_build", xxhash64(col("content_hash")),
         lit(100000L), lit(1L << 20)).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val probed = batch.withColumn("maybe_dup",
       coalesce(call_function("bloom_might_contain", lit(bloomBytes),
         xxhash64(col("content_hash"))), lit(false)))
@@ -933,7 +957,9 @@ object Docs {
       .groupBy("source")
       .agg(sum(size(col("w")).cast(LongType)).as("token_mass"))
       .withColumn("weight", coalesce(
-        expr("try_cast(substring(source, 4, 10) AS BIGINT)") % 4 + 1,
+        // uncapped suffix parse, mirroring the oracle's substr(source, 4):
+        // try_cast already degrades overflow/garbage to NULL identically
+        expr("try_cast(substr(source, 4) AS BIGINT)") % 4 + 1,
         lit(1L)))
     val totals = tok.agg(sum("token_mass").cast(DoubleType).as("b"),
       sum("weight").as("sw"))
@@ -1026,9 +1052,7 @@ object Docs {
     * HLL twin q41 already property-tests) if sources are few and huge.
     * Conditional sums use explicit 0-else so NULL-text documents (adversarial
     * corpus) count as failures identically in both engines. */
-  def q62SourceReport(spark: SparkSession, dir: String): DataFrame = {
-    def score(l: String) =
-      expr(s"size(filter(lw, x -> x IN ${inList(Stop(l))}))")
+  def q62SourceReport(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("w"),
         split(lower(col("text")), " ").as("lw"),
@@ -1036,21 +1060,22 @@ object Docs {
       .select(col("source"), col("content_hash"),
         size(col("w")).cast(LongType).as("n_tokens"),
         when(keepCol, 1L).otherwise(0L).as("kept"),
-        when(score("en") > score("es") && score("en") > score("de"), 1L)
-          .otherwise(0L).as("en"))
+        when(isEnCol, 1L).otherwise(0L).as("en"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("kept")).as("n_kept"),
-        (count(lit(1)) - countDistinct(col("content_hash"))).as("n_dup_docs"),
+        // dup count over NON-NULL hashes only: a NULL-text doc has no
+        // content to collide on, and q52's NOT EXISTS never treats NULL
+        // hashes as dups — count(col) skips NULLs to match
+        (count(col("content_hash")) - countDistinct(col("content_hash")))
+          .as("n_dup_docs"),
         sum(col("en")).as("n_en"),
         sum(col("n_tokens")).as("token_mass"),
         round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 4)
           .as("avg_tokens"))
       .orderBy("source")
-  }
 
-  val q62Sql: String = {
-    def score(l: String) = s"len(list_filter(lw, x -> x IN ${inList(Stop(l))}))"
+  val q62Sql: String =
     s"""WITH d AS (SELECT source, sha256(text) AS content_hash,
        |                  string_split(text, ' ') AS w,
        |                  string_split(lower(text), ' ') AS lw
@@ -1058,14 +1083,12 @@ object Docs {
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN $KeepSql THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  CAST(count(*) - count(DISTINCT content_hash) AS BIGINT) AS n_dup_docs,
-       |  CAST(sum(CASE WHEN ${score("en")} > ${score("es")}
-       |            AND ${score("en")} > ${score("de")} THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_en,
+       |  CAST(count(content_hash) - count(DISTINCT content_hash) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(sum(CASE WHEN $IsEnSql THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        |  CAST(sum(len(w)) AS BIGINT) AS token_mass,
        |  round(CAST(sum(len(w)) AS DOUBLE)/count(*), 4) AS avg_tokens
        |FROM d GROUP BY source ORDER BY source""".stripMargin
-  }
 
   // --- Q53: capstone — corpus in, training batches out ----------------------
 
