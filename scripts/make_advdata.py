@@ -41,7 +41,16 @@ rows = [
     (8, 'tab\tand\nnewline chars', 'en', 'src4', 21),     # control chars
     (9, 'quote\'s and "double" and back\\slash', 'en', 'src4', None),
 ] + [(10 + i, f'filler doc {i} with some shared tokens the a of',
-      'en', f'src{i % 3}', None) for i in range(20)]
+      'en', f'src{i % 3}', None) for i in range(20)] + [
+    # hostile source/lang values: the q62/q64 groupers + q64's try_cast
+    # weight parse + the NULLS FIRST source orderings (Spark default vs
+    # DuckDB's NULLS LAST default) are exercised by these
+    (30, 'null source filler the a of', 'en', None, None),
+    (31, 'unparseable source the of and', 'en', 'weird-name', None),
+    (32, 'overflow source the of a', 'en', 'src99999999999999999999', None),
+    (33, 'null lang filler the a of', None, 'src5', None),
+    (34, 'empty source filler the of', 'en', '', None),
+]
 
 con = duckdb.connect()
 con.execute("CREATE TABLE adv(doc_id BIGINT, text VARCHAR, lang VARCHAR, "

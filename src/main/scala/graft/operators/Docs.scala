@@ -985,7 +985,7 @@ object Docs {
       |SELECT source, token_mass, CAST(weight AS BIGINT) AS weight,
       |  round(CAST(weight AS DOUBLE) / sw, 6) AS share,
       |  round(b * weight / sw / token_mass, 6) AS epochs
-      |FROM tw, tot ORDER BY source""".stripMargin
+      |FROM tw, tot ORDER BY source NULLS FIRST""".stripMargin
 
   // --- Q63: hashed-feature quality classifier -------------------------------
 
@@ -1088,7 +1088,7 @@ object Docs {
        |  CAST(sum(CASE WHEN $IsEnSql THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        |  CAST(sum(len(w)) AS BIGINT) AS token_mass,
        |  round(CAST(sum(len(w)) AS DOUBLE)/count(*), 4) AS avg_tokens
-       |FROM d GROUP BY source ORDER BY source""".stripMargin
+       |FROM d GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
   // --- Q53: capstone — corpus in, training batches out ----------------------
 
@@ -1297,7 +1297,7 @@ object Docs {
        |    CAST(row_number() OVER (PARTITION BY source
        |      ORDER BY md5(doc_id || ':q55')) AS BIGINT) AS rk
        |  FROM documents)
-       |WHERE rk <= $SampleK ORDER BY source, rk""".stripMargin
+       |WHERE rk <= $SampleK ORDER BY source NULLS FIRST, rk""".stripMargin
 
   // --- Q56: TF-IDF keyword extraction ----------------------------------------
 
