@@ -56,6 +56,27 @@ class PlansSpec extends AnyFunSuite {
     assert(z == ((0L, 0L)))
   }
 
+  test("bloom_build / bloom_might_contain are SQL-callable: no false " +
+    "negatives, few false positives, NULL filter probes to NULL") {
+    import spark.implicits._
+    spark.range(0, 1000).createOrReplaceTempView("bloom_in")
+    // build over ids 0..499, probe all 1,000 from pure SQL text
+    val hits = spark.sql(
+      """WITH bf AS (SELECT bloom_build(xxhash64(id), CAST(1000 AS BIGINT),
+        |                                CAST(65536 AS BIGINT)) AS b
+        |            FROM bloom_in WHERE id < 500)
+        |SELECT id, bloom_might_contain((SELECT b FROM bf), xxhash64(id)) AS m
+        |FROM bloom_in""".stripMargin)
+      .as[(Long, Boolean)].collect().toMap
+    assert((0L until 500L).forall(hits(_)), "false negative")
+    val fps = (500L until 1000L).count(hits(_))
+    assert(fps < 25, s"$fps false positives at 64Kbit/1k items")
+    val nul = spark.sql(
+      "SELECT bloom_might_contain(CAST(NULL AS BINARY), xxhash64(7))")
+      .head().isNullAt(0)
+    assert(nul, "NULL filter must probe to NULL (q61's empty-corpus path)")
+  }
+
   test("optimizer rewrites the lww_object UDAF to native max_by (Q12 plan)") {
     val df = SparkEntry.queries("q12_lww_udaf")(spark, sf)
     val optimized = df.queryExecution.optimizedPlan.toString
