@@ -48,10 +48,12 @@ object Docs {
   private def isEnCol: Column =
     langScore("en") > langScore("es") && langScore("en") > langScore("de")
 
-  private val IsEnSql: String = {
-    def s(l: String) = s"len(list_filter(lw, x -> x IN ${inList(Stop(l))}))"
-    s"(${s("en")} > ${s("es")} AND ${s("en")} > ${s("de")})"
-  }
+  private def langScoreSql(l: String): String =
+    s"len(list_filter(lw, x -> x IN ${inList(Stop(l))}))"
+
+  private val IsEnSql: String =
+    s"(${langScoreSql("en")} > ${langScoreSql("es")} AND " +
+      s"${langScoreSql("en")} > ${langScoreSql("de")})"
 
   /** Word 8-gram window (the published decontamination overlap shape; 8
     * rather than GPT-3's 13 because the synthetic docs are short) — one
@@ -150,20 +152,19 @@ object Docs {
       .orderBy("doc_id")
   }
 
-  private lazy val q17Core: String =
+  private lazy val q17Core: String = {
+    def gt(a: String, b: String) = s"${langScoreSql(a)} > ${langScoreSql(b)}"
     s"""SELECT doc_id, lang AS lang_meta,
-       |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("de"))})) AS BIGINT) AS s_de,
-       |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS BIGINT) AS s_en,
-       |  CAST(len(list_filter(w, x -> x IN ${inList(Stop("es"))})) AS BIGINT) AS s_es,
+       |  CAST(${langScoreSql("de")} AS BIGINT) AS s_de,
+       |  CAST(${langScoreSql("en")} AS BIGINT) AS s_en,
+       |  CAST(${langScoreSql("es")} AS BIGINT) AS s_es,
        |  CASE
-       |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("en"))})) > len(list_filter(w, x -> x IN ${inList(Stop("es"))}))
-       |     AND len(list_filter(w, x -> x IN ${inList(Stop("en"))})) > len(list_filter(w, x -> x IN ${inList(Stop("de"))})) THEN 'en'
-       |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("es"))})) > len(list_filter(w, x -> x IN ${inList(Stop("en"))}))
-       |     AND len(list_filter(w, x -> x IN ${inList(Stop("es"))})) > len(list_filter(w, x -> x IN ${inList(Stop("de"))})) THEN 'es'
-       |    WHEN len(list_filter(w, x -> x IN ${inList(Stop("de"))})) > len(list_filter(w, x -> x IN ${inList(Stop("en"))}))
-       |     AND len(list_filter(w, x -> x IN ${inList(Stop("de"))})) > len(list_filter(w, x -> x IN ${inList(Stop("es"))})) THEN 'de'
+       |    WHEN ${gt("en", "es")} AND ${gt("en", "de")} THEN 'en'
+       |    WHEN ${gt("es", "en")} AND ${gt("es", "de")} THEN 'es'
+       |    WHEN ${gt("de", "en")} AND ${gt("de", "es")} THEN 'de'
        |    ELSE 'und' END AS pred_lang
-       |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS lw FROM documents)""".stripMargin
+  }
 
   val q17Sql: String = q17Core + "\nORDER BY doc_id"
 
@@ -824,6 +825,18 @@ object Docs {
 
   // --- Q52: incremental dedup (new batch vs existing corpus) ----------------
 
+  /** The corpus/batch stand-in split shared by q52 and q61 (and pinned by
+    * q52's oracle SQL): `doc_id % 10 < 8` = existing corpus, rest = new
+    * batch — ONE definition so the two physical strategies and the oracle
+    * can never drift apart. */
+  private def corpusBatchSplit(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val hashed = table(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+    (hashed.filter(col("doc_id") % 10 < 8),
+      hashed.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** The daily-crawl shape of exact dedup: an incoming batch is admitted
     * only where its content hash is absent from the EXISTING corpus, with
     * within-batch duplicates collapsed to their min-doc_id representative
@@ -844,19 +857,6 @@ object Docs {
     * NULL-equality discipline: the oracle uses NOT EXISTS (not NOT IN) so
     * a NULL hash on either side behaves exactly like Spark's anti-join —
     * never poisons the whole result. */
-
-  /** The corpus/batch stand-in split shared by q52 and q61 (and pinned by
-    * q52's oracle SQL): `doc_id % 10 < 8` = existing corpus, rest = new
-    * batch — ONE definition so the two physical strategies and the oracle
-    * can never drift apart. */
-  private def corpusBatchSplit(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val hashed = table(spark, dir, "documents")
-      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-    (hashed.filter(col("doc_id") % 10 < 8),
-      hashed.filter(col("doc_id") % 10 >= 8))
-  }
-
   def q52IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, batch) = corpusBatchSplit(spark, dir)
     batch.join(corpus, Seq("content_hash"), "left_anti")

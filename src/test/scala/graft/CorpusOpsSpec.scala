@@ -376,19 +376,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       "es" -> Set("el", "la", "de", "que", "y", "en", "los"),
       "de" -> Set("der", "die", "das", "und", "ist", "von"))
     val expected = docs.groupBy(_._1).map { case (src, rows) =>
-      val toks = rows.map { case (_, t) => t.split(" ", -1).toSeq }
+      // NULL text contributes nothing: no tokens, fails keep/en, and has
+      // no hash to collide on (the dup count runs over NON-NULL hashes —
+      // q62's count(content_hash) - countDistinct semantics)
+      val texts = rows.map(_._2).filter(_ != null)
+      val toks = texts.map(_.split(" ", -1).toSeq)
       val keeps = toks.count { w =>
         val avg = w.map(_.length).sum.toDouble / w.length
         w.length >= 5 && avg >= 2.0 && avg <= 12.0
       }
-      val en = rows.count { case (_, t) =>
+      val en = texts.count { t =>
         val lw = t.toLowerCase.split(" ", -1)
         def s(l: String) = lw.count(stop(l))
         s("en") > s("es") && s("en") > s("de")
       }
       val mass = toks.map(_.size.toLong).sum
       src -> (rows.length.toLong, keeps.toLong,
-        rows.length.toLong - rows.map(r => sha(r._2)).distinct.length,
+        texts.length.toLong - texts.map(sha).distinct.length,
         en.toLong, mass,
         BigDecimal(mass.toDouble / rows.length)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
