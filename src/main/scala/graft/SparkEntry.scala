@@ -196,6 +196,8 @@ object SparkEntry {
     // Mixture planning: per-source epoch rates from target weights at a
     // constant token budget (the calculator feeding q49's application).
     "q64_mix_plan" -> (Docs.q64MixPlan(_, _)),
+    // Per-doc near-dup risk: nearest neighbor + score from the pair list.
+    "q65_neardup_risk" -> (Docs.q65NeardupRisk(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -327,5 +329,6 @@ object SparkEntry {
     "q62_source_report"    -> Docs.q62Sql,
     "q63_clf_score"        -> Docs.q63Sql,
     "q64_mix_plan"         -> Docs.q64Sql,
+    "q65_neardup_risk"     -> Docs.q65Sql,
   )
 }

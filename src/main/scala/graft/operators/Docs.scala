@@ -360,6 +360,39 @@ object Docs {
        |FROM comp c JOIN sz USING (rep_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- Q65: per-doc near-dup risk -------------------------------------------
+
+  /** The per-document view of the pair list: each doc that appears in any
+    * near-dup pair gets its NEAREST neighbor (highest Jaccard, doc_id
+    * tie-break on the 4-decimal ROUNDED score both engines share) — the
+    * dup-risk ranking used to tune the Jaccard threshold and to
+    * prioritize review, completing the near-dup family: pairs (q19) →
+    * clusters (q60) → per-doc risk (here). One window over the
+    * banding-bounded symmetric pair list; the corpus is only touched by
+    * q19's own scans. */
+  def q65NeardupRisk(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q19MinhashPairs(spark, dir)
+    val sym = pairs.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("nearest_id"), col("jaccard"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("nearest_id"), col("jaccard")))
+    sym.withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("jaccard").desc, col("nearest_id"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "nearest_id", "jaccard")
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    s"""WITH pairs AS ($q19Core),
+       |sym AS (SELECT doc_a AS doc_id, doc_b AS nearest_id, jaccard
+       |        FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a, jaccard FROM pairs)
+       |SELECT doc_id, nearest_id, jaccard FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY jaccard DESC, nearest_id) AS rn FROM sym)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // --- Q20: SimHash fingerprints --------------------------------------------
 
   private val SimBits = 32

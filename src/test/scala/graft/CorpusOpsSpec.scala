@@ -320,6 +320,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q65 per-doc risk: every paired doc appears once with its true " +
+    "max-jaccard partner (min id on ties)") {
+    val pairs = Docs.q19MinhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sym = pairs.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    val expected = sym.groupBy(_._1).map { case (d, rows) =>
+      d -> rows.minBy(r => (-r._3, r._2))
+    }
+    val got = Docs.q65NeardupRisk(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, (_, n, j)) =>
+      assert(got(d) == ((d, n, j)), s"doc $d nearest")
+    }
+  }
+
   test("q64 mix plan conserves the token budget and hits target shares: " +
     "sum(epochs * token_mass) = total, epochs*mass/total = share") {
     val rows = Docs.q64MixPlan(spark, sf).collect().map(r =>
