@@ -329,8 +329,12 @@ object Docs {
     * over the SAME pair list (DuckDB `WITH RECURSIVE`), labeling each doc
     * with its minimum reachable doc_id — a different algorithm than the
     * star contraction, agreeing bit-for-bit. */
-  def q60NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q19MinhashPairs(spark, dir).select("doc_a", "doc_b")
+  /** Composable form over an already-materialized pair list (`doc_a`,
+    * `doc_b`): production pipelines derive pairs ONCE (q19) and feed both
+    * this and [[riskFromPairs]] from the same materialization — the gate
+    * entry below re-derives them only because each gate query is
+    * self-contained. */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
     val labels = Graph.ccStar(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     // cluster size as a window count, NOT a groupBy + join-back: the count
@@ -344,6 +348,9 @@ object Docs {
         (col("node") === col("label")).as("is_rep"))
       .orderBy("doc_id")
   }
+
+  def q60NeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(q19MinhashPairs(spark, dir).select("doc_a", "doc_b"))
 
   val q60Sql: String =
     s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q19Core)),
@@ -370,8 +377,10 @@ object Docs {
     * clusters (q60) → per-doc risk (here). One window over the
     * banding-bounded symmetric pair list; the corpus is only touched by
     * q19's own scans. */
-  def q65NeardupRisk(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q19MinhashPairs(spark, dir)
+  /** Composable form over a materialized pair list (`doc_a`, `doc_b`,
+    * `jaccard`) — see [[clustersFromPairs]] for the share-one-pair-scan
+    * rationale. */
+  def riskFromPairs(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("doc_a").as("doc_id"),
         col("doc_b").as("nearest_id"), col("jaccard"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"),
@@ -382,6 +391,9 @@ object Docs {
       .select("doc_id", "nearest_id", "jaccard")
       .orderBy("doc_id")
   }
+
+  def q65NeardupRisk(spark: SparkSession, dir: String): DataFrame =
+    riskFromPairs(q19MinhashPairs(spark, dir))
 
   val q65Sql: String =
     s"""WITH pairs AS ($q19Core),

@@ -337,6 +337,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clustersFromPairs/riskFromPairs compose over one materialized " +
+    "pair list, equal to the self-contained gate forms") {
+    val pairs = Docs.q19MinhashPairs(spark, sf) // already eager (checkpoint)
+    assert(Docs.clustersFromPairs(pairs.select("doc_a", "doc_b"))
+      .collect().toSeq ==
+      Docs.q60NeardupClusters(spark, sf).collect().toSeq)
+    assert(Docs.riskFromPairs(pairs).collect().toSeq ==
+      Docs.q65NeardupRisk(spark, sf).collect().toSeq)
+  }
+
   test("q64 mix plan conserves the token budget and hits target shares: " +
     "sum(epochs * token_mass) = total, epochs*mass/total = share") {
     val rows = Docs.q64MixPlan(spark, sf).collect().map(r =>
