@@ -198,6 +198,10 @@ object SparkEntry {
     "q64_mix_plan" -> (Docs.q64MixPlan(_, _)),
     // Per-doc near-dup risk: nearest neighbor + score from the pair list.
     "q65_neardup_risk" -> (Docs.q65NeardupRisk(_, _)),
+    // IVF ANN top-k (coarse k-means quantizer + probed lists) — the
+    // approximate index's QUERY form, still oracle-exact because every
+    // argmax is deterministically tie-broken (see Vectors.q66IvfTopk).
+    "q66_ivf_topk" -> (Vectors.q66IvfTopk(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -330,5 +334,6 @@ object SparkEntry {
     "q63_clf_score"        -> Docs.q63Sql,
     "q64_mix_plan"         -> Docs.q64Sql,
     "q65_neardup_risk"     -> Docs.q65Sql,
+    "q66_ivf_topk"         -> Vectors.q66Sql,
   )
 }

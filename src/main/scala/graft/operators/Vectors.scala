@@ -290,6 +290,91 @@ object Vectors {
       .filter(col("rank") <= topk)
   }
 
+  // --- Q66: the IVF top-k QUERY form, oracle-gated --------------------------
+
+  /** q66 gate config: 8 coarse lists, probe the 2 nearest, top-5 neighbors.
+    * Small enough that the unrolled DuckDB twin stays readable; large enough
+    * that probing (nprobe < k) actually excludes lists. */
+  val IvfGateK = 8
+  val IvfGateNprobe = 2
+  val IvfGateTopK = 5
+
+  /** Q66: [[ivfTopk]] as a gate query. Every stage is deterministic —
+    * seeds are the k lowest vec_ids, assignment/probe argmaxes tie-break on
+    * cluster id, final ranking on (rounded cos_sim, neighbor_id) — so the
+    * approximate-ANN *query shape* still has an EXACT oracle: DuckDB
+    * re-runs the same 3 spherical k-means iterations unrolled as CTEs
+    * ([[q66Sql]]). Float-safety note: centroid means feed only DISCRETE
+    * argmax decisions (which list a vector joins, which lists a query
+    * probes); the emitted cos_sim is computed from the original normalized
+    * vectors with the same sequential-fold dot product both engines share
+    * (q21 precedent), so a last-ulp mean difference cannot leak into the
+    * hashed values — only into an (improbable) exact argmax tie. */
+  def q66IvfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopk(spark, dir, IvfGateK, IvfGateNprobe, IvfGateTopK)
+      .orderBy("query_id", "rank")
+
+  /** One k-means assignment step as DuckDB SQL: each vector in `src` to its
+    * max-sim centroid in `cents`, ties to the HIGHER cluster id (the twin of
+    * Spark's `max_by(cluster, struct(sim, cluster))`). */
+  private def ivfAssignSql(src: String, cents: String): String =
+    s"""SELECT vec_id, cluster, v FROM (
+       |  SELECT e.vec_id, c.cluster, e.v,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_sum(list_transform(range($Dim), i -> e.v[i+1] * c.c[i+1])) DESC,
+       |           c.cluster DESC) AS rk
+       |  FROM $src e CROSS JOIN $cents c)
+       |WHERE rk = 1""".stripMargin
+
+  /** One centroid-update step as DuckDB SQL: per-(cluster, dim) mean of the
+    * assigned vectors, re-normalized to the sphere; a cluster that attracted
+    * no vectors keeps its previous centroid (the `coalesce` in
+    * [[ivfAssign]]). */
+  private def ivfUpdateSql(assigned: String, prev: String): String =
+    s"""SELECT p.cluster,
+       |       CASE WHEN m.cm IS NULL THEN p.c
+       |            ELSE list_transform(m.cm, x ->
+       |              x / sqrt(list_sum(list_transform(m.cm, y -> y * y)))) END AS c
+       |FROM $prev p LEFT JOIN (
+       |  SELECT cluster, list(m ORDER BY pos) AS cm FROM (
+       |    SELECT cluster, t.i AS pos, avg(v[t.i + 1]) AS m
+       |    FROM $assigned, range($Dim) t(i) GROUP BY cluster, t.i)
+       |  GROUP BY cluster) m ON p.cluster = m.cluster""".stripMargin
+
+  val q66Sql: String =
+    s"""WITH en AS (
+       |  SELECT vec_id, list_transform(v0, x -> x / sqrt(ss)) AS v FROM (
+       |    SELECT vec_id, v0, list_sum(list_transform(v0, x -> x * x)) AS ss FROM (
+       |      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+       |      FROM embeddings))
+       |  WHERE ss > 0),
+       |c0 AS (SELECT vec_id AS cluster, v AS c FROM en ORDER BY vec_id LIMIT $IvfGateK),
+       |a1 AS (${ivfAssignSql("en", "c0")}),
+       |c1 AS (${ivfUpdateSql("a1", "c0")}),
+       |a2 AS (${ivfAssignSql("en", "c1")}),
+       |c2 AS (${ivfUpdateSql("a2", "c1")}),
+       |a3 AS (${ivfAssignSql("en", "c2")}),
+       |c3 AS (${ivfUpdateSql("a3", "c2")}),
+       |idx AS (${ivfAssignSql("en", "c3")}),
+       |probes AS (
+       |  SELECT query_id, qv, cluster FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cluster,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(range($Dim), i -> q.v[i+1] * c.c[i+1])) DESC,
+       |             c.cluster ASC) AS rk
+       |    FROM idx q CROSS JOIN c3 c WHERE q.vec_id < $NumQueries)
+       |  WHERE rk <= $IvfGateNprobe)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM (SELECT p.query_id, i.vec_id AS neighbor_id,
+       |               round(list_sum(list_transform(range($Dim),
+       |                 j -> p.qv[j+1] * i.v[j+1])), 4) AS cos_sim
+       |        FROM probes p JOIN idx i USING (cluster)
+       |        WHERE i.vec_id <> p.query_id))
+       |WHERE rank <= $IvfGateTopK ORDER BY query_id, rank""".stripMargin
+
   /** Lazy candidate-pair self-join over a banded projection: strictly an
     * equi-join on (band_idx, band_val) — exposed so plan tests can assert
     * the cartesian-free shape before [[cosineNearDupPairs]] materializes
