@@ -202,6 +202,10 @@ object SparkEntry {
     // approximate index's QUERY form, still oracle-exact because every
     // argmax is deterministically tie-broken (see Vectors.q66IvfTopk).
     "q66_ivf_topk" -> (Vectors.q66IvfTopk(_, _)),
+    // The anti-entropy merge through a REAL readStream (JSONL wire files →
+    // micro-batched LWW merge into a seeded store) — same relation, and
+    // oracle, as q3; the gate row that actually executes a streaming query.
+    "q67_stream_merge" -> (graft.streaming.StreamingGate.q67StreamMerge(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -335,5 +339,6 @@ object SparkEntry {
     "q64_mix_plan"         -> Docs.q64Sql,
     "q65_neardup_risk"     -> Docs.q65Sql,
     "q66_ivf_topk"         -> Vectors.q66Sql,
+    "q67_stream_merge"     -> MergeOracleSql,
   )
 }
