@@ -133,6 +133,62 @@ object TripleStore {
       numShards: Int): Unit =
     writeSharded(spark.read.parquet(fromPath), toPath, numShards)
 
+  /** Z-ordered store layout: the two-dimensional generalization of
+    * [[writeSharded]] for the store's own key plane. Range-sharding on
+    * `subject` alone leaves `predicate` un-clustered — every order file
+    * spans the full predicate range, so a predicate-only probe scans the
+    * whole store. Here each STRING dimension is first rank-bucketed into
+    * `2^bits` equal-frequency buckets against sampled order-statistic
+    * boundaries (the native O(log n) [[graft.plans.RangeBucket]] — the
+    * string-plane analog of `ZOrderKey.withScaledZKey`'s min-max scaling,
+    * which needs longs), the two bucket ranks are Morton-interleaved by the
+    * native `zorder_key`, and the store is range-partitioned + sorted by
+    * the z-key. Files then carry NARROW min/max stats on BOTH columns, so
+    * subject-only AND predicate-only probes skip most files/row-groups
+    * (asserted vs the subject-sharded layout in TripleStoreSpec).
+    *
+    * Scale shape: one bounded sample per dimension (`2^bits · 20` rows to
+    * the driver — what Spark's own RangePartitioner does), then a map-only
+    * z-key projection and ONE range shuffle; driver memory is O(2^bits),
+    * never O(rows). The count/sample jobs are write-time layout costs, the
+    * same class as [[reshard]]'s full pass. */
+  def writeZOrdered(df: DataFrame, path: String, numShards: Int,
+      bits: Int = 8, sampleSeed: Long = 42L): Unit = {
+    val n = (1 << bits) - 1
+    val rows = df.count()
+    // equal-frequency cut points from a deterministic bounded sample; with
+    // few distinct heavy values (the predicate dimension) duplicates
+    // collapse via .distinct and ranks simply spread by frequency
+    def bounds(c: String): Seq[String] = {
+      val target = (n + 1) * 20L
+      val frac = math.min(1.0, target.toDouble / math.max(rows, 1L))
+      val s = df.select(col(c).cast(StringType)).na.drop()
+        .sample(withReplacement = false, frac, sampleSeed)
+        .collect().map(_.getString(0)).sorted
+      if (s.isEmpty) Seq.empty
+      else (1 to n).map(i => s(((i.toLong * s.length) / (n + 1)).toInt)).distinct
+    }
+    val sB = bounds("subject")
+    val pB = bounds("predicate")
+    // scale each dimension's bucket rank into the FULL bit budget: a
+    // low-cardinality dimension (predicate has ~6 distinct values, so ~5
+    // post-distinct boundaries) would otherwise only populate low-order
+    // bits and the interleave would be dominated by the other dimension —
+    // the string-plane twin of withScaledZKey's min-max normalization
+    def rank(c: String, bs: Seq[String]): Column = {
+      val r = graft.plans.RangeBucket.shardId(col(c), bs).cast("bigint")
+      floor(r * n.toLong / math.max(bs.length, 1).toLong).cast("bigint")
+    }
+    val zk = call_function("zorder_key",
+      rank("subject", sB), rank("predicate", pB))
+    df.withColumn("zkey", zk)
+      .repartitionByRange(numShards, col("zkey"), col("subject"),
+        col("predicate"))
+      .sortWithinPartitions("zkey", "subject", "predicate")
+      .drop("zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Once-per-session materialization of [[triples]] as a sharded layout
     * (one write job, reused by every subsequent sharded query — the Spark
     * analog of the reference's one-off preprocessing notebook). */

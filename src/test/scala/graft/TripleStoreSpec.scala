@@ -178,6 +178,55 @@ class TripleStoreSpec extends AnyFunSuite {
       s"scan emitted $scanRows of $total rows — reshard broke pruning")
   }
 
+  test("z-ordered store layout: predicate-only probes prune files the " +
+    "subject-sharded layout cannot, and subject probes still prune") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val t = TripleStore.triples(spark, sf)
+    val base = Files.createTempDirectory("graft_zstore").toString
+    val (zdir, sdir) = (s"$base/z", s"$base/s")
+    TripleStore.writeZOrdered(t, zdir, numShards = 16)
+    TripleStore.writeSharded(t, sdir, 16)
+    assert(spark.read.parquet(zdir).count() == t.count(), "content lost")
+
+    // a file can serve min/max skipping for a point probe iff its stats
+    // interval contains the probed value — count the files that cannot skip
+    def overlapping(dir: String, c: String, v: String): Int =
+      spark.read.parquet(dir).inputFiles.count { f =>
+        val (mn, mx) = spark.read.parquet(f).agg(min(col(c)), max(col(c)))
+          .as[(String, String)].head()
+        mx >= v && mn <= v
+      }
+    val zn = spark.read.parquet(zdir).inputFiles.length
+    val sn = spark.read.parquet(sdir).inputFiles.length
+    assert(zn >= 8 && sn >= 8, s"need multiple files ($zn z, $sn sharded)")
+
+    // predicate-only probe: the subject-sharded layout interleaves all
+    // three order predicates inside every order file (~93% of rows), so
+    // nearly every file's [min, max] covers the probe; the z layout
+    // clusters the predicate dimension and skips most files
+    val zp = overlapping(zdir, "predicate", "<hasPriority>")
+    val sp = overlapping(sdir, "predicate", "<hasPriority>")
+    assert(zp <= zn / 2, s"z layout: $zp of $zn files overlap the predicate")
+    assert(sp >= sn * 3 / 4,
+      s"subject layout unexpectedly predicate-clustered: $sp of $sn")
+
+    // the z layout must keep pruning the FIRST dimension too (that's the
+    // point of interleaving vs just sorting by predicate)
+    val zs = overlapping(zdir, "subject", "<order_42>")
+    assert(zs <= zn / 2, s"z layout: $zs of $zn files overlap the subject")
+
+    // and the probe itself row-group-skips: scan metrics emit far fewer
+    // rows than the store for a predicate-only point query
+    val probe = spark.read.parquet(zdir)
+      .filter(col("predicate") === "<inRegion>")
+    probe.collect()
+    val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    val total = t.count()
+    assert(scanRows > 0 && scanRows < total / 2,
+      s"scan emitted $scanRows of $total rows — no predicate skipping")
+  }
+
   // The reference's real shard boundary is the non-ASCII subject '<₩uNo>'
   // (MasterServer.py:62, MongoNodeServer.py:22-26) — its Python string
   // comparisons are code-point order, which for Spark means binary UTF-8
