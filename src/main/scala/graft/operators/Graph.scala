@@ -68,10 +68,18 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val nNodes = nodes.count().toDouble
+    // node count as a broadcast-able 1-ROW AGGREGATE, not a driver count():
+    // materialized once (an eager checkpoint job, same cost the count paid)
+    // and then ridden into the init and every iteration's plan exactly like
+    // the dangling-mass scalar — the whole build is driver-action-free
+    // (GraphSpec's listener asserts no count/head action fires)
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+      .localCheckpoint(true)
     val outDeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(1.0 / nNodes)).localCheckpoint(true)
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       // mass parked on dangling nodes (not in outDeg), as a broadcast
       // 1-row scalar — stays inside the iteration's single job
@@ -85,10 +93,11 @@ object Graph {
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       ranks = nodes.join(contribs, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nCount))
         .select(col("node"),
-          (lit((1 - damping) / nNodes) +
+          ((lit(1.0) - lit(damping)) / col("n_nodes") +
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              col("dangling_mass") / lit(nNodes))).as("rank"))
+              col("dangling_mass") / col("n_nodes"))).as("rank"))
         .localCheckpoint(true)
     }
     ranks

@@ -111,18 +111,22 @@ class GraphSpec extends AnyFunSuite {
         ("<a>", "<h>"), ("<b>", "<h>"), ("<c>", "<h>"),
         ("<h>", "<a>"), ("<c>", "<d>")).toDF("src", "dst")
       Graph.pageRank(edges, iters = 5)
-      // the listener bus is async: wait for the positive control (the one
-      // deliberate nodes.count() action) to prove events are flowing
+      // positive control: a deliberate action AFTER the build proves the
+      // listener bus is flowing before the negative assertions below
+      edges.limit(1).collect()
       val deadline = System.currentTimeMillis() + 20000
       while (System.currentTimeMillis() < deadline &&
-        !events.contains("count")) Thread.sleep(50)
+        !events.contains("collect")) Thread.sleep(50)
       Thread.sleep(1000) // let any per-iteration stragglers surface
       val evs = events.toArray(Array.empty[String]).toSeq
-      assert(evs.contains("count"), s"listener saw no events at all: $evs")
-      // the unfused implementation ran .head() once PER ITERATION for the
-      // dangling mass; the fused plan must run none
+      assert(evs.contains("collect"), s"listener saw no events at all: $evs")
+      // the unfused implementations ran .head() per iteration (dangling
+      // mass) and .count() at setup (node count); the fused plan runs
+      // neither — both scalars ride as broadcast 1-row aggregates
       assert(!evs.contains("head"),
         s"per-iteration driver action leaked back in: $evs")
+      assert(!evs.contains("count"),
+        s"setup driver action leaked back in: $evs")
     } finally spark.listenerManager.unregister(listener)
   }
 
