@@ -1098,6 +1098,29 @@ object Docs {
     * Conditional sums use explicit 0-else so NULL-text documents (adversarial
     * corpus) count as failures identically in both engines. */
   def q62SourceReport(spark: SparkSession, dir: String): DataFrame =
+    // dup count over NON-NULL hashes only: a NULL-text doc has no
+    // content to collide on, and q52's NOT EXISTS never treats NULL
+    // hashes as dups — count(col) skips NULLs to match
+    sourceReport(spark, dir, countDistinct(col("content_hash")))
+
+  /** q62's scale swap for few-huge-source corpora (BENCH_NOTES): the exact
+    * distinct-hash count keeps a hash SET per (source, partition) as
+    * partial aggregate state — with a handful of sources and billions of
+    * docs each, that state is corpus-sized. The HLL++ sketch is
+    * constant-size per source and merges map-side like every other term in
+    * the report. Property-tested against the exact report in CorpusOpsSpec
+    * (all non-sketch columns identical, dup counts within the sketch's
+    * rsd) rather than oracle-gated — an estimate has no SQL-exact twin by
+    * construction, the same policy as q41's percentile sketch twins. */
+  def q62SourceReportApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.05): DataFrame =
+    sourceReport(spark, dir, approx_count_distinct(col("content_hash"), rsd))
+
+  /** Shared q62 aggregation; `distinctHashes` is the one term the exact and
+    * sketch variants disagree on (count of distinct non-null content
+    * hashes per source). */
+  private def sourceReport(spark: SparkSession, dir: String,
+      distinctHashes: Column): DataFrame =
     table(spark, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("w"),
         split(lower(col("text")), " ").as("lw"),
@@ -1109,11 +1132,7 @@ object Docs {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("kept")).as("n_kept"),
-        // dup count over NON-NULL hashes only: a NULL-text doc has no
-        // content to collide on, and q52's NOT EXISTS never treats NULL
-        // hashes as dups — count(col) skips NULLs to match
-        (count(col("content_hash")) - countDistinct(col("content_hash")))
-          .as("n_dup_docs"),
+        (count(col("content_hash")) - distinctHashes).as("n_dup_docs"),
         sum(col("en")).as("n_en"),
         sum(col("n_tokens")).as("token_mass"),
         round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 4)

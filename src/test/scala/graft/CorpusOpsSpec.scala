@@ -429,4 +429,28 @@ class CorpusOpsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
     assert(got == expected)
   }
+
+  test("q62 approx variant: every non-sketch column identical to the exact " +
+    "report, dup counts within the HLL sketch's error budget") {
+    val rsd = 0.05
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      Option(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val exact = keyed(Docs.q62SourceReport(spark, sf))
+    val approx = keyed(Docs.q62SourceReportApprox(spark, sf, rsd))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      // n_dup_docs (position 3 / tuple _3) is the only column allowed to
+      // differ; |approxDup - exactDup| == |approxDistinct - exactDistinct|,
+      // bounded by a generous multiple of rsd·n_docs plus a small-count
+      // floor (HLL++ switches to exact linear counting at low cardinality,
+      // so tiny sources should in fact match exactly)
+      assert((e._1, e._2, e._4, e._5, e._6) ==
+        (a._1, a._2, a._4, a._5, a._6), s"non-sketch column drifted: $src")
+      val tol = math.max(4.0, 6 * rsd * e._1)
+      assert(math.abs(a._3 - e._3) <= tol,
+        s"$src: approx dup ${a._3} vs exact ${e._3} beyond tol $tol")
+    }
+  }
 }
