@@ -82,6 +82,11 @@ for i in range(60):
                             # ''/0 — q58's oracle must CASE them back
     elif i == 5:
         v = None            # NULL vector: NULL through both engines
+    elif i == 6:
+        v = [1.0] * 64      # NULL ELEMENT: Spark's sequential fold nulls
+        v[7] = None         # the whole sum; DuckDB's list_sum/list_max skip
+                            # nulls — oracles carry an explicit has-null
+                            # guard so both engines drop/sentinel the row
     else:
         v = [random.gauss(0, 1) for _ in range(64)]
     vrows.append((i, v, i % 5))

@@ -1392,8 +1392,18 @@ object Docs {
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("word"))
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
       .crossJoin(broadcast(n))
-      .withColumn("score", round(col("tf").cast(DoubleType) *
-        log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 4))
+      // double-round guard (ADVICE r7): tf·ln(N/df) passes through two
+      // different libm `ln`s (JVM vs DuckDB's C), so a last-ulp difference
+      // could land either side of a raw 4-digit half boundary. Snapping to
+      // 9 decimals first collapses both engines' values onto the same
+      // 9-digit decimal (IEEE-identical in both: decimal-exact HALF_UP here,
+      // scaled-rint there, both then nearest-double) unless the score sits
+      // within one ulp of a 9-digit boundary AND that boundary is itself a
+      // 4-digit half — ~5 orders of magnitude rarer than the raw risk.
+      // That residual is the documented exposure; rank ties are already
+      // insensitive (rounded-score ordering + term tie-break).
+      .withColumn("score", round(round(col("tf").cast(DoubleType) *
+        log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 9), 4))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("score"))
@@ -1410,7 +1420,7 @@ object Docs {
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, word, tf,
-      |    round(CAST(tf AS DOUBLE) * ln(n_docs / df), 4) AS score
+      |    round(round(CAST(tf AS DOUBLE) * ln(n_docs / df), 9), 4) AS score
       |  FROM tf JOIN idf USING (word), n),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
       |        ORDER BY score DESC, word) AS BIGINT) AS rk FROM scored)

@@ -85,8 +85,9 @@ object Vectors {
   val q21Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
-       |         sqrt(list_sum(list_transform(range(len(embedding)),
-       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+       |         CASE WHEN $hasNullElemSql THEN NULL
+       |         ELSE sqrt(list_sum(list_transform(range(len(embedding)),
+       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) END AS nrm
        |  FROM embeddings),
        |e2 AS (SELECT * FROM e WHERE nrm > 0),
        |cos AS (
@@ -191,12 +192,24 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** DuckDB predicate: the embedding contains a NULL ELEMENT. Needed
+    * because the engines' sums disagree on null elements: Spark's
+    * sequential `aggregate` fold nulls the whole sum (so norms/sign-sums go
+    * NULL and the row naturally drops out of every scoring/bucketing path),
+    * while DuckDB's `list_sum` SKIPS nulls and would keep the row. Each
+    * oracle twin applies this guard to mimic Spark's propagation. */
+  private def hasNullElemSql: String =
+    "len(list_filter(embedding, x -> x IS NULL)) > 0"
+
   /** DuckDB twin of [[lshBucket]]: the [[NumPlanes]] sign bits concatenated,
     * as a SQL expression over `embedding` — shared by the q22 and q38
-    * oracles (buckets must agree across both). */
+    * oracles (buckets must agree across both). A null-element vector takes
+    * the '0' bit on every plane, matching Spark's `when(NULL >= 0, ...)
+    * .otherwise("0")`. */
   private def bucketBitsSql: String = planes.take(NumPlanes).map { p =>
     val lit = p.mkString("[", ", ", "]")
-    s"""CASE WHEN list_sum(list_transform(range(len(embedding)),
+    s"""CASE WHEN NOT ($hasNullElemSql)
+       |  AND list_sum(list_transform(range(len(embedding)),
        |  i -> CAST(embedding[i+1] AS DOUBLE) * ($lit)[i+1])) >= 0
        |  THEN '1' ELSE '0' END""".stripMargin
   }.mkString(" ||\n ")
@@ -344,8 +357,10 @@ object Vectors {
   val q66Sql: String =
     s"""WITH en AS (
        |  SELECT vec_id, list_transform(v0, x -> x / sqrt(ss)) AS v FROM (
-       |    SELECT vec_id, v0, list_sum(list_transform(v0, x -> x * x)) AS ss FROM (
-       |      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+       |    SELECT vec_id, v0, CASE WHEN $hasNullElemSql THEN NULL
+       |      ELSE list_sum(list_transform(v0, x -> x * x)) END AS ss FROM (
+       |      SELECT vec_id, embedding,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
        |      FROM embeddings))
        |  WHERE ss > 0),
        |c0 AS (SELECT vec_id AS cluster, v AS c FROM en ORDER BY vec_id LIMIT $IvfGateK),
@@ -450,8 +465,9 @@ object Vectors {
   val q38Sql: String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding, $bucketBitsSql AS bucket,
-       |         sqrt(list_sum(list_transform(range(len(embedding)),
-       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) AS nrm
+       |         CASE WHEN $hasNullElemSql THEN NULL
+       |         ELSE sqrt(list_sum(list_transform(range(len(embedding)),
+       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) END AS nrm
        |  FROM embeddings)
        |SELECT * FROM (
        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -500,7 +516,9 @@ object Vectors {
     * quantized vector itself travels as a CSV string + checksum: the gate
     * hash then never depends on how either engine's client formats nested
     * arrays. Degenerate vectors — zero (no direction to scale), any
-    * non-finite element (max|x| becomes NaN/Inf), or magnitudes beyond
+    * non-finite element (max|x| becomes NaN/Inf), any NULL element (mx is
+    * forced to NULL in both engines — their native max/sum primitives
+    * disagree on null-skipping, ADVICE r7), or magnitudes beyond
     * 1e12 (the micro-unit scale would overflow int64; no real embedding
     * regime) — quantize to all zeros with a −1 sentinel scale instead of
     * dividing by zero, casting NaN, or overflowing. The scale's resolution
@@ -522,8 +540,15 @@ object Vectors {
   def q58Quantize(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))")
-          .as("mx"))
+        // a NULL ELEMENT forces mx to NULL so the vector takes the -1
+        // sentinel: without this, Spark's array_max would SKIP the null
+        // (mx real, vector "valid") and the null would then poison q8_sum
+        // to NULL while array_join silently dropped it from the CSV —
+        // diverging from DuckDB's null-skipping list_sum (ADVICE r7)
+        expr("""CASE WHEN exists(embedding, v -> v IS NULL)
+                |THEN CAST(NULL AS DOUBLE)
+                |ELSE array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+                |END""".stripMargin).as("mx"))
       .select(col("vec_id"), col("mx"),
         expr("""CASE WHEN mx >= 0.000001D AND mx <= 1000000000000.0D
                 |THEN transform(embedding, v ->
@@ -539,9 +564,10 @@ object Vectors {
       .orderBy("vec_id")
 
   val q58Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding,
-      |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+      |    CASE WHEN $hasNullElemSql THEN NULL
+      |    ELSE list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) END AS mx
       |  FROM embeddings),
       |q AS (
       |  SELECT vec_id, mx,
