@@ -38,6 +38,28 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** PRODUCTION media source: a directory of real files through Spark's
+    * `binaryFile` source — each file becomes one row with its bytes as the
+    * opaque payload, no driver-side file walking (listing, splitting and
+    * scheduling are the data source's job, so a 100 TB media lake reads
+    * like any other table; pair with
+    * `spark.sql.files.maxPartitionBytes` to bound files-per-task). The
+    * doc id is the trailing digit run of the file's base name
+    * (`<id>.<ext>` — the layout [[mediaTable]]'s docstring promises), the
+    * format is the extension, and `n_bytes` comes from the source's
+    * `length` column, NOT from re-measuring the payload. */
+  def mediaFromFiles(spark: SparkSession, path: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)[.][^./]*$", 1)
+          .cast(LongType).as("doc_id"),
+        col("content").as("media"),
+        regexp_extract(col("path"), "[.]([^./]+)$", 1).as("format"),
+        col("length").as("n_bytes"))
+      .as[MediaRow]
+  }
+
   /** STUB decoder: deterministic fake. A real implementation would decode
     * the codec and produce pixels/samples; this computes an 8-bin byte
     * histogram (normalized) and fake dimensions from the length, preserving
