@@ -21,9 +21,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TripleStore.search(spark, "/root/testdata/sf0.001", "<order_42>")
 
+  // NOTE r8 trim: q1_subject_scan (the derived-view point scan) was
+  // retired from the gate — q1_sharded_scan covers O1 with the same oracle
+  // over the layout a production store actually serves from, and the
+  // derived-view path stays exercised by the driver's flagship [[entry]]
+  // smoke check plus TripleStoreSpec's pushdown assertions.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_subject_scan" -> ((s, dir) =>
-      TripleStore.search(s, dir, "<order_42>").orderBy("predicate", "object")),
     "q2_lww_upsert" -> ((s, dir) =>
       Lww.upsert(TripleStore.triples(s, dir), TripleStore.updates(s, dir))
         .orderBy("subject", "predicate")),
@@ -224,10 +227,6 @@ object SparkEntry {
        |WHERE rn = 1 ORDER BY subject, predicate""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "q1_subject_scan" ->
-      s"""WITH ${TripleStore.TriplesCte}
-         |SELECT subject, predicate, object, ts_ms FROM triples
-         |WHERE subject = '<order_42>' ORDER BY predicate, object""".stripMargin,
     // prio leads: an explicit update always overwrites (MongoDBConnector.py:73)
     "q2_lww_upsert" ->
       s"""WITH ${TripleStore.TriplesCte}, ${TripleStore.UpdatesCte}
