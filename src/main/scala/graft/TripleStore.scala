@@ -218,6 +218,32 @@ object TripleStore {
     spark.read.parquet(shardedPath(spark, dir))
       .filter(col("subject") === lit(subject))
 
+  /** Once-per-session materialization of [[triples]] as the z-ordered
+    * layout ([[writeZOrdered]]) — the two-dimensional serving layout. */
+  def zOrderedPath(spark: SparkSession, dir: String, numShards: Int = 8): String =
+    materialized.computeIfAbsent((dir + "!zorder", numShards), { _ =>
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_zordered_${numShards}_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      writeZOrdered(triples(spark, dir), out, numShards)
+      out
+    })
+
+  /** Point probe over the z-ordered layout on either/both key dimensions —
+    * the serving twin of [[searchSharded]] for predicate-shaped access.
+    * Both filters push to the parquet reader; because the layout clusters
+    * BOTH columns, a subject-only probe AND a predicate-only probe each
+    * skip most files/row-groups by min/max (the subject-sharded layout can
+    * only prune subjects — TripleStoreSpec compares them). */
+  def searchZOrdered(spark: SparkSession, dir: String,
+      subject: Option[String] = None,
+      predicate: Option[String] = None): DataFrame = {
+    require(subject.nonEmpty || predicate.nonEmpty,
+      "searchZOrdered needs at least one probe dimension")
+    val base = spark.read.parquet(zOrderedPath(spark, dir))
+    val withS = subject.fold(base)(s => base.filter(col("subject") === lit(s)))
+    predicate.fold(withS)(p => withS.filter(col("predicate") === lit(p)))
+  }
+
   /** Once-per-session O20 exercise: the 3-shard layout resharded to 5.
     * Reuses the memoization map (distinct key space via the "!reshard"
     * marker), so the gate query pays the reshard job once per JVM. */

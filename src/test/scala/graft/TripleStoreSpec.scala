@@ -216,10 +216,12 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(zs <= zn / 2, s"z layout: $zs of $zn files overlap the subject")
 
     // and the probe itself row-group-skips: scan metrics emit far fewer
-    // rows than the store for a predicate-only point query
-    val probe = spark.read.parquet(zdir)
-      .filter(col("predicate") === "<inRegion>")
+    // rows than the store for a predicate-only point query (through the
+    // serving API over the session-memoized layout)
+    val probe = TripleStore.searchZOrdered(spark, sf,
+      predicate = Some("<inRegion>"))
     probe.collect()
+    assert(probe.count() == 25, "every nation has exactly one <inRegion>")
     val scanRows = probe.queryExecution.executedPlan.collectLeaves()
       .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
     val total = t.count()
@@ -281,6 +283,27 @@ class TripleStoreSpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(sparkSorted == boundarySubjects.sortWith(cpCompare(_, _) < 0),
       s"Spark order diverges from code-point order: $sparkSorted")
+  }
+
+  test("non-ASCII boundary: writeZOrdered preserves multi-byte subjects " +
+    "exactly and probes return them") {
+    // the z-layout's sampled boundaries + range_bucket comparisons run over
+    // the same multi-byte strings as writeSharded's range shuffle — nothing
+    // may be lost, duplicated, or mis-bucketed at the <₩uNo>/astral edges
+    val df = boundarySubjects.zipWithIndex.map { case (s, i) =>
+      (s, if (i % 2 == 0) "<p>" else "<q>", s"v$i", i.toLong)
+    }.toDF("subject", "predicate", "object", "ts_ms")
+    val out = Files.createTempDirectory("graft_nonascii_z").resolve("z").toString
+    TripleStore.writeZOrdered(df, out, numShards = 3)
+    val back = spark.read.parquet(out)
+    assert(back.select("subject").as[String].collect().toSet ==
+      boundarySubjects.toSet)
+    assert(back.count() == boundarySubjects.length)
+    // point probes on each dimension return exactly the planted rows
+    assert(back.filter(org.apache.spark.sql.functions.col("subject") ===
+      "<😀_img>").count() == 1)
+    assert(back.filter(org.apache.spark.sql.functions.col("predicate") ===
+      "<q>").count() == boundarySubjects.length / 2)
   }
 
   test("non-ASCII boundary: shardPredicate membership at <₩uNo> matches " +
