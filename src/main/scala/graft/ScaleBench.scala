@@ -119,6 +119,38 @@ object ScaleBench {
       runAndCount(Lww.upsert(store, changelog))
     }
 
+    // Predicate-shaped access at scale: the z-ordered layout clusters BOTH
+    // key dimensions, so a predicate-only probe reads ~its selectivity of
+    // the store; the subject-sharded layout cannot prune it at all (the
+    // three order predicates interleave inside every row group of the
+    // ~93%-order region). Both sides materialize the same matching rows
+    // through the noop sink — the difference is pure scan/skip cost.
+    val zPath = sys.props("java.io.tmpdir") + "/graft_scalebench_z"
+    val (_, tZEtl) = timed {
+      TripleStore.writeZOrdered(big, zPath, numShards = 16)
+    }
+    val zStore = spark.read.parquet(zPath)
+    // warm file listings/footers on both layouts outside the timings
+    zStore.filter(col("predicate") === "<inRegion>").count()
+    store.filter(col("predicate") === "<inRegion>").count()
+    val (cZ, tZProbe) = timed {
+      runAndCount(zStore.filter(col("predicate") === "<hasPriority>"))
+    }
+    val (cS, tSProbe) = timed {
+      runAndCount(store.filter(col("predicate") === "<hasPriority>"))
+    }
+    assert(cZ == cS, s"layouts disagree on the probe: $cZ vs $cS")
+    // count-only twin: materializing 3.3M matched rows through the sink
+    // costs the same on both layouts and masks the skip effect; a count
+    // has no computable payload to prune (the work IS scan+filter), so it
+    // isolates what the layout saves
+    val (_, tZCount) = timed {
+      zStore.filter(col("predicate") === "<hasPriority>").count()
+    }
+    val (_, tSCount) = timed {
+      store.filter(col("predicate") === "<hasPriority>").count()
+    }
+
     // Streaming sink contrast at the same scale: one 1,000-update micro-batch
     // through the partition-wise sink (reads + rewrites only the shard
     // directories the batch touches) vs the whole-store-rewrite sink. This is
@@ -197,6 +229,9 @@ object ScaleBench {
       s""""point_search":$tSearch,"point_upsert":$tUpsert,"merge_1k_pending":$tMerge,""" +
       s""""full_compaction":$tCompact,"search_rows":$c1,"upsert_rows":${rows2.length},""" +
       s""""merge_rows":$c3,"compact_rows":$c4,""" +
+      s""""zorder_etl":$tZEtl,"pred_probe_zorder":$tZProbe,""" +
+      s""""pred_probe_sharded":$tSProbe,"pred_probe_rows":$cZ,""" +
+      s""""pred_count_zorder":$tZCount,"pred_count_sharded":$tSCount,""" +
       s""""stream_part_etl":$tPartEtl,"stream_part_batch":$tPartBatch,""" +
       s""""stream_full_batch":$tFullBatch,"stream_touched_shards":$touchedShards,""" +
       s""""stream_total_shards":${boundaries.size + 1},""" +
