@@ -275,13 +275,15 @@ object Vectors {
     (assign(centroids).select("vec_id", "cluster", "v"), centroids)
   }
 
-  /** IVF top-k: probe the `nprobe` nearest centroid lists per query, exact
-    * cosine only within them — work scales with the probed share of the
-    * index, never all-pairs. */
-  def ivfTopk(spark: SparkSession, dir: String, k: Int, nprobe: Int,
+  /** The IVF PROBE: `nprobe` nearest centroid lists per query, exact cosine
+    * only within them — work scales with the probed share of the index,
+    * never all-pairs. `idx` is the assigned-lists relation
+    * (vec_id, cluster, v) and `centroids` the k-row (cluster, c) table,
+    * from [[ivfAssign]] directly or read back from [[ivfIndexPath]]'s
+    * layout (parquet doubles round-trip exactly, so both sources yield
+    * identical results). */
+  def ivfProbe(idx: DataFrame, centroids: DataFrame, nprobe: Int,
       topk: Int): DataFrame = {
-    val (assigned, centroids) = ivfAssign(spark, dir, k, iters = 3)
-    val idx = assigned.localCheckpoint(true)
     val queries = idx.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = queries.crossJoin(broadcast(centroids))
@@ -303,6 +305,36 @@ object Vectors {
       .filter(col("rank") <= topk)
   }
 
+  /** Build-then-probe in one call (the test/ad-hoc path; the serving path
+    * probes the [[ivfIndexPath]] layout instead of rebuilding). */
+  def ivfTopk(spark: SparkSession, dir: String, k: Int, nprobe: Int,
+      topk: Int): DataFrame = {
+    val (assigned, centroids) = ivfAssign(spark, dir, k, iters = 3)
+    ivfProbe(assigned.localCheckpoint(true), centroids, nprobe, topk)
+  }
+
+  /** Once-per-session materialization of the IVF index as a parquet LAYOUT
+    * — assigned lists clustered by `cluster` (range-partitioned + sorted,
+    * so a probe's list join row-group-skips) and the k-row centroid table.
+    * An ANN index IS an ETL artifact: built once per corpus version,
+    * served by every query after — the same session-scoped-materialization
+    * class as the sharded store (q28) and bucketed tables (q31). */
+  private val ivfIndex =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+
+  def ivfIndexPath(spark: SparkSession, dir: String, k: Int,
+      iters: Int = 3): String =
+    ivfIndex.computeIfAbsent((dir, k, iters), { _ =>
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_ivf_${k}_$iters" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (assigned, centroids) = ivfAssign(spark, dir, k, iters)
+      assigned.repartitionByRange(col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite").parquet(s"$out/lists")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      out
+    })
+
   // --- Q66: the IVF top-k QUERY form, oracle-gated --------------------------
 
   /** q66 gate config: 8 coarse lists, probe the 2 nearest, top-5 neighbors.
@@ -312,7 +344,10 @@ object Vectors {
   val IvfGateNprobe = 2
   val IvfGateTopK = 5
 
-  /** Q66: [[ivfTopk]] as a gate query. Every stage is deterministic —
+  /** Q66: the IVF probe over the materialized [[ivfIndexPath]] layout as a
+    * gate query (the index build is session-scoped ETL, like q28's reshard
+    * and q31's bucketed tables; PipelineSpec asserts the disk-index probe
+    * ≡ the in-memory build-then-probe). Every stage is deterministic —
     * seeds are the k lowest vec_ids, assignment/probe argmaxes tie-break on
     * cluster id, final ranking on (rounded cos_sim, neighbor_id) — so the
     * approximate-ANN *query shape* still has an EXACT oracle: DuckDB
@@ -323,9 +358,12 @@ object Vectors {
     * vectors with the same sequential-fold dot product both engines share
     * (q21 precedent), so a last-ulp mean difference cannot leak into the
     * hashed values — only into an (improbable) exact argmax tie. */
-  def q66IvfTopk(spark: SparkSession, dir: String): DataFrame =
-    ivfTopk(spark, dir, IvfGateK, IvfGateNprobe, IvfGateTopK)
+  def q66IvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val p = ivfIndexPath(spark, dir, IvfGateK)
+    ivfProbe(spark.read.parquet(s"$p/lists"),
+        spark.read.parquet(s"$p/centroids"), IvfGateNprobe, IvfGateTopK)
       .orderBy("query_id", "rank")
+  }
 
   /** One k-means assignment step as DuckDB SQL: each vector in `src` to its
     * max-sim centroid in `cents`, ties to the HIGHER cluster id (the twin of

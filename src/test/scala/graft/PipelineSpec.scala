@@ -370,6 +370,21 @@ class PipelineSpec extends AnyFunSuite {
     info(s"IVF recall of brute-force top-10: ${shared.length}/${bf.size}")
   }
 
+  test("IVF disk-index probe returns exactly the in-memory build-then-probe " +
+    "result (parquet doubles round-trip bit-exactly)") {
+    val p = Vectors.ivfIndexPath(spark, sf, Vectors.IvfGateK)
+    val fromDisk = Vectors.ivfProbe(
+        spark.read.parquet(s"$p/lists"), spark.read.parquet(s"$p/centroids"),
+        Vectors.IvfGateNprobe, Vectors.IvfGateTopK)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val inMem = Vectors.ivfTopk(spark, sf, Vectors.IvfGateK,
+        Vectors.IvfGateNprobe, Vectors.IvfGateTopK)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(fromDisk.nonEmpty && fromDisk.sameElements(inMem))
+  }
+
   test("minhash candidates catch every very-near-duplicate pair") {
     // jaccard >= 0.9 pairs have band-collision probability ~1-(1-0.9^2)^4
     // ≈ 0.9987; the driver's planted dups are ~0.97+, so all must be found.
