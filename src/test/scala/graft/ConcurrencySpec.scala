@@ -27,7 +27,10 @@ class ConcurrencySpec extends AnyFunSuite {
     // round-7 closing ops: the injected bloom functions (q61), ccStar's
     // per-round localCheckpoints (q60), and the broadcast totals (q64)
     "q60_neardup_clusters", "q61_bloom_dedup", "q62_source_report",
-    "q63_clf_score", "q64_mix_plan")
+    "q63_clf_score", "q64_mix_plan",
+    // round-8: the memoized IVF index layout (concurrent first probes must
+    // block on ONE build) and the once-per-session streaming-replay store
+    "q66_ivf_topk", "q67_stream_merge")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
