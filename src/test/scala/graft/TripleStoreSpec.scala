@@ -306,6 +306,23 @@ class TripleStoreSpec extends AnyFunSuite {
       "<q>").count() == boundarySubjects.length / 2)
   }
 
+  test("writeZOrdered degenerate dimensions: a constant subject (one " +
+    "post-distinct boundary) and a single-row input both round-trip") {
+    val one = Seq(("<s>", "<p>", "v", 1L))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    val constSubj = (1 to 50).map(i => ("<same>", s"<p$i>", s"v$i", i.toLong))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    val base = Files.createTempDirectory("graft_zdegen")
+    TripleStore.writeZOrdered(one, base.resolve("one").toString, numShards = 2)
+    TripleStore.writeZOrdered(constSubj, base.resolve("c").toString,
+      numShards = 4)
+    assert(spark.read.parquet(base.resolve("one").toString).count() == 1)
+    val back = spark.read.parquet(base.resolve("c").toString)
+    assert(back.count() == 50)
+    assert(back.select("predicate").as[String].collect().toSet ==
+      (1 to 50).map(i => s"<p$i>").toSet)
+  }
+
   test("non-ASCII boundary: shardPredicate membership at <₩uNo> matches " +
     "code-point semantics") {
     val df = boundarySubjects.zipWithIndex.map { case (s, i) =>
