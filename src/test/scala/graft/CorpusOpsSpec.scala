@@ -320,6 +320,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q61 constructs lazily (no driver job beyond the file-source " +
+    "metadata read every query pays) and ships the bloom as a scalar " +
+    "subquery, not a plan literal") {
+    // r7/r8 weak mark: construction used to head() the bloom aggregate and
+    // embed 128 KB of filter bytes as a literal in every plan string/task.
+    // Control = q52, the bloom-free twin with the identical input shape:
+    // any job it triggers at construction (parquet schema inference) is
+    // file-source overhead, not eagerness.
+    def jobsDuring(body: => String): (Seq[String], String) = {
+      val names = new scala.collection.mutable.ArrayBuffer[String]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          names.synchronized { names ++= j.stageInfos.map(_.name) }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { val out = body; Thread.sleep(500); (names.toSeq, out) }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    val (controlJobs, _) = jobsDuring {
+      val q = Docs.q52IncrementalDedup(spark, sf)
+      q.queryExecution.executedPlan.toString
+    }
+    val (q61Jobs, plans) = jobsDuring {
+      val q = Docs.q61BloomDedup(spark, sf)
+      q.queryExecution.analyzed.toString + q.queryExecution.executedPlan.toString
+    }
+    assert(q61Jobs.size <= controlJobs.size,
+      s"q61 construction ran extra jobs vs the bloom-free control:\n" +
+        s"q61=$q61Jobs\ncontrol=$controlJobs")
+    assert(!q61Jobs.exists(_.contains("head at")),
+      s"q61 construction still collects on the driver: $q61Jobs")
+    assert(plans.toLowerCase.contains("subquery"),
+      "bloom filter must travel as a scalar subquery")
+    // no multi-KB token anywhere in the plan (the old binary literal
+    // rendered as one giant hex/base64 run)
+    assert(plans.split("\\s+").forall(_.length < 4096),
+      "plan contains a huge literal token — bloom bytes leaked into the plan")
+  }
+
   test("q65 per-doc risk: every paired doc appears once with its true " +
     "max-jaccard partner (min id on ties)") {
     val pairs = Docs.q19MinhashPairs(spark, sf).collect()
