@@ -162,9 +162,14 @@ object TripleStore {
     def bounds(c: String): Seq[String] = {
       val target = (n + 1) * 20L
       val frac = math.min(1.0, target.toDouble / math.max(rows, 1L))
+      // sort in CODE-POINT order — the order RangeBucket buckets in — not
+      // JVM String's UTF-16 code-unit order, so supplementary-plane strings
+      // get their quantile cut points picked under the same order they are
+      // applied (equal-frequency buckets stay equal-frequency)
       val s = df.select(col(c).cast(StringType)).na.drop()
         .sample(withReplacement = false, frac, sampleSeed)
-        .collect().map(_.getString(0)).sorted
+        .collect().map(_.getString(0))
+        .sorted(graft.plans.RangeBucket.codePointOrdering)
       if (s.isEmpty) Seq.empty
       else (1 to n).map(i => s(((i.toLong * s.length) / (n + 1)).toInt)).distinct
     }

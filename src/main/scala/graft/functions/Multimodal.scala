@@ -47,13 +47,24 @@ object Multimodal {
     * doc id is the trailing digit run of the file's base name
     * (`<id>.<ext>` — the layout [[mediaTable]]'s docstring promises), the
     * format is the extension, and `n_bytes` comes from the source's
-    * `length` column, NOT from re-measuring the payload. */
+    * `length` column, NOT from re-measuring the payload.
+    *
+    * A file that does not conform (no trailing digit run before the
+    * extension) FAILS LOUDLY with its full path — the FAILFAST policy the
+    * JSONL source uses — rather than surfacing later as an opaque
+    * "null in non-nullable field" encoder error. Note the id is the BASE
+    * name only: same-named files in different subdirectories collide on
+    * `doc_id`, so point recursive loads at layouts where the digit run is
+    * globally unique. */
   def mediaFromFiles(spark: SparkSession, path: String): Dataset[MediaRow] = {
     import spark.implicits._
+    val idStr = regexp_extract(col("path"), "([0-9]+)[.][^./]*$", 1)
     spark.read.format("binaryFile").load(path)
       .select(
-        regexp_extract(col("path"), "([0-9]+)[.][^./]*$", 1)
-          .cast(LongType).as("doc_id"),
+        when(idStr === "", raise_error(concat(
+            lit("mediaFromFiles: file name has no trailing <id>.<ext> " +
+              "digit run: "), col("path"))))
+          .otherwise(idStr.cast(LongType)).as("doc_id"),
         col("content").as("media"),
         regexp_extract(col("path"), "[.]([^./]+)$", 1).as("format"),
         col("length").as("n_bytes"))

@@ -1118,10 +1118,15 @@ object Docs {
     * the report. Property-tested against the exact report in CorpusOpsSpec
     * (all non-sketch columns identical, dup counts within the sketch's
     * rsd) rather than oracle-gated — an estimate has no SQL-exact twin by
-    * construction, the same policy as q41's percentile sketch twins. */
+    * construction, the same policy as q41's percentile sketch twins.
+    * The sketch can OVERestimate distinct hashes, which would push
+    * `n_dup_docs` negative — an impossibility the exact report's consumers
+    * rely on — so the estimate is clamped to the non-null count, making
+    * `n_dup_docs = max(0, count - approx_distinct)`. */
   def q62SourceReportApprox(spark: SparkSession, dir: String,
       rsd: Double = 0.05): DataFrame =
-    sourceReport(spark, dir, approx_count_distinct(col("content_hash"), rsd))
+    sourceReport(spark, dir, least(count(col("content_hash")),
+      approx_count_distinct(col("content_hash"), rsd)))
 
   /** Shared q62 aggregation; `distinctHashes` is the one term the exact and
     * sketch variants disagree on (count of distinct non-null content

@@ -492,5 +492,15 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(math.abs(a._3 - e._3) <= tol,
         s"$src: approx dup ${a._3} vs exact ${e._3} beyond tol $tol")
     }
+    // the sketch may OVERestimate distinct hashes; the clamp keeps the
+    // exact report's n_dup_docs >= 0 invariant at every precision,
+    // including the sloppiest HLL++ admits (p >= 4 caps rsd just over
+    // 0.25), where overestimates are most likely
+    Seq(0.05, 0.15, 0.25).foreach { r =>
+      Docs.q62SourceReportApprox(spark, sf, r).collect().foreach { row =>
+        assert(row.getLong(3) >= 0L,
+          s"rsd=$r source=${row.get(0)}: negative n_dup_docs ${row.getLong(3)}")
+      }
+    }
   }
 }

@@ -583,6 +583,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: a non-conforming file name fails loudly with its path, " +
+    "not as an opaque null-encoder error downstream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_bad")
+    java.nio.file.Files.write(dir.resolve("7.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("README.txt"), "oops".getBytes)
+    val ex = intercept[Exception] {
+      Multimodal.mediaFromFiles(spark, dir.toString).collect()
+    }
+    // Spark wraps the raise_error in a SparkRuntimeException chain; the
+    // descriptive message with the offending path must survive it
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    val all = messages(ex).mkString("\n")
+    assert(all.contains("mediaFromFiles") && all.contains("README.txt"),
+      s"expected a descriptive failure naming the file, got:\n$all")
+  }
+
   test("multimodal: typed batch feature extraction is deterministic with " +
     "fixed width and normalized histogram") {
     val media = Multimodal.mediaTable(spark, sf)
