@@ -209,6 +209,9 @@ object SparkEntry {
     // micro-batched LWW merge into a seeded store) — same relation, and
     // oracle, as q3; the gate row that actually executes a streaming query.
     "q67_stream_merge" -> (graft.streaming.StreamingGate.q67StreamMerge(_, _)),
+    // LSH-bucketed ANN top-k — the query form of q22's bucketing, the LSH
+    // sibling of q66's IVF probe (deterministic planes, exact oracle).
+    "q68_lsh_topk" -> (Vectors.q68LshTopk(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -339,5 +342,6 @@ object SparkEntry {
     "q65_neardup_risk"     -> Docs.q65Sql,
     "q66_ivf_topk"         -> Vectors.q66Sql,
     "q67_stream_merge"     -> MergeOracleSql,
+    "q68_lsh_topk"         -> Vectors.q68Sql,
   )
 }

@@ -543,6 +543,64 @@ object Vectors {
     } finally { e.unpersist(); () }
   }
 
+  // --- Q68: the LSH top-k QUERY form, oracle-gated --------------------------
+
+  /** Q68: [[lshTopk]]'s query shape as a gate query — the LSH sibling of
+    * q66's IVF probe, closing the last ANN form without a CORRECTNESS row.
+    * Queries follow the q21/q66 convention (`vec_id < NumQueries`), compare
+    * only within the query's [[lshBucket]] (the SAME 8-sign-bit definition
+    * the q22 census and q38 pairs gate), rank by (rounded cos_sim,
+    * neighbor_id). Everything is deterministic — md5-derived planes, shared
+    * sequential-fold dot, explicit tie-breaks — so the approximate-ANN
+    * query shape still has an EXACT oracle ([[q68Sql]]), q66 precedent.
+    * A query whose bucket holds fewer than [[TopK]] neighbors returns
+    * fewer rows (approximation by construction, priced by PipelineSpec's
+    * recall measurement vs q21); zero-norm vectors are excluded from both
+    * sides, q21 precedent.
+    *
+    * Scale shape: the query side is tiny by construction and BROADCAST, so
+    * the corpus never shuffles — the probe is one map-side bucket-equality
+    * join + a window over n_queries·bucket_size rows. The full-corpus
+    * variant (every vector queries) is [[lshTopk]]: same bucket definition,
+    * same ranking, self-join instead of broadcast. */
+  def q68LshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = lshProjected(table(spark, dir, "embeddings"))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("bucket").as("qb"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.join(broadcast(q),
+        col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val q68Sql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketBitsSql AS bucket,
+       |         CASE WHEN $hasNullElemSql THEN NULL
+       |         ELSE sqrt(list_sum(list_transform(range(len(embedding)),
+       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) END AS nrm
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |           round(list_sum(list_transform(range(len(q.embedding)),
+       |               i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+       |             / (q.nrm * e.nrm), 4) AS cos_sim
+       |    FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries AND q.nrm > 0 AND e.nrm > 0))
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   // --- Q58: int8 symmetric quantization -------------------------------------
 
   /** Per-vector symmetric int8 quantization — the 4× storage/bandwidth

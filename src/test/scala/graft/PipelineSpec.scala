@@ -347,6 +347,24 @@ class PipelineSpec extends AnyFunSuite {
       s"${shared.length}/${lsh.count(_._1 < 5).max(1)}")
   }
 
+  test("q68 gate form equals the full-corpus lshTopk restricted to the " +
+    "query ids, and broadcasts the query side (the corpus never shuffles " +
+    "into the probe join)") {
+    val gate = Vectors.q68LshTopk(spark, sf)
+    def keyed(rows: Array[(Long, Long, Double, Long)]) =
+      rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val g = keyed(gate.select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Long)].collect())
+    val full = keyed(Vectors.lshTopk(spark, sf, 10)
+      .filter(col("query_id") < 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Long)].collect())
+    assert(g == full, "gate form diverged from the library lshTopk")
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("IVF: every vector lands in exactly one cluster; probed top-k " +
     "overlaps brute force with matching scores") {
     val (assigned, centroids) = Vectors.ivfAssign(spark, sf, k = 16, iters = 2)
