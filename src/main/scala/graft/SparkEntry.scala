@@ -77,7 +77,11 @@ object SparkEntry {
     "q18_exact_dedup"    -> (Docs.q18ExactDedup(_, _)),
     "q19_minhash_neardup" -> (Docs.q19MinhashPairs(_, _)),
     "q20_simhash"        -> (Docs.q20Simhash(_, _)),
-    "q21_embed_topk"     -> (Vectors.q21TopkCosine(_, _)),
+    // NOTE r9 trim: q21_embed_topk (brute-force cosine top-k) was retired
+    // from the gate once BOTH approximate ANN query forms carry their own
+    // oracles (q66 IVF, q68 LSH) — its scoring kernel is the shared `dot`
+    // those gates exercise, and q21TopkCosine stays the recall baseline in
+    // PipelineSpec (r8's q1_subject_scan trim is the template).
     "q22_embed_lsh"      -> (Vectors.q22LshBuckets(_, _)),
     "q23_multimodal_meta" -> (Multimodal.q23MultimodalMeta(_, _)),
     "q24_simhash_neardup" -> (Docs.q24SimhashNeardup(_, _)),
@@ -212,6 +216,18 @@ object SparkEntry {
     // LSH-bucketed ANN top-k — the query form of q22's bucketing, the LSH
     // sibling of q66's IVF probe (deterministic planes, exact oracle).
     "q68_lsh_topk" -> (Vectors.q68LshTopk(_, _)),
+    // O1's predicate-dimension twin served from the z-ordered 2-D layout
+    // (writeZOrdered): the probe shape the subject-sharded layout cannot
+    // prune — both-dimension file skipping is asserted in TripleStoreSpec;
+    // this row makes the driver gate actually read through the layout.
+    "q69_zorder_probe" -> ((s, dir) =>
+      TripleStore.searchZOrdered(s, dir, predicate = Some("<inRegion>"))
+        .orderBy("subject", "object")),
+    // The exact-dedup pillar through a REAL readStream (JSONL crawl files →
+    // micro-batched (min, sum) merges into a persistent dedup store) —
+    // same relation, and oracle, as q18; the streaming gate row for dedup.
+    "q70_stream_dedup" ->
+      (graft.streaming.StreamingGate.q70StreamDedup(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -283,7 +299,6 @@ object SparkEntry {
     "q18_exact_dedup"     -> Docs.q18Sql,
     "q19_minhash_neardup" -> Docs.q19Sql,
     "q20_simhash"         -> Docs.q20Sql,
-    "q21_embed_topk"      -> Vectors.q21Sql,
     "q22_embed_lsh"       -> Vectors.q22Sql,
     "q23_multimodal_meta" -> Multimodal.q23Sql,
     "q24_simhash_neardup" -> Docs.q24Sql,
@@ -343,5 +358,10 @@ object SparkEntry {
     "q66_ivf_topk"         -> Vectors.q66Sql,
     "q67_stream_merge"     -> MergeOracleSql,
     "q68_lsh_topk"         -> Vectors.q68Sql,
+    "q69_zorder_probe" ->
+      s"""WITH ${TripleStore.TriplesCte}
+         |SELECT subject, predicate, object, ts_ms FROM triples
+         |WHERE predicate = '<inRegion>' ORDER BY subject, object""".stripMargin,
+    "q70_stream_dedup"     -> Docs.q18Sql,
   )
 }

@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Ingest-time exact deduplication — the streaming twin of the batch
   * content-hash dedup ([[graft.operators.Docs.q18ExactDedup]]). A 100 TB
@@ -45,4 +49,85 @@ object StreamingDedup {
       .withColumn("content_hash", sha2(col("text"), 256))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming crawl → persistent DEDUP STORE: each micro-batch aggregates
+    * to (content_hash → min doc_id, copy count) and merges into a parquet
+    * store with (min, sum) — the streaming twin of the batch q18 relation
+    * and the ingest form of q52's daily-crawl increment. Both merge
+    * operators are associative AND commutative, so the final store is
+    * independent of how the crawl was chopped into batches or which order
+    * they arrived: store ≡ [[graft.operators.Docs.q18ExactDedup]] over the
+    * union of everything ingested (the equivalence StreamingDedupSpec pins
+    * and gate q70 proves against q18's oracle).
+    *
+    * Unlike [[firstSeen]] this keeps NO streaming state — the store IS the
+    * state, so nothing is watermark-evicted and copies arbitrarily far
+    * apart still merge (the bound firstSeen's docstring concedes does not
+    * apply here). The cost is a store rewrite per batch; at 100 TB the
+    * refinement is [[StreamingLww.mergeIntoStorePartitioned]]'s shape —
+    * hash-range-partition the store (q52's bucketed layout) and rewrite
+    * only touched shards.
+    *
+    * The swap protocol is [[StreamingLww.mergeIntoStore]]'s
+    * write-new-then-move with the same crash recovery. One extra guard the
+    * LWW sink does not need: `sum(n_copies)` is NOT idempotent (LWW's
+    * strict-`>` merge is), so the store carries an `_applied_upto` marker
+    * (underscore-prefixed: invisible to the parquet reader) recording the
+    * last merged batch id, swapped atomically WITH the data — a checkpoint
+    * replay of an already-applied batch is a no-op instead of a double
+    * count. */
+  def mergeIntoDedupStore(docs: DataFrame, storePath: String,
+      checkpointPath: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDedupBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** One micro-batch's merge, exposed for direct replay testing. */
+  private[graft] def applyDedupBatch(batch: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val basePath = Paths.get(storePath)
+    val old = storePath + ".old"
+    val tmp = storePath + ".next"
+    // crash recovery: a previous batch may have died mid-swap — restore,
+    // then clear stale staging dirs (StreamingLww.mergeIntoStore protocol)
+    if (!Files.exists(basePath) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), basePath)
+    StreamingLww.deleteRecursively(new java.io.File(tmp))
+    StreamingLww.deleteRecursively(new java.io.File(old))
+    val markerFile = basePath.resolve("_applied_upto")
+    val applied =
+      if (Files.exists(markerFile))
+        new String(Files.readAllBytes(markerFile),
+          StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    if (batchId <= applied) () // checkpoint replay of an applied batch
+    else {
+      val agg = batch
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("rep_doc_id"),
+          count(lit(1)).as("n_copies"))
+      val merged =
+        if (Files.exists(basePath))
+          spark.read.parquet(storePath).unionByName(agg)
+            .groupBy("content_hash")
+            .agg(min(col("rep_doc_id")).as("rep_doc_id"),
+              sum(col("n_copies")).as("n_copies"))
+        else agg
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      Files.write(Paths.get(tmp).resolve("_applied_upto"),
+        batchId.toString.getBytes(StandardCharsets.UTF_8))
+      if (Files.exists(basePath)) Files.move(basePath, Paths.get(old))
+      Files.move(Paths.get(tmp), basePath)
+      StreamingLww.deleteRecursively(new java.io.File(old))
+      ()
+    }
+  }
 }

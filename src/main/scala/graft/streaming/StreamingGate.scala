@@ -56,4 +56,41 @@ object StreamingGate {
     })
     spark.read.parquet(store).orderBy("subject", "predicate")
   }
+
+  private val ranDedup =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Q70: the exact-dedup pillar driven through an ACTUAL streaming query —
+    * q67's pattern applied to [[StreamingDedup.mergeIntoDedupStore]]. The
+    * documents table is exported as JSONL (doc_id, text), split into
+    * [[NumBatches]] files, and replayed through `readStream`
+    * (`maxFilesPerTrigger=1`, so the dedup-store merge really runs
+    * incrementally); the final store is compared against q18's oracle —
+    * valid for ANY chopping/arrival order because the store merge is
+    * (min, sum): associative and commutative (StreamingDedupSpec pins the
+    * equivalence in-process, including checkpoint-replay no-ops).
+    * Memoized per sf dir, like q67. */
+  def q70StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val store = ranDedup.computeIfAbsent(dir, { _ =>
+      val base = Files.createTempDirectory("graft_stream_dedup").toString
+      val src = s"$base/in"
+      val storePath = s"$base/store"
+      val ckpt = s"$base/ckpt"
+      TripleStore.table(spark, dir, "documents")
+        .select("doc_id", "text")
+        .repartition(NumBatches)
+        .write.json(src)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .option("mode", "FAILFAST")
+        .json(src)
+      val q = StreamingDedup.mergeIntoDedupStore(stream, storePath, ckpt)
+      q.awaitTermination()
+      assert(Files.exists(Paths.get(storePath)),
+        "streaming dedup left no store")
+      storePath
+    })
+    spark.read.parquet(store).orderBy("content_hash")
+  }
 }

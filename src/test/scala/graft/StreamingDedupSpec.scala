@@ -86,4 +86,42 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed === Set(0L, 1L, 3L))
   }
+
+  test("dedup store: micro-batched (min, sum) merges over a real " +
+    "readStream equal batch q18 exactly, regardless of chopping; " +
+    "replaying an applied batch is a no-op") {
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.streaming.StreamingGate.q70StreamDedup(spark, sf)
+      .select("content_hash", "rep_doc_id", "n_copies")
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = graft.operators.Docs.q18ExactDedup(spark, sf)
+      .select("content_hash", "rep_doc_id", "n_copies")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gate == batch,
+      "streamed dedup store diverged from the batch q18 relation")
+
+    // replay guard: applying the highest-seen batch id again must not
+    // double n_copies (sum is not idempotent; the _applied_upto marker is
+    // what makes the checkpoint replay safe)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_replay").toString + "/store"
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamingDedup.applyDedupBatch(docs, store, batchId = 0L)
+    val once = spark.read.parquet(store)
+      .select("content_hash", "rep_doc_id", "n_copies")
+      .as[(String, Long, Long)].collect().toSet
+    graft.streaming.StreamingDedup.applyDedupBatch(docs, store, batchId = 0L)
+    val twice = spark.read.parquet(store)
+      .select("content_hash", "rep_doc_id", "n_copies")
+      .as[(String, Long, Long)].collect().toSet
+    assert(once == twice, "replay of an applied batch changed the store")
+    assert(once.map(_._3).sum == 3L, s"copy counts wrong: $once")
+    // and a genuinely NEW batch still merges
+    graft.streaming.StreamingDedup.applyDedupBatch(
+      Seq((9L, "same")).toDF("doc_id", "text"), store, batchId = 1L)
+    val after = spark.read.parquet(store)
+      .as[(String, Long, Long)].collect().toSet
+    assert(after.map(_._3).sum == 4L, s"new batch failed to merge: $after")
+  }
 }
