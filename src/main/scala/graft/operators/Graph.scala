@@ -103,26 +103,13 @@ object Graph {
     ranks
   }
 
-  /** Connected components by iterative min-label propagation over the
-    * undirected edge set: each node's label converges to the smallest node
-    * id in its component.
-    *
-    * Scale notes: every iteration is one shuffle (groupBy node) after a
-    * union of both edge directions; `localCheckpoint` truncates the lineage
-    * so the plan doesn't grow with iterations (on a cluster, prefer
-    * `sparkContext.setCheckpointDir` + `checkpoint(eager=true)`). Iterations
-    * are bounded by the graph diameter — for this store's
-    * order→cust→nation→region chains, ≤ 4. For power-law graphs whose hubs
-    * would funnel huge fan-in through single reducer keys every round, use
-    * [[ccStar]] (equivalent labels, GraphSpec-asserted).
-    */
   /** DuckDB oracle for q33: connected components WITHOUT iteration. The
     * derived entity graph is a forest of region-rooted DAGs
     * (order→cust→nation→region, diameter ≤ 3), so each node's component is
     * identified by the region it reaches within 3 hops, and its label is
     * the component's minimum node id. This is deliberately a DIFFERENT
-    * algorithm than [[ccStar]]/[[connectedComponents]] — an independent
-    * derivation the driver can run in plain SQL. */
+    * algorithm than [[ccStar]] — an independent derivation the driver can
+    * run in plain SQL. */
   val q33Sql: String =
     s"""WITH ${TripleStore.TriplesCte},
        |e AS (SELECT subject AS src, object AS dst FROM triples
@@ -148,8 +135,11 @@ object Graph {
 
   /** Connected components via alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) — the power-law-safe alternative named in
-    * [[connectedComponents]]'s scale notes.
+    * SoCC'14) — the power-law-safe form of min-label propagation, and the
+    * repo's ONE connected-components implementation (the naive propagation
+    * loop was deleted in r9 once this was label-equivalent, convergence-
+    * safe, and gated; GraphSpec now checks labels against an in-test
+    * union-find instead).
     *
     * Why it matters at 100 TB: min-label propagation funnels EVERY
     * neighbor's label through a single `groupBy(node)` key per round, so a
@@ -167,9 +157,8 @@ object Graph {
     * total order works.
     *
     * Converges when the edge set reaches a fixed point (all stars): every
-    * remaining edge is `(node, component_min)`. Output schema matches
-    * [[connectedComponents]]: `(node, label)` including isolated
-    * self-loop-only nodes. */
+    * remaining edge is `(node, component_min)`. Output: `(node, label)`
+    * including isolated self-loop-only nodes. */
   def ccStar(edgeDf: DataFrame, maxIter: Int = 20): DataFrame = {
     // one materialization of the input: the edge list feeds canon here AND
     // both sides of the closing node-domain union — without this the source
@@ -253,34 +242,5 @@ object Graph {
         Seq("node"), "left_outer")
       .groupBy("node")
       .agg(min(coalesce(col("label"), col("node"))).as("label"))
-  }
-
-  def connectedComponents(edgeDf: DataFrame, maxIter: Int = 10): DataFrame = {
-    val und = edgeDf.select(col("src"), col("dst"))
-      .union(edgeDf.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // candidate label per node: min of own label and neighbors' labels.
-      // The node's own row carries its previous label, so min(old_label)
-      // folds the convergence signal into the SAME aggregate — no extra
-      // join against the previous iteration. `old_label` is null on
-      // neighbor-contributed rows and min() ignores nulls, so it surfaces
-      // exactly the node's previous label.
-      val next = und.join(labels, und("dst") === labels("node"))
-        .select(und("src").as("node"), col("label"), lit(null).cast("string").as("old_label"))
-        .union(labels.select(col("node"), col("label"), col("label").as("old_label")))
-        .groupBy("node")
-        .agg(min(col("label")).as("label"), min(col("old_label")).as("old_label"))
-        .localCheckpoint(true)
-      // cheap scan of the already-materialized checkpoint — not a join job
-      changed = next.filter(col("label") =!= col("old_label")).count()
-      labels = next.select("node", "label")
-      iter += 1
-    }
-    labels
   }
 }

@@ -10,13 +10,31 @@ class GraphSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("connectedComponents: two known components converge to min labels") {
+  /** Test-only oracle replacing the deleted min-label propagation loop
+    * (r9 consolidation: ccStar is the one CC implementation in main):
+    * component-minimum labels via in-memory union-find, roots kept at the
+    * component min so find(x) IS x's label. */
+  private def unionFindLabels(
+      edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (s, d) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs < rd) parent(rd) = rs else if (rd < rs) parent(rs) = rd
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("ccStar: two known components converge to min labels") {
     // component 1: a-b-c (chain); component 2: x-y; isolated edge z->z
     val edges = Seq(
       ("<a>", "<b>"), ("<b>", "<c>"),
       ("<x>", "<y>"),
       ("<z>", "<z>")).toDF("src", "dst")
-    val got = Graph.connectedComponents(edges)
+    val got = Graph.ccStar(edges)
       .as[(String, String)].collect().toMap
     assert(got == Map(
       "<a>" -> "<a>", "<b>" -> "<a>", "<c>" -> "<a>",
@@ -53,11 +71,12 @@ class GraphSpec extends AnyFunSuite {
       s"region floor $minRegion vs order ceiling $maxOrder")
   }
 
-  test("ccStar == min-label propagation on the store graph") {
+  test("ccStar == union-find component minima on the store graph") {
     val e = Graph.edges(spark, "/root/testdata/sf0.001")
     val star = Graph.ccStar(e).as[(String, String)].collect().toMap
-    val prop = Graph.connectedComponents(e).as[(String, String)].collect().toMap
-    assert(star == prop)
+    val uf = unionFindLabels(
+      e.select("src", "dst").as[(String, String)].collect().toSeq)
+    assert(star == uf)
   }
 
   test("ccStar: skewed hub plus chain — labels match min-label propagation " +
@@ -69,11 +88,10 @@ class GraphSpec extends AnyFunSuite {
     val chain = (1 until 30).map(i => (f"<chain_$i%02d>", f"<chain_${i + 1}%02d>"))
     val bridge = Seq(("<leaf_0001>", "<chain_01>"))
     val rest = Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
-    val edges = (hub ++ chain ++ bridge ++ rest).toDF("src", "dst")
+    val edgeSeq = hub ++ chain ++ bridge ++ rest
+    val edges = edgeSeq.toDF("src", "dst")
     val star = Graph.ccStar(edges).as[(String, String)].collect().toMap
-    val prop = Graph.connectedComponents(edges, maxIter = 64)
-      .as[(String, String)].collect().toMap
-    assert(star == prop)
+    assert(star == unionFindLabels(edgeSeq))
     // the big component's min is <chain_01>; every hub/leaf/chain node joins
     assert(star("<hub>") == "<chain_01>")
     assert(star("<leaf_2000>") == "<chain_01>")
@@ -130,10 +148,9 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("connectedComponents on the store: every order reaches its region's " +
-    "component") {
+  test("ccStar on the store: every order reaches its region's component") {
     val e = Graph.edges(spark, "/root/testdata/sf0.001")
-    val cc = Graph.connectedComponents(e)
+    val cc = Graph.ccStar(e)
     // order -> cust -> nation -> region chains: component count equals the
     // number of distinct regions (every region label is a component root),
     // and every label is a region-or-smaller minimum, i.e. starts with '<'.
