@@ -231,29 +231,41 @@ object Vectors {
     * At 100 TB the centroid table is broadcast-sized by construction and
     * the only shuffle is the per-vector `max_by` groupBy — the index build
     * is linear per iteration. */
-  def ivfAssign(spark: SparkSession, dir: String, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    val e = table(spark, dir, "embeddings")
+  /** Sphere-normalized `(vec_id, v)` projection of a `(vec_id, embedding)`
+    * frame. A zero vector cannot be sphere-normalized (ANSI: the division
+    * would be a DIVIDE_BY_ZERO crash, not NaN) and has no direction to
+    * cluster — same exclusion as every other scoring path; a null element
+    * nulls the fold and drops the same way. */
+  private def sphereNormalized(vectors: DataFrame): DataFrame =
+    vectors
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // a zero vector cannot be sphere-normalized (ANSI: the division
-      // would be a DIVIDE_BY_ZERO crash, not NaN) and has no direction to
-      // cluster — same exclusion as every other scoring path
       .filter(expr(
         "aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") > 0)
       .select(col("vec_id"), expr(
         "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
         .as("v"))
+
+  /** One FROZEN-centroid assignment step over already-normalized vectors:
+    * broadcast crossJoin with the k-row centroid table + `max_by` per
+    * vector, ties to the higher cluster id. The shared kernel of
+    * [[ivfAssign]]'s iterations and [[ivfAssignBatch]]'s incremental
+    * maintenance — one definition so the two paths cannot drift. */
+  private def assignStep(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        expr("aggregate(zip_with(v, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+          .as("sim"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cluster"), struct(col("sim"), col("cluster"))).as("cluster"),
+        first(col("v")).as("v"))
+
+  def ivfAssign(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val e = sphereNormalized(table(spark, dir, "embeddings"))
     var centroids = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cluster"),
-          expr("aggregate(zip_with(v, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-            .as("sim"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cluster"), struct(col("sim"), col("cluster"))).as("cluster"),
-          first(col("v")).as("v"))
+    def assign(cents: DataFrame): DataFrame = assignStep(e, cents)
     for (_ <- 1 to iters) {
       val means = assign(centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -334,6 +346,39 @@ object Vectors {
       centroids.write.mode("overwrite").parquet(s"$out/centroids")
       out
     })
+
+  /** Incremental IVF maintenance, step 1: assign a NEW batch of vectors
+    * into an EXISTING (frozen) centroid table — one broadcast crossJoin +
+    * `max_by`, no k-means rerun. Because assignment is per-vector given
+    * frozen centroids, the batch-assigned lists are IDENTICAL to what a
+    * full rebuild over corpus ∪ batch would assign with the same centroids
+    * (PipelineSpec asserts this) — the ANN twin of q52's daily-crawl
+    * increment: the expensive artifact (centroids) is reused, the cheap
+    * map-side step (assignment) runs on just the new data.
+    *
+    * What this does NOT do: move centroids. A drifting corpus degrades
+    * list balance over time; the production cadence is incremental appends
+    * per crawl batch + a periodic full [[ivfAssign]] rebuild (the same
+    * compaction rhythm as q52's dedup store), with list-size skew deciding
+    * when. */
+  def ivfAssignBatch(batch: DataFrame, centroids: DataFrame): DataFrame =
+    assignStep(sphereNormalized(batch), centroids)
+      .select("vec_id", "cluster", "v")
+
+  /** Incremental IVF maintenance, step 2: append a batch's assigned lists
+    * to the cluster-clustered [[ivfIndexPath]] layout. The appended files
+    * are themselves range-partitioned + sorted by cluster, so their
+    * parquet min/max stats keep probe-side list pruning effective — a
+    * probe reads old files ∪ new files of just its probed clusters.
+    * (Parquet append is file-level, so no existing data is rewritten;
+    * compaction back into one clustered generation is the periodic-rebuild
+    * job above.) */
+  def ivfAppendBatch(spark: SparkSession, indexPath: String,
+      batch: DataFrame): Unit =
+    ivfAssignBatch(batch, spark.read.parquet(s"$indexPath/centroids"))
+      .repartitionByRange(col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
+      .write.mode("append").parquet(s"$indexPath/lists")
 
   // --- Q66: the IVF top-k QUERY form, oracle-gated --------------------------
 

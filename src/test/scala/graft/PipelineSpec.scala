@@ -403,6 +403,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(fromDisk.nonEmpty && fromDisk.sameElements(inMem))
   }
 
+  test("incremental IVF: batch assignment into frozen centroids equals the " +
+    "full index's own assignment; the appended layout serves probes " +
+    "identically to the unsplit index") {
+    val (assignedAll, cents) = Vectors.ivfAssign(spark, sf, k = 8, iters = 3)
+    val emb = TripleStore.table(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    // frozen centroids => assignment is per-vector: the incremental path
+    // must give every batch vector exactly the list the full build chose
+    val inc = Vectors.ivfAssignBatch(batch, cents)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val full = assignedAll.filter(col("vec_id") % 10 >= 8)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(inc == full, "batch-assigned lists diverged from full rebuild")
+
+    // daily-crawl shape end to end: corpus-only layout + appended batch
+    // must serve the SAME probes as the unsplit index
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Vectors.ivfAssignBatch(corpus, cents)
+      .repartitionByRange(col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
+      .write.parquet(s"$out/lists")
+    cents.write.parquet(s"$out/centroids")
+    Vectors.ivfAppendBatch(spark, out, batch)
+    val appendedLists = spark.read.parquet(s"$out/lists")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val allLists = assignedAll
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(appendedLists == allLists,
+      "append left the layout's list membership != full index")
+    def probe(idx: org.apache.spark.sql.DataFrame,
+        cs: org.apache.spark.sql.DataFrame) =
+      Vectors.ivfProbe(idx, cs, nprobe = 2, topk = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val viaAppended = probe(spark.read.parquet(s"$out/lists"),
+      spark.read.parquet(s"$out/centroids"))
+    val viaFull = probe(assignedAll, cents)
+    assert(viaAppended.nonEmpty && viaAppended.sameElements(viaFull))
+  }
+
   test("minhash candidates catch every very-near-duplicate pair") {
     // jaccard >= 0.9 pairs have band-collision probability ~1-(1-0.9^2)^4
     // ≈ 0.9987; the driver's planted dups are ~0.97+, so all must be found.
