@@ -30,7 +30,11 @@ class ConcurrencySpec extends AnyFunSuite {
     "q63_clf_score", "q64_mix_plan",
     // round-8: the memoized IVF index layout (concurrent first probes must
     // block on ONE build) and the once-per-session streaming-replay store
-    "q66_ivf_topk", "q67_stream_merge")
+    "q66_ivf_topk", "q67_stream_merge",
+    // round-9: the broadcast-query LSH probe (q68), the memoized z-ordered
+    // layout (q69 — concurrent first probes must block on ONE ETL write),
+    // and the once-per-session streaming dedup-store replay (q70)
+    "q68_lsh_topk", "q69_zorder_probe", "q70_stream_dedup")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
