@@ -124,4 +124,34 @@ class StreamingDedupSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(after.map(_._3).sum == 4L, s"new batch failed to merge: $after")
   }
+
+  test("dedup store crash recovery: a store stranded at '.old' mid-swap is " +
+    "restored — with its replay marker — before the next batch merges") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_crash").toString + "/store"
+    graft.streaming.StreamingDedup.applyDedupBatch(
+      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text"), store, batchId = 0L)
+    // simulate dying between the two swap moves: base gone, .old present
+    java.nio.file.Files.move(java.nio.file.Paths.get(store),
+      java.nio.file.Paths.get(store + ".old"))
+    graft.streaming.StreamingDedup.applyDedupBatch(
+      Seq((3L, "a"), (4L, "b")).toDF("doc_id", "text"), store, batchId = 1L)
+    val got = spark.read.parquet(store)
+      .select("content_hash", "rep_doc_id", "n_copies")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val hash = (s: String) => java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // batch 0's counts survived the crash AND batch 1 merged on top
+    assert(got == Map(hash("a") -> (1L, 3L), hash("b") -> (4L, 1L)), got)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store + ".old")), ".old not cleaned up")
+    // the restored marker still suppresses a replay of batch 1
+    graft.streaming.StreamingDedup.applyDedupBatch(
+      Seq((5L, "a")).toDF("doc_id", "text"), store, batchId = 1L)
+    val counts = spark.read.parquet(store)
+      .select("n_copies").as[Long].collect().sum
+    assert(counts == 4L, "replay after recovery double-counted")
+  }
 }
