@@ -59,12 +59,16 @@ object Multimodal {
   def mediaFromFiles(spark: SparkSession, path: String): Dataset[MediaRow] = {
     import spark.implicits._
     val idStr = regexp_extract(col("path"), "([0-9]+)[.][^./]*$", 1)
+    // try_cast, not cast: a digit run beyond Long range must take the
+    // descriptive error below, not an ANSI CAST_OVERFLOW that names only
+    // the number and loses the offending path
+    val idNum = idStr.try_cast(LongType)
     spark.read.format("binaryFile").load(path)
       .select(
-        when(idStr === "", raise_error(concat(
+        when(idStr === "" || idNum.isNull, raise_error(concat(
             lit("mediaFromFiles: file name has no trailing <id>.<ext> " +
-              "digit run: "), col("path"))))
-          .otherwise(idStr.cast(LongType)).as("doc_id"),
+              "digit run in Long range: "), col("path"))))
+          .otherwise(idNum).as("doc_id"),
         col("content").as("media"),
         regexp_extract(col("path"), "[.]([^./]+)$", 1).as("format"),
         col("length").as("n_bytes"))

@@ -82,27 +82,6 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
-  val q21Sql: String =
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |         CASE WHEN $hasNullElemSql THEN NULL
-       |         ELSE sqrt(list_sum(list_transform(range(len(embedding)),
-       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) END AS nrm
-       |  FROM embeddings),
-       |e2 AS (SELECT * FROM e WHERE nrm > 0),
-       |cos AS (
-       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       |         round(list_sum(list_transform(range(len(q.embedding)),
-       |             i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
-       |           / (q.nrm * e.nrm), 4) AS cos_sim
-       |  FROM e2 q JOIN e2 e ON e.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $NumQueries)
-       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |            ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM cos)
-       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-
   /** One hyperplane's sign bit of the `embedding` column. */
   private def signBit(planeIdx: Int): Column = {
     val planeLit = planes(planeIdx).mkString("array(", ", ", ")")

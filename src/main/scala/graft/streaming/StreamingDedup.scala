@@ -75,7 +75,12 @@ object StreamingDedup {
     * (underscore-prefixed: invisible to the parquet reader) recording the
     * last merged batch id, swapped atomically WITH the data — a checkpoint
     * replay of an already-applied batch is a no-op instead of a double
-    * count. */
+    * count. The marker is scoped to the STREAM's identity (its checkpoint
+    * path): batch ids restart at 0 per checkpoint, so a bare id would make
+    * a NEW query attached to an existing store (the next crawl generation)
+    * silently discard its first batches as "replays" — a different stream
+    * resets the guard instead, and only a same-checkpoint redelivery is
+    * suppressed. */
   def mergeIntoDedupStore(docs: DataFrame, storePath: String,
       checkpointPath: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -84,13 +89,15 @@ object StreamingDedup {
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyDedupBatch(batch, storePath, batchId)
+        applyDedupBatch(batch, storePath, batchId, checkpointPath)
       }
       .start()
 
-  /** One micro-batch's merge, exposed for direct replay testing. */
+  /** One micro-batch's merge, exposed for direct replay testing.
+    * `streamId` is the replay-guard scope — the owning query's checkpoint
+    * path in production. */
   private[graft] def applyDedupBatch(batch: DataFrame, storePath: String,
-      batchId: Long): Unit = {
+      batchId: Long, streamId: String): Unit = {
     val spark = batch.sparkSession
     val basePath = Paths.get(storePath)
     val old = storePath + ".old"
@@ -102,12 +109,16 @@ object StreamingDedup {
     StreamingLww.deleteRecursively(new java.io.File(tmp))
     StreamingLww.deleteRecursively(new java.io.File(old))
     val markerFile = basePath.resolve("_applied_upto")
+    // marker format: "<streamId>\n<batchId>". A marker from a DIFFERENT
+    // stream never suppresses: its batch-id sequence is unrelated.
     val applied =
-      if (Files.exists(markerFile))
-        new String(Files.readAllBytes(markerFile),
-          StandardCharsets.UTF_8).trim.toLong
-      else -1L
-    if (batchId <= applied) () // checkpoint replay of an applied batch
+      if (Files.exists(markerFile)) {
+        val lines = new String(Files.readAllBytes(markerFile),
+          StandardCharsets.UTF_8).split("\n", 2)
+        if (lines.length == 2 && lines(0) == streamId) lines(1).trim.toLong
+        else -1L
+      } else -1L
+    if (batchId <= applied) () // same-stream replay of an applied batch
     else {
       val agg = batch
         .withColumn("content_hash", sha2(col("text"), 256))
@@ -123,7 +134,7 @@ object StreamingDedup {
         else agg
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       Files.write(Paths.get(tmp).resolve("_applied_upto"),
-        batchId.toString.getBytes(StandardCharsets.UTF_8))
+        s"$streamId\n$batchId".getBytes(StandardCharsets.UTF_8))
       if (Files.exists(basePath)) Files.move(basePath, Paths.get(old))
       Files.move(Paths.get(tmp), basePath)
       StreamingLww.deleteRecursively(new java.io.File(old))

@@ -29,36 +29,46 @@ object StreamingGate {
 
   private val ran =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Number of JSONL files the changelog is split into = number of
-    * micro-batches the merge replays (maxFilesPerTrigger = 1). */
-  private val NumBatches = 4
-
-  def q67StreamMerge(spark: SparkSession, dir: String): DataFrame = {
-    val store = ran.computeIfAbsent(dir, { _ =>
-      val base = Files.createTempDirectory("graft_stream_gate").toString
-      val src = s"$base/in"
-      val storePath = s"$base/store"
-      val ckpt = s"$base/ckpt"
-      // seed: the local store (q3's left side)
-      TripleStore.triples(spark, dir)
-        .write.parquet(storePath)
-      // the wire: remote changelog as JSONL files, several so the stream
-      // actually micro-batches (repartition count = batch count)
-      TripleStore.writeJsonl(
-        TripleStore.remoteChangelog(spark, dir).repartition(NumBatches), src)
-      val q = StreamingLww.mergeIntoStore(
-        StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
-        storePath, ckpt, Trigger.AvailableNow())
-      q.awaitTermination()
-      assert(Files.exists(Paths.get(storePath)), "streaming merge left no store")
-      storePath
-    })
-    spark.read.parquet(store).orderBy("subject", "predicate")
-  }
-
   private val ranDedup =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Number of wire files the batch relation is split into = number of
+    * micro-batches each replay runs (maxFilesPerTrigger = 1). */
+  private val NumBatches = 4
+
+  /** The shared once-per-JVM replay scaffold both gate rows use: stage a
+    * temp (in, store, ckpt) trio, run the export + streaming query to
+    * completion, memoize the merged store path per sf dir (computeIfAbsent:
+    * concurrent first calls block on ONE replay). Only the export and the
+    * sink vary between q67 and q70. */
+  private def replayOnce(map: java.util.concurrent.ConcurrentHashMap[String, String],
+      dir: String, prefix: String)(
+      run: (String, String, String) => Unit): String =
+    map.computeIfAbsent(dir, { _ =>
+      val base = Files.createTempDirectory(prefix).toString
+      val storePath = s"$base/store"
+      run(s"$base/in", storePath, s"$base/ckpt")
+      assert(Files.exists(Paths.get(storePath)), s"$prefix replay left no store")
+      storePath
+    })
+
+  def q67StreamMerge(spark: SparkSession, dir: String): DataFrame = {
+    val store = replayOnce(ran, dir, "graft_stream_gate") {
+      (src, storePath, ckpt) =>
+        // seed: the local store (q3's left side)
+        TripleStore.triples(spark, dir)
+          .write.parquet(storePath)
+        // the wire: remote changelog as JSONL files, several so the stream
+        // actually micro-batches (repartition count = batch count)
+        TripleStore.writeJsonl(
+          TripleStore.remoteChangelog(spark, dir).repartition(NumBatches), src)
+        StreamingLww.mergeIntoStore(
+            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            storePath, ckpt, Trigger.AvailableNow())
+          .awaitTermination()
+    }
+    spark.read.parquet(store).orderBy("subject", "predicate")
+  }
 
   /** Q70: the exact-dedup pillar driven through an ACTUAL streaming query —
     * q67's pattern applied to [[StreamingDedup.mergeIntoDedupStore]]. The
@@ -68,29 +78,22 @@ object StreamingGate {
     * incrementally); the final store is compared against q18's oracle —
     * valid for ANY chopping/arrival order because the store merge is
     * (min, sum): associative and commutative (StreamingDedupSpec pins the
-    * equivalence in-process, including checkpoint-replay no-ops).
-    * Memoized per sf dir, like q67. */
+    * equivalence in-process, including checkpoint-replay no-ops). */
   def q70StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val store = ranDedup.computeIfAbsent(dir, { _ =>
-      val base = Files.createTempDirectory("graft_stream_dedup").toString
-      val src = s"$base/in"
-      val storePath = s"$base/store"
-      val ckpt = s"$base/ckpt"
-      TripleStore.table(spark, dir, "documents")
-        .select("doc_id", "text")
-        .repartition(NumBatches)
-        .write.json(src)
-      val stream = spark.readStream
-        .schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", 1)
-        .option("mode", "FAILFAST")
-        .json(src)
-      val q = StreamingDedup.mergeIntoDedupStore(stream, storePath, ckpt)
-      q.awaitTermination()
-      assert(Files.exists(Paths.get(storePath)),
-        "streaming dedup left no store")
-      storePath
-    })
+    val store = replayOnce(ranDedup, dir, "graft_stream_dedup") {
+      (src, storePath, ckpt) =>
+        TripleStore.table(spark, dir, "documents")
+          .select("doc_id", "text")
+          .repartition(NumBatches)
+          .write.json(src)
+        val stream = spark.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .option("mode", "FAILFAST")
+          .json(src)
+        StreamingDedup.mergeIntoDedupStore(stream, storePath, ckpt)
+          .awaitTermination()
+    }
     spark.read.parquet(store).orderBy("content_hash")
   }
 }

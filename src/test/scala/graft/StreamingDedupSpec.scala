@@ -107,11 +107,11 @@ class StreamingDedupSpec extends AnyFunSuite {
       .createTempDirectory("graft_dedup_replay").toString + "/store"
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")
-    graft.streaming.StreamingDedup.applyDedupBatch(docs, store, batchId = 0L)
+    graft.streaming.StreamingDedup.applyDedupBatch(docs, store, batchId = 0L, streamId = "ckptA")
     val once = spark.read.parquet(store)
       .select("content_hash", "rep_doc_id", "n_copies")
       .as[(String, Long, Long)].collect().toSet
-    graft.streaming.StreamingDedup.applyDedupBatch(docs, store, batchId = 0L)
+    graft.streaming.StreamingDedup.applyDedupBatch(docs, store, batchId = 0L, streamId = "ckptA")
     val twice = spark.read.parquet(store)
       .select("content_hash", "rep_doc_id", "n_copies")
       .as[(String, Long, Long)].collect().toSet
@@ -119,10 +119,20 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(once.map(_._3).sum == 3L, s"copy counts wrong: $once")
     // and a genuinely NEW batch still merges
     graft.streaming.StreamingDedup.applyDedupBatch(
-      Seq((9L, "same")).toDF("doc_id", "text"), store, batchId = 1L)
+      Seq((9L, "same")).toDF("doc_id", "text"), store, batchId = 1L,
+      streamId = "ckptA")
     val after = spark.read.parquet(store)
       .as[(String, Long, Long)].collect().toSet
     assert(after.map(_._3).sum == 4L, s"new batch failed to merge: $after")
+    // a DIFFERENT stream (fresh checkpoint, batch ids restart at 0) must
+    // NOT be suppressed by stream A's marker — its data is genuinely new
+    graft.streaming.StreamingDedup.applyDedupBatch(
+      Seq((10L, "same")).toDF("doc_id", "text"), store, batchId = 0L,
+      streamId = "ckptB")
+    val gen2 = spark.read.parquet(store)
+      .select("n_copies").as[Long].collect().sum
+    assert(gen2 == 5L,
+      "a new stream's first batch was wrongly treated as a replay")
   }
 
   test("dedup store crash recovery: a store stranded at '.old' mid-swap is " +
@@ -130,12 +140,14 @@ class StreamingDedupSpec extends AnyFunSuite {
     val store = java.nio.file.Files
       .createTempDirectory("graft_dedup_crash").toString + "/store"
     graft.streaming.StreamingDedup.applyDedupBatch(
-      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text"), store, batchId = 0L)
+      Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text"), store, batchId = 0L,
+      streamId = "ckptA")
     // simulate dying between the two swap moves: base gone, .old present
     java.nio.file.Files.move(java.nio.file.Paths.get(store),
       java.nio.file.Paths.get(store + ".old"))
     graft.streaming.StreamingDedup.applyDedupBatch(
-      Seq((3L, "a"), (4L, "b")).toDF("doc_id", "text"), store, batchId = 1L)
+      Seq((3L, "a"), (4L, "b")).toDF("doc_id", "text"), store, batchId = 1L,
+      streamId = "ckptA")
     val got = spark.read.parquet(store)
       .select("content_hash", "rep_doc_id", "n_copies")
       .as[(String, Long, Long)].collect()
@@ -149,7 +161,8 @@ class StreamingDedupSpec extends AnyFunSuite {
       java.nio.file.Paths.get(store + ".old")), ".old not cleaned up")
     // the restored marker still suppresses a replay of batch 1
     graft.streaming.StreamingDedup.applyDedupBatch(
-      Seq((5L, "a")).toDF("doc_id", "text"), store, batchId = 1L)
+      Seq((5L, "a")).toDF("doc_id", "text"), store, batchId = 1L,
+      streamId = "ckptA")
     val counts = spark.read.parquet(store)
       .select("n_copies").as[Long].collect().sum
     assert(counts == 4L, "replay after recovery double-counted")
