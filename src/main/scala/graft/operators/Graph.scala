@@ -158,27 +158,59 @@ object Graph {
     *
     * Converges when the edge set reaches a fixed point (all stars): every
     * remaining edge is `(node, component_min)`. Output: `(node, label)`
-    * including isolated self-loop-only nodes. */
-  def ccStar(edgeDf: DataFrame, maxIter: Int = 20): DataFrame = {
+    * including isolated self-loop-only nodes.
+    *
+    * Driver-job budget: ONE blocking job per round. Each round's edge set is
+    * marked with a LAZY checkpoint and the [[isStarSet]] probe's aggregate
+    * action is what materializes it — the probe job computes the round's
+    * partitions (cached/truncated by the checkpoint machinery as they
+    * stream through) AND the fixed-point flag in the same job, where the
+    * earlier eager-checkpoint-then-probe shape paid two blocking jobs per
+    * round. On an iterative query that converges in ~5–10 rounds the job
+    * count is the latency floor (BENCH_NOTES r10: the r9 driver-bench q60
+    * anomaly), so halving it matters more than any per-job cost.
+    *
+    * `checkpointDir`: by default rounds materialize via `localCheckpoint`
+    * (executor memory+disk) — fastest, but the blocks are pinned to live
+    * executors, so on a real cluster a lost executor kills the query and
+    * long jobs can't release the memory. Passing a directory switches every
+    * round to a RELIABLE checkpoint (`sparkContext.setCheckpointDir` +
+    * `Dataset.checkpoint`): blocks go to the (typically HDFS/object-store)
+    * checkpoint dir, surviving executor loss, at the cost of one extra
+    * write job per round — the right trade on a 1000-executor 100 TB run,
+    * the wrong one on local[32]. */
+  def ccStar(edgeDf: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edgeDf.sparkSession.sparkContext.setCheckpointDir)
+    // LAZY materialization mark: the next action through the result both
+    // computes and pins it. Reliable mode writes checkpoint files in a
+    // follow-up job after that action (Spark's reliable-checkpoint
+    // contract); local mode persists partitions as the action computes them.
+    def mark(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // one materialization of the input: the edge list feeds canon here AND
     // both sides of the closing node-domain union — without this the source
     // scan (a parquet read for the store graph) runs three times
-    val edges0 = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
+    val edges0 = mark(edgeDf.select(col("src"), col("dst")))
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("hi"), col("lo")).as("hi"),
         least(col("hi"), col("lo")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-    var e = canon(edges0.select(col("src").as("hi"), col("dst").as("lo")))
-      .localCheckpoint(true)
+    var e = mark(canon(edges0.select(col("src").as("hi"), col("dst").as("lo"))))
     // Fixed-point test WITHOUT running an extra no-op round: a set of
     // disjoint stars (every `hi` points at exactly one `lo`, and no `lo` is
     // itself a `hi`) is exactly the algorithm's fixed point — applying
-    // either star step to a star set reproduces it. ONE aggregate job over
-    // the just-materialized checkpoint: group the node domain (hi ∪ lo)
-    // and flag a violation when a node is both a hi and a lo, or a hi has
-    // two distinct parents (min ≠ max — cheaper than countDistinct's
-    // expand). This replaces a full ~4-shuffle detection round and the
-    // earlier two-probe (two-job) variant.
+    // either star step to a star set reproduces it. ONE aggregate job that
+    // BOTH materializes the lazily-marked round (its map side computes every
+    // partition of `df`, which the checkpoint mark pins as they stream
+    // through — the limit inside `isEmpty` only trims the post-shuffle read)
+    // AND computes the flag: group the node domain (hi ∪ lo) and flag a
+    // violation when a node is both a hi and a lo, or a hi has two distinct
+    // parents (min ≠ max — cheaper than countDistinct's expand). This
+    // replaces a full ~4-shuffle detection round, the earlier two-probe
+    // (two-job) variant, and (r10) the eager-checkpoint-then-probe
+    // two-job-per-round shape.
     def isStarSet(df: DataFrame): Boolean = df
       .select(col("hi").as("node"), col("lo"), lit(1).as("as_hi"))
       .union(df.select(col("lo").as("node"),
@@ -214,11 +246,10 @@ object Graph {
       // distinct/filter absorbs both
       val withM = large
         .withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
-      val small = withM
+      val small = mark(withM
           .select(col("lo").as("hi"), col("m").as("lo"))
         .union(withM.select(col("hi"), col("m").as("lo")))
-        .filter(col("hi") =!= col("lo")).distinct()
-        .localCheckpoint(true)
+        .filter(col("hi") =!= col("lo")).distinct())
       stable = isStarSet(small)
       e = small
       iter += 1

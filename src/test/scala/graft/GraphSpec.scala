@@ -148,6 +148,61 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("ccStar with a reliable checkpoint dir: same labels, and checkpoint " +
+    "files actually land in the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccstar_ckpt")
+    val hub = (1 to 50).map(i => ("<hub>", f"<leaf_$i%02d>"))
+    val edgeSeq = hub ++ Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
+    val got = Graph.ccStar(edgeSeq.toDF("src", "dst"),
+        checkpointDir = Some(dir.toString))
+      .as[(String, String)].collect().toMap
+    assert(got == unionFindLabels(edgeSeq))
+    // reliable mode must have written real checkpoint data (rdd-* dirs
+    // under the UUID subdir setCheckpointDir creates)
+    def rddDirs(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles).getOrElse(Array.empty)
+        .flatMap(c => if (c.getName.startsWith("rdd-")) Array(c) else rddDirs(c))
+    assert(rddDirs(dir.toFile).nonEmpty,
+      s"no rdd-* checkpoint dirs under $dir")
+  }
+
+  test("ccStar build pays no eager materialization jobs: an already-star " +
+    "input costs only the fused probe action") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.add(js.jobId); ()
+      }
+    }
+    val sc = spark.sparkContext
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.addSparkListener(listener)
+    try {
+      val stars = Seq(("<b>", "<a>"), ("<c>", "<a>")).toDF("src", "dst")
+      Graph.ccStar(stars) // build only — the result DataFrame stays lazy
+      // drain the async listener bus behind a sentinel action, then wait
+      // until the sentinel's job surfaces
+      val before = jobs.size
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline && jobs.size == before)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      // The build's only action is the fused isStarSet probe; its isEmpty
+      // may take 1–2 incremental executeTake jobs. The retired
+      // eager-checkpoint shape paid 2 extra materialization jobs (edges0,
+      // e) BEFORE the probe — 4+ total. Sentinel included in the count.
+      assert(jobs.size <= 3,
+        s"eager materialization jobs leaked back in: ${jobs.size} jobs " +
+          "for an already-star build (expected fused probe + sentinel)")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("ccStar on the store: every order reaches its region's component") {
     val e = Graph.edges(spark, "/root/testdata/sf0.001")
     val cc = Graph.ccStar(e)
