@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -15,19 +16,51 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query job/stage tally (BENCH_METHOD.md): an iterative query's cost
+    // at fixed data size is dominated by its driver-blocking job count, so a
+    // time regression with a flat job count is environment noise while a
+    // time regression with a job-count jump is a plan regression — the r9
+    // q60 anomaly was unattributable precisely because the artifact carried
+    // only seconds. Counted at onJobStart (submitted jobs + their stages).
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    val stageCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet()
+        stageCounter.addAndGet(js.stageInfos.size.toLong)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // The listener bus is async: drain until the counters go quiet before
+    // reading a snapshot, so a run's tail events don't bleed into the next.
+    def settledCounts(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (jobCounter.get(), stageCounter.get())
+      val deadline = System.currentTimeMillis() + 5000
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        prev = cur
+        Thread.sleep(50)
+        cur = (jobCounter.get(), stageCounter.get())
+      }
+      cur
+    }
     // Warmup outside the timings: JVM/codegen/parquet-footer startup (else
     // the alphabetically-first query absorbs ~3 s of it) and the one-off
     // sharded materialization (an ETL write, not per-lookup cost — the
     // reference's baseline times lookups on an already-loaded store).
     spark.read.parquet(s"$sfDir/region.parquet").count()
     TripleStore.shardedPath(spark, sfDir)
-    // (name, seconds, errorOrNull) — a failed query must be visibly failed,
-    // not recorded as the round's fastest time. Per-query MEDIAN of 3 runs:
-    // single-shot times at this scale carry ±0.1 s of JIT/GC noise, which
-    // round-over-round comparisons would read as regressions.
+    // (name, seconds, jobs, stages, errorOrNull) — a failed query must be
+    // visibly failed, not recorded as the round's fastest time. Per-query
+    // MEDIAN of 3 runs: single-shot times at this scale carry ±0.1 s of
+    // JIT/GC noise, which round-over-round comparisons would read as
+    // regressions.
     val runs = 3
+    var counts = settledCounts()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timed = (1 to runs).map { _ =>
+        val (j0, s0) = counts
         val t0 = System.nanoTime()
         val err =
           // noop sink, NOT count(): under a count the optimizer prunes the
@@ -39,25 +72,29 @@ object Bench {
             None
           }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val dt = (System.nanoTime() - t0) / 1e9
+        counts = settledCounts()
+        (dt, counts._1 - j0, counts._2 - s0, err)
       }
-      val err = timed.flatMap(_._2).headOption
+      val err = timed.flatMap(_._4).headOption
       // median over SUCCESSFUL runs only — a fast abort must not drag the
       // median down; if every run failed, fall back to all runs so the
       // entry still carries a (visibly-errored) time
-      val times = {
-        val ok = timed.collect { case (t, None) => t }
-        if (ok.nonEmpty) ok else timed.map(_._1)
-      }
-      (name, times.sorted.apply(times.size / 2), err)
+      val ok = timed.filter(_._4.isEmpty)
+      val used = if (ok.nonEmpty) ok else timed
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      (name, med(used.map(_._1)), med(used.map(_._2.toDouble)).toLong,
+        med(used.map(_._3.toDouble)).toLong, err)
     }
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _) => s"${js(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${js(k)}:${js(e)}" }
+    val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    val jobs = results.map { case (k, _, j, _, _) => s"${js(k)}:$j" }.mkString("{", ",", "}")
+    val stages = results.map { case (k, _, _, st, _) => s"${js(k)}:$st" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${js(k)}:${js(e)}" }
       .mkString("{", ",", "}")
-    val ok = results.filter(_._3.isEmpty)
+    val ok = results.filter(_._5.isEmpty)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
