@@ -9,9 +9,13 @@ import graft.TripleStore.table
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by batch-shaped feature extractors.
   *
-  * The container has no image/audio codecs, so [[fakeDecode]] is a STUB — a
-  * deterministic byte-level "decoder" standing in for a real
-  * decode/resize/frame-sample kernel. Everything around it is the real
+  * The container has no image/audio codecs, so PIXEL decode stays stubbed:
+  * [[fakeDecode]] is a deterministic byte-level "decoder" standing in for a
+  * real decode/resize/frame-sample kernel. Header decode is REAL:
+  * [[imageDims]] parses PNG IHDR / JPEG SOFn / GIF logical-screen
+  * dimensions from the actual container bytes ([[headerDecode]] /
+  * [[extractImageFeatures]]), round-tripped in spec against files written
+  * by the JVM's own encoders. Everything around it is the real
   * plumbing a 100 TB multimodal pipeline needs and is tested: a binary
   * column + metadata struct schema, a typed `Dataset` boundary with
   * per-partition batch shape (`mapPartitions`, the JVM analog of
@@ -95,6 +99,66 @@ object Multimodal {
       features = hist)
   }
 
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** REAL image-header decode: (width, height) parsed from the payload's
+    * actual container bytes, pure JVM, no codec dependency. Recognizes
+    *  - PNG — the 8-byte signature, then the mandatory first chunk IHDR
+    *    with width/height as big-endian u32 (PNG spec §11.2.2, RFC 2083);
+    *  - JPEG/JFIF — walk the FF-marker segment chain from SOI to the first
+    *    frame header SOFn (0xC0–0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC;
+    *    covers baseline SOF0 AND progressive SOF2), whose payload is
+    *    [precision u8][height u16be][width u16be] (ITU T.81 §B.2.2) —
+    *    skipping over APPn/EXIF/comment segments by their length fields;
+    *  - GIF87a/89a — logical-screen width/height as little-endian u16 at
+    *    offsets 6/8.
+    * `None` for anything else — truncated, desynced, or simply not an
+    * image — so callers degrade instead of throwing on a poison row. */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+        b(2) == 'N' && b(3) == 'G' && b(12) == 'I' && b(13) == 'H' &&
+        b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // marker desync: give up
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) i += 1 // fill byte before a marker
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return Some((be16(b, i + 7), be16(b, i + 5)))
+          i += 2 + len
+        }
+      }
+      None
+    } else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(((b(6) & 0xff) | ((b(7) & 0xff) << 8),
+        (b(8) & 0xff) | ((b(9) & 0xff) << 8)))
+    else None
+  }
+
+  /** Honest decoder: real dimensions from [[imageDims]] when the payload IS
+    * an image (PNG/JPEG/GIF), the stub's synthetic dims otherwise (the
+    * text-derived fixtures aren't images and still need deterministic
+    * output). The feature histogram is byte-level either way — pixel-level
+    * features would need a full codec, which this container lacks. */
+  def headerDecode(row: MediaRow): MediaFeatures = {
+    val base = fakeDecode(row)
+    imageDims(row.media) match {
+      case Some((w, h)) => base.copy(width = w, height = h)
+      case None => base
+    }
+  }
+
   /** Batch feature extraction with `mapPartitions` — one decoder
     * instantiation per partition (the expensive-init pattern real codecs
     * need), rows streamed through it. */
@@ -104,6 +168,13 @@ object Multimodal {
       // real pipeline: initialize the codec/model once per partition here
       rows.map(fakeDecode)
     }
+  }
+
+  /** [[extractFeatures]] with the honest [[headerDecode]] — the entry point
+    * for payloads that are actual images. */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map(headerDecode))
   }
 
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -442,6 +442,18 @@ class PipelineSpec extends AnyFunSuite {
       spark.read.parquet(s"$out/centroids"))
     val viaFull = probe(assignedAll, cents)
     assert(viaAppended.nonEmpty && viaAppended.sameElements(viaFull))
+
+    // replay guard: re-appending the same batch UNDER A BATCH ID is
+    // suppressed — list membership (and therefore probe ranks) unchanged;
+    // the guard's marker is underscore-prefixed so the reader never sees it
+    Vectors.ivfAppendBatch(spark, out, batch, batchId = Some(7L))
+    Vectors.ivfAppendBatch(spark, out, batch, batchId = Some(7L))
+    val afterReplay = spark.read.parquet(s"$out/lists")
+      .groupBy("vec_id").count().filter(col("count") > 2).count()
+    // batch was appended once un-guarded (above) + once guarded = 2 copies
+    // of each batch vec_id; the guarded REPLAY must not make a third
+    assert(afterReplay == 0L,
+      "guarded replay duplicated vec_ids in the lists layout")
   }
 
   test("minhash candidates catch every very-near-duplicate pair") {
@@ -640,6 +652,75 @@ class PipelineSpec extends AnyFunSuite {
         got.width == expect.width && got.height == expect.height,
         s"decoder drifted on $id: $got vs $expect")
     }
+  }
+
+  // Real image fixture: pixels through the JDK's own encoders — the decode
+  // side must round-trip genuine PNG/JPEG/GIF container bytes, not bytes we
+  // crafted to match our own parser.
+  private def encodeImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 97) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt encoder")
+    bos.toByteArray
+  }
+
+  test("multimodal: imageDims round-trips real PNG/JPEG/GIF bytes written " +
+    "by the JVM's own encoders") {
+    for (fmt <- Seq("png", "jpg", "gif")) {
+      val bytes = encodeImage(fmt, 37, 23)
+      assert(Multimodal.imageDims(bytes).contains((37, 23)),
+        s"$fmt: got ${Multimodal.imageDims(bytes)} from ${bytes.length} bytes")
+    }
+  }
+
+  test("multimodal: imageDims walks JPEG marker segments (EXIF/comment " +
+    "before a progressive SOF2) and refuses malformed bytes") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte
+      ) ++ payload
+    // SOI, APP1 (EXIF-ish junk), COM, then SOF2 (progressive): precision 8,
+    // height 480, width 640
+    val sof2 = Array[Byte](8, 0x01, 0xe0.toByte, 0x02, 0x80.toByte, 3)
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe1, "Exif  junkjunk".getBytes("ISO-8859-1")) ++
+      seg(0xfe, "a comment".getBytes) ++ seg(0xc2, sof2)
+    assert(Multimodal.imageDims(jpeg).contains((640, 480)))
+    // DHT (0xC4) must be skipped, not read as a frame header
+    val withDht = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xc4, Array[Byte](0, 1, 2, 3, 4, 5, 6)) ++ seg(0xc0, sof2)
+    assert(Multimodal.imageDims(withDht).contains((640, 480)))
+    // refusals: not an image, truncated PNG, desynced JPEG, empty
+    assert(Multimodal.imageDims("plain text bytes".getBytes).isEmpty)
+    assert(Multimodal.imageDims(encodeImage("png", 9, 9).take(20)).isEmpty)
+    assert(Multimodal.imageDims(
+      Array(0xff.toByte, 0xd8.toByte) ++ "garbage after SOI".getBytes).isEmpty)
+    assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
+  }
+
+  test("multimodal: extractImageFeatures carries real dimensions for image " +
+    "payloads and degrades to the stub for non-images, end-to-end from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_img")
+    val png = encodeImage("png", 64, 48)
+    val jpg = encodeImage("jpg", 17, 11)
+    java.nio.file.Files.write(dir.resolve("1.png"), png)
+    java.nio.file.Files.write(dir.resolve("2.jpg"), jpg)
+    java.nio.file.Files.write(dir.resolve("3.txt"), "not an image".getBytes)
+    val feats = Multimodal
+      .extractImageFeatures(Multimodal.mediaFromFiles(spark, dir.toString))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) == (64, 48))
+    assert((feats(2L).width, feats(2L).height) == (17, 11))
+    val stub = Multimodal.fakeDecode(Multimodal.MediaRow(
+      3L, "not an image".getBytes, "txt", 12L))
+    assert((feats(3L).width, feats(3L).height) == (stub.width, stub.height))
+    // histograms stay the byte-level ones regardless of header parsing
+    val pngStub = Multimodal.fakeDecode(
+      Multimodal.MediaRow(1L, png, "png", png.length.toLong))
+    assert(feats(1L).features.sameElements(pngStub.features))
   }
 
   test("multimodal: a non-conforming file name fails loudly with its path, " +
