@@ -201,15 +201,6 @@ object Vectors {
 
   // --- IVF (inverted-file) ANN: coarse k-means quantizer + probed lists ----
 
-  /** Spherical k-means coarse quantizer, fully declarative (no closures in
-    * the per-vector path): assignment is a crossJoin with the k-row
-    * centroid table + `max_by` per vector (codegen'd, k·N small since k is
-    * tiny); the update step re-averages per (cluster, dimension) and
-    * re-normalizes. Deterministic: seeds are the k lowest vec_ids.
-    *
-    * At 100 TB the centroid table is broadcast-sized by construction and
-    * the only shuffle is the per-vector `max_by` groupBy — the index build
-    * is linear per iteration. */
   /** Sphere-normalized `(vec_id, v)` projection of a `(vec_id, embedding)`
     * frame. A zero vector cannot be sphere-normalized (ANSI: the division
     * would be a DIVIDE_BY_ZERO crash, not NaN) and has no direction to
@@ -239,6 +230,15 @@ object Vectors {
       .agg(max_by(col("cluster"), struct(col("sim"), col("cluster"))).as("cluster"),
         first(col("v")).as("v"))
 
+  /** Spherical k-means coarse quantizer, fully declarative (no closures in
+    * the per-vector path): assignment is a crossJoin with the k-row
+    * centroid table + `max_by` per vector (codegen'd, k·N small since k is
+    * tiny); the update step re-averages per (cluster, dimension) and
+    * re-normalizes. Deterministic: seeds are the k lowest vec_ids.
+    *
+    * At 100 TB the centroid table is broadcast-sized by construction and
+    * the only shuffle is the per-vector `max_by` groupBy — the index build
+    * is linear per iteration. */
   def ivfAssign(spark: SparkSession, dir: String, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val e = sphereNormalized(table(spark, dir, "embeddings"))
@@ -351,13 +351,35 @@ object Vectors {
     * probe reads old files ∪ new files of just its probed clusters.
     * (Parquet append is file-level, so no existing data is rewritten;
     * compaction back into one clustered generation is the periodic-rebuild
-    * job above.) */
+    * job above.)
+    *
+    * REPLAY CONTRACT: the parquet append itself is NOT idempotent — the
+    * same batch applied twice duplicates its vec_ids in the lists layout,
+    * shifting probe ranks (the same non-idempotence class the dedup
+    * store's `_applied_upto` marker guards). Callers without a `batchId`
+    * get at-most-once as THEIR obligation. With a `batchId`, an
+    * already-applied batch is suppressed (loudly, on stderr) via an
+    * underscore-prefixed marker file in the lists dir — invisible to the
+    * parquet reader, mirroring the dedup store's guard. The marker lands
+    * AFTER the data commit, so a crash inside that window can still
+    * duplicate on retry; the periodic full-rebuild compaction clears any
+    * such remnant, and a compactor can also dedup on vec_id directly. */
   def ivfAppendBatch(spark: SparkSession, indexPath: String,
-      batch: DataFrame): Unit =
-    ivfAssignBatch(batch, spark.read.parquet(s"$indexPath/centroids"))
-      .repartitionByRange(col("cluster"))
-      .sortWithinPartitions("cluster", "vec_id")
-      .write.mode("append").parquet(s"$indexPath/lists")
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    val marker = batchId.map(id =>
+      java.nio.file.Paths.get(s"$indexPath/lists/_applied_batch_$id"))
+    if (marker.exists(java.nio.file.Files.exists(_)))
+      System.err.println(s"[graft.Vectors] ivfAppendBatch: batch " +
+        s"${batchId.get} already applied at $indexPath: replay suppressed")
+    else {
+      ivfAssignBatch(batch, spark.read.parquet(s"$indexPath/centroids"))
+        .repartitionByRange(col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.mode("append").parquet(s"$indexPath/lists")
+      marker.foreach(m => java.nio.file.Files.createFile(m))
+      ()
+    }
+  }
 
   // --- Q66: the IVF top-k QUERY form, oracle-gated --------------------------
 

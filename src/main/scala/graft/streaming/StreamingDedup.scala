@@ -75,12 +75,17 @@ object StreamingDedup {
     * (underscore-prefixed: invisible to the parquet reader) recording the
     * last merged batch id, swapped atomically WITH the data — a checkpoint
     * replay of an already-applied batch is a no-op instead of a double
-    * count. The marker is scoped to the STREAM's identity (its checkpoint
-    * path): batch ids restart at 0 per checkpoint, so a bare id would make
-    * a NEW query attached to an existing store (the next crawl generation)
+    * count. The marker is scoped to the STREAM's identity — the query id
+    * Structured Streaming persists in the checkpoint's `metadata` file:
+    * batch ids restart at 0 per checkpoint, so a bare id would make a NEW
+    * query attached to an existing store (the next crawl generation)
     * silently discard its first batches as "replays" — a different stream
     * resets the guard instead, and only a same-checkpoint redelivery is
-    * suppressed. */
+    * suppressed. The persisted id (not the checkpoint PATH) is the scope
+    * because a checkpoint deleted and recreated at the same path is a new
+    * stream with restarted batch ids: Spark mints a fresh query id in the
+    * new `metadata`, while the path string would alias the two streams and
+    * swallow the new one's first batches. */
   def mergeIntoDedupStore(docs: DataFrame, storePath: String,
       checkpointPath: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -89,9 +94,25 @@ object StreamingDedup {
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyDedupBatch(batch, storePath, batchId, checkpointPath)
+        // resolved per batch, not at wiring time: the metadata file exists
+        // only once the query has started
+        applyDedupBatch(batch, storePath, batchId, streamScope(checkpointPath))
       }
       .start()
+
+  /** The stream identity the replay guard is scoped to: the query id from
+    * the checkpoint's `metadata` file (JSON `{"id":"<uuid>"}`) — stable
+    * across restarts of the same checkpoint, fresh when the checkpoint is
+    * recreated. Falls back to the path if the file is missing/unparseable
+    * (pre-start resolution or a hand-built test dir). */
+  private[graft] def streamScope(checkpointPath: String): String = {
+    val meta = Paths.get(checkpointPath).resolve("metadata")
+    if (Files.exists(meta)) {
+      val txt = new String(Files.readAllBytes(meta), StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(checkpointPath)
+    } else checkpointPath
+  }
 
   /** One micro-batch's merge, exposed for direct replay testing.
     * `streamId` is the replay-guard scope — the owning query's checkpoint
@@ -110,15 +131,23 @@ object StreamingDedup {
     StreamingLww.deleteRecursively(new java.io.File(old))
     val markerFile = basePath.resolve("_applied_upto")
     // marker format: "<streamId>\n<batchId>". A marker from a DIFFERENT
-    // stream never suppresses: its batch-id sequence is unrelated.
+    // stream never suppresses: its batch-id sequence is unrelated. A
+    // MALFORMED marker (torn write, manual edit) degrades the same way —
+    // treat it as foreign (-1, nothing suppressed) rather than throwing,
+    // which would permanently fail the stream on every restart.
     val applied =
       if (Files.exists(markerFile)) {
         val lines = new String(Files.readAllBytes(markerFile),
           StandardCharsets.UTF_8).split("\n", 2)
-        if (lines.length == 2 && lines(0) == streamId) lines(1).trim.toLong
+        if (lines.length == 2 && lines(0) == streamId)
+          scala.util.Try(lines(1).trim.toLong).getOrElse(-1L)
         else -1L
       } else -1L
-    if (batchId <= applied) () // same-stream replay of an applied batch
+    if (batchId <= applied)
+      // suppression must be OBSERVABLE: if the guard ever misfires (e.g. a
+      // scope collision), a silent no-op reads as data loss with no trace
+      System.err.println(s"[graft.StreamingDedup] batch $batchId <= applied " +
+        s"$applied for stream $streamId: replay suppressed at $storePath")
     else {
       val agg = batch
         .withColumn("content_hash", sha2(col("text"), 256))

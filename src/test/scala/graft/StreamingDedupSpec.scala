@@ -135,6 +135,67 @@ class StreamingDedupSpec extends AnyFunSuite {
       "a new stream's first batch was wrongly treated as a replay")
   }
 
+  test("replay-guard scope survives checkpoint recreation: the scope is the " +
+    "query's PERSISTED id (not the path), so a new stream at the same " +
+    "checkpoint path is not suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_scope")
+    val store = root.toString + "/store"
+    val ckpt = root.toString + "/ckpt"
+    val s1 = MemoryStream[(Long, String)]
+    s1.addData((1L, "x"), (2L, "x"))
+    val q1 = StreamingDedup.mergeIntoDedupStore(
+      s1.toDS().toDF("doc_id", "text"), store, ckpt)
+    q1.awaitTermination()
+    // the guard's scope is exactly the id Spark persisted in the
+    // checkpoint's metadata file, and the store marker carries it
+    assert(StreamingDedup.streamScope(ckpt) == q1.id.toString)
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store).resolve("_applied_upto")), "UTF-8")
+    assert(marker.startsWith(q1.id.toString + "\n"), s"marker: $marker")
+    assert(spark.read.parquet(store)
+      .select("n_copies").as[Long].collect().sum == 2L)
+    // delete + recreate the checkpoint at the SAME path: batch ids restart
+    // at 0, Spark mints a fresh query id — the new stream's first batch is
+    // genuinely new data and must merge, not vanish as a "replay" (the
+    // failure mode of a path-scoped marker)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ckpt))
+    val s2 = MemoryStream[(Long, String)]
+    s2.addData((3L, "x"))
+    val q2 = StreamingDedup.mergeIntoDedupStore(
+      s2.toDS().toDF("doc_id", "text"), store, ckpt)
+    q2.awaitTermination()
+    assert(q2.id != q1.id, "fresh checkpoint must mint a fresh query id")
+    assert(spark.read.parquet(store)
+      .select("n_copies").as[Long].collect().sum == 3L,
+      "fresh-checkpoint stream's first batch was swallowed as a replay")
+    // no metadata file → scope falls back to the path string
+    assert(StreamingDedup.streamScope(root.toString + "/nope")
+      == root.toString + "/nope")
+  }
+
+  test("malformed _applied_upto marker degrades to nothing-suppressed, " +
+    "not a permanently-failing stream") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_badmarker").toString + "/store"
+    StreamingDedup.applyDedupBatch(
+      Seq((1L, "a")).toDF("doc_id", "text"), store, 0L, "ckptA")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store).resolve("_applied_upto"),
+      "ckptA\nnot-a-number".getBytes("UTF-8"))
+    // previously a NumberFormatException that failed every future batch;
+    // the torn marker now reads as foreign — batch 0 re-applies (the
+    // documented degraded mode: a double count beats a dead stream)
+    StreamingDedup.applyDedupBatch(
+      Seq((2L, "a")).toDF("doc_id", "text"), store, 0L, "ckptA")
+    assert(spark.read.parquet(store)
+      .select("n_copies").as[Long].collect().sum == 2L)
+  }
+
   test("dedup store crash recovery: a store stranded at '.old' mid-swap is " +
     "restored — with its replay marker — before the next batch merges") {
     val store = java.nio.file.Files
