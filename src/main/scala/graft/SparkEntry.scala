@@ -228,6 +228,11 @@ object SparkEntry {
     // same relation, and oracle, as q18; the streaming gate row for dedup.
     "q70_stream_dedup" ->
       (graft.streaming.StreamingGate.q70StreamDedup(_, _)),
+    // ANN recall, driver-checked: per-query intersection of the exact
+    // top-k with the IVF (q66) and LSH (q68) probes, with a loud
+    // raise_error floor on IVF recall — an index regression fails the
+    // gate instead of hiding in a spec (see Vectors.q71AnnRecall).
+    "q71_ann_recall" -> (Vectors.q71AnnRecall(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -363,5 +368,6 @@ object SparkEntry {
          |SELECT subject, predicate, object, ts_ms FROM triples
          |WHERE predicate = '<inRegion>' ORDER BY subject, object""".stripMargin,
     "q70_stream_dedup"     -> Docs.q18Sql,
+    "q71_ann_recall"       -> Vectors.q71Sql,
   )
 }

@@ -316,8 +316,14 @@ object Vectors {
   def ivfIndexPath(spark: SparkSession, dir: String, k: Int,
       iters: Int = 3): String =
     ivfIndex.computeIfAbsent((dir, k, iters), { _ =>
+      // pid-suffixed: the map memoizes per JVM, so every process rebuilds
+      // its own layout on first use anyway — sharing one fixed tmp path
+      // across processes only adds an overwrite-while-read race (two
+      // concurrent JVMs: one's mode("overwrite") deletes files the other
+      // has already listed)
       val out = sys.props("java.io.tmpdir") +
-        s"/graft_ivf_${k}_$iters" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        s"/graft_ivf_${k}_${iters}_p${ProcessHandle.current().pid()}" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       val (assigned, centroids) = ivfAssign(spark, dir, k, iters)
       assigned.repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
@@ -646,6 +652,112 @@ object Vectors {
        |    FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
        |    WHERE q.vec_id < $NumQueries AND q.nrm > 0 AND e.nrm > 0))
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // --- Q71: ANN recall floor, driver-checked --------------------------------
+
+  /** Recall floor for [[q71AnnRecall]] in whole percent, on the IVF probe:
+    * the gate fails LOUDLY (raise_error on the Spark side, boolean flip vs
+    * the oracle on both) if q66's recall vs the exact baseline drops below
+    * this. Measured across the four replay corpora at round 10 — IVF
+    * (k=8, nprobe=2, top-5): 92 / 92 / 100 / 100 % — and set WITH MARGIN
+    * under the minimum, so it trips on a real retrieval regression
+    * (centroid/assignment drift, probe-selection break, ranking change),
+    * not on corpus noise. */
+  val RecallFloorPct = 60
+
+  /** Q71: the ANN family's recall, DRIVER-CHECKED. The exact brute-force
+    * baseline (the retired q21's kernel, still [[q21TopkCosine]]), the IVF
+    * probe (q66) and the LSH probe (q68) are all deterministic, so their
+    * per-query intersection sizes are hash-exact quantities DuckDB can
+    * recompute — the recall of the approximate indexes finally sits in
+    * CORRECTNESS_r{N}.json instead of only in a spec. One row per query at
+    * the q66 config (top-[[IvfGateTopK]]):
+    * (query_id, n_exact, n_hits_ivf, n_hits_lsh, floor_ok).
+    *
+    * `floor_ok` gates TOTAL IVF hits against [[RecallFloorPct]] of total
+    * exact rows (per-query floors would be brittle — one hard query is
+    * legitimate ANN behavior), and the Spark side raises instead of
+    * emitting `false`: a recall regression is a loud gate failure, not a
+    * silently-matching row. The LSH column is deliberately NOT floored:
+    * single-bucket 8-plane LSH top-k over near-orthogonal Gaussian
+    * embeddings has ~0–10 % uniform-top-k recall BY DESIGN (its gate
+    * utility is high-precision near-dup retrieval — q19/q38 — not
+    * uniform top-k; measured r10, BENCH_NOTES), so a floor there would
+    * gate noise. It rides along so the number stays visible every round.
+    *
+    * Scale shape: all three inputs are top-k relations over [[NumQueries]]
+    * queries — k·q rows each — so the intersection joins, grouped counts,
+    * and the single-partition window are driver-trivial at any corpus
+    * size; the heavy lifting happens inside q21/q66/q68's own plans. */
+  def q71AnnRecall(spark: SparkSession, dir: String,
+      floorPct: Int = RecallFloorPct): DataFrame = {
+    val exact = q21TopkCosine(spark, dir)
+      .filter(col("rank") <= IvfGateTopK)
+      .select("query_id", "neighbor_id")
+    def hitsVs(approx: DataFrame, out: String): DataFrame = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as(out))
+    val ivfHits = hitsVs(q66IvfTopk(spark, dir)
+      .select("query_id", "neighbor_id"), "n_hits_ivf")
+    val lshHits = hitsVs(q68LshTopk(spark, dir)
+      .filter(col("rank") <= IvfGateTopK)
+      .select("query_id", "neighbor_id"), "n_hits_lsh")
+    val w = Window.partitionBy() // k·q summary rows: one partition is the point
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(ivfHits, Seq("query_id"), "left_outer")
+      .join(lshHits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits_ivf"), lit(0L)).as("n_hits_ivf"),
+        coalesce(col("n_hits_lsh"), lit(0L)).as("n_hits_lsh"))
+      .withColumn("floor_ok",
+        when(sum(col("n_hits_ivf")).over(w) * 100 >=
+            sum(col("n_exact")).over(w) * floorPct, lit(true))
+          .otherwise(raise_error(concat(
+            lit("q71: ANN recall floor broken: IVF hits "),
+            sum(col("n_hits_ivf")).over(w),
+            lit(" of "), sum(col("n_exact")).over(w),
+            lit(s" exact rows < $floorPct%")))))
+      .orderBy("query_id")
+  }
+
+  val q71Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         CASE WHEN $hasNullElemSql THEN NULL
+       |         ELSE sqrt(list_sum(list_transform(range(len(embedding)),
+       |           i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))) END AS nrm
+       |  FROM embeddings),
+       |e2 AS (SELECT * FROM e WHERE nrm > 0),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+       |      AS BIGINT) AS rank
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |             round(list_sum(list_transform(range(len(q.embedding)),
+       |                 i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+       |               / (q.nrm * e.nrm), 4) AS cos_sim
+       |      FROM e2 q JOIN e2 e ON e.vec_id <> q.vec_id
+       |      WHERE q.vec_id < $NumQueries))
+       |  WHERE rank <= $IvfGateTopK),
+       |ivf AS (SELECT query_id, neighbor_id FROM ($q66Sql)),
+       |lsh AS (SELECT query_id, neighbor_id FROM ($q68Sql)
+       |        WHERE rank <= $IvfGateTopK),
+       |perq AS (
+       |  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |         CAST(count(i.query_id) AS BIGINT) AS n_hits_ivf,
+       |         CAST(count(l.query_id) AS BIGINT) AS n_hits_lsh
+       |  FROM exact x
+       |  LEFT JOIN ivf i ON x.query_id = i.query_id
+       |                 AND x.neighbor_id = i.neighbor_id
+       |  LEFT JOIN lsh l ON x.query_id = l.query_id
+       |                 AND x.neighbor_id = l.neighbor_id
+       |  GROUP BY x.query_id)
+       |SELECT query_id, n_exact, n_hits_ivf, n_hits_lsh,
+       |       (sum(n_hits_ivf) OVER () * 100 >= sum(n_exact) OVER () * $RecallFloorPct)
+       |         AS floor_ok
+       |FROM perq ORDER BY query_id""".stripMargin
 
   // --- Q58: int8 symmetric quantization -------------------------------------
 

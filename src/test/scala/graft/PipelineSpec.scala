@@ -456,6 +456,29 @@ class PipelineSpec extends AnyFunSuite {
       "guarded replay duplicated vec_ids in the lists layout")
   }
 
+  test("q71 recall gate: IVF recall clears the floor with margin, LSH " +
+    "recall rides along unfloored, and a broken floor raises LOUDLY") {
+    val rows = Vectors.q71AnnRecall(spark, sf)
+      .select("query_id", "n_exact", "n_hits_ivf", "n_hits_lsh", "floor_ok")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == 5 && rows.forall(_._5), rows.mkString(","))
+    val (te, ti) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    // measured r10 on sf0.001: 23/25 — re-pin so silent drift is visible
+    assert(te == 25L && ti == 23L, s"IVF recall moved: $ti/$te")
+    // floor margin: the gate constant sits well under the measured minimum
+    assert(100 * ti >= te * (Vectors.RecallFloorPct + 20),
+      s"floor ${Vectors.RecallFloorPct}% has < 20-point margin on $ti/$te")
+    // a floor the data cannot meet must raise descriptively, not emit false
+    val ex = intercept[Exception] {
+      Vectors.q71AnnRecall(spark, sf, floorPct = 101).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).mkString("\n").contains("recall floor broken"),
+      s"expected a loud recall failure, got: ${messages(ex).mkString("\n")}")
+  }
+
   test("minhash candidates catch every very-near-duplicate pair") {
     // jaccard >= 0.9 pairs have band-collision probability ~1-(1-0.9^2)^4
     // ≈ 0.9987; the driver's planted dups are ~0.97+, so all must be found.
