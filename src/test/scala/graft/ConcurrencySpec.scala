@@ -34,7 +34,11 @@ class ConcurrencySpec extends AnyFunSuite {
     // round-9: the broadcast-query LSH probe (q68), the memoized z-ordered
     // layout (q69 — concurrent first probes must block on ONE ETL write),
     // and the once-per-session streaming dedup-store replay (q70)
-    "q68_lsh_topk", "q69_zorder_probe", "q70_stream_dedup")
+    "q68_lsh_topk", "q69_zorder_probe", "q70_stream_dedup",
+    // round-10: the recall gate (q71) fans out over BOTH memoized layouts
+    // (IVF index + exact/LSH kernels) inside one plan — the heaviest
+    // concurrent consumer of the shared memoization surfaces
+    "q71_ann_recall")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
