@@ -133,8 +133,13 @@ object Multimodal {
         else {
           val len = be16(b, i + 2)
           if (len < 2) return None
-          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            // a frame header shorter than len(2)+precision(1)+h(2)+w(2)+
+            // ncomp(1) = 8 cannot hold the dims — reading them would take
+            // bytes from the NEXT segment (garbage, not a truncation error)
+            if (len < 8) return None
             return Some((be16(b, i + 7), be16(b, i + 5)))
+          }
           i += 2 + len
         }
       }
@@ -161,21 +166,21 @@ object Multimodal {
 
   /** Batch feature extraction with `mapPartitions` — one decoder
     * instantiation per partition (the expensive-init pattern real codecs
-    * need), rows streamed through it. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * need), rows streamed through it. The decoder is a parameter so every
+    * entry point shares ONE owner of the per-partition batch shape. */
+  def extractFeatures(media: Dataset[MediaRow],
+      decode: MediaRow => MediaFeatures = fakeDecode): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real pipeline: initialize the codec/model once per partition here
-      rows.map(fakeDecode)
+      rows.map(decode)
     }
   }
 
   /** [[extractFeatures]] with the honest [[headerDecode]] — the entry point
     * for payloads that are actual images. */
-  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.map(headerDecode))
-  }
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    extractFeatures(media, headerDecode)
 
   case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 

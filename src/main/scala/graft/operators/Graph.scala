@@ -178,7 +178,16 @@ object Graph {
     * `Dataset.checkpoint`): blocks go to the (typically HDFS/object-store)
     * checkpoint dir, surviving executor loss, at the cost of one extra
     * write job per round — the right trade on a 1000-executor 100 TB run,
-    * the wrong one on local[32]. */
+    * the wrong one on local[32]. NOTE the dir is `SparkContext`-GLOBAL
+    * (Spark has no per-query checkpoint dir): setting it here is
+    * last-writer-wins across the session, so concurrent reliable-mode
+    * callers should share one dir. Superseded rounds' checkpoint files are
+    * deleted as soon as the next round's files land (each round's lineage
+    * is truncated at its own files, so older generations are dead weight
+    * that would otherwise accumulate per round × per invocation); the
+    * FINAL round's and the input snapshot's files back the returned lazy
+    * DataFrame and stay — the caller owns the dir's lifecycle once done
+    * consuming the result. */
   def ccStar(edgeDf: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(edgeDf.sparkSession.sparkContext.setCheckpointDir)
@@ -189,6 +198,29 @@ object Graph {
     def mark(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)
+    // Reliable-mode hygiene: the checkpoint FILES a marked round wrote
+    // (None until materialized, and always None in local mode). Once round
+    // N's files are down, round N-1's are unreachable by any lineage —
+    // delete them, or a long-lived session leaks one edge-set copy per
+    // round per invocation into the checkpoint store.
+    def reliableFile(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.flatMap(_.getCheckpointFile)
+    def dropSuperseded(oldRound: DataFrame, newRound: DataFrame): Unit =
+      // best-effort, and ONLY once the new round's files verifiably exist
+      for (_ <- reliableFile(newRound); old <- reliableFile(oldRound))
+        try {
+          val p = new org.apache.hadoop.fs.Path(old)
+          p.getFileSystem(
+            edgeDf.sparkSession.sessionState.newHadoopConf())
+            .delete(p, true)
+          ()
+        } catch {
+          case scala.util.control.NonFatal(ex) => System.err.println(
+            s"[graft.Graph] ccStar: could not delete superseded " +
+              s"checkpoint $old: $ex")
+        }
     // one materialization of the input: the edge list feeds canon here AND
     // both sides of the closing node-domain union — without this the source
     // scan (a parquet read for the store graph) runs three times
@@ -251,6 +283,7 @@ object Graph {
         .union(withM.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct())
       stable = isStarSet(small)
+      if (checkpointDir.isDefined) dropSuperseded(e, small)
       e = small
       iter += 1
     }

@@ -329,6 +329,11 @@ object Vectors {
         .sortWithinPartitions("cluster", "vec_id")
         .write.mode("overwrite").parquet(s"$out/lists")
       centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      // per-pid paths never collide, so nothing overwrites them either —
+      // without this hook every JVM would strand one index copy in tmp
+      sys.addShutdownHook {
+        graft.streaming.StreamingLww.deleteRecursively(new java.io.File(out))
+      }
       out
     })
 
@@ -366,23 +371,35 @@ object Vectors {
     * get at-most-once as THEIR obligation. With a `batchId`, an
     * already-applied batch is suppressed (loudly, on stderr) via an
     * underscore-prefixed marker file in the lists dir — invisible to the
-    * parquet reader, mirroring the dedup store's guard. The marker lands
-    * AFTER the data commit, so a crash inside that window can still
+    * parquet reader, mirroring the dedup store's guard INCLUDING its
+    * scope: batch ids restart at 0 per stream, so the marker carries
+    * `streamId` (the owning streaming query's persisted id, or any stable
+    * source identity) and a different stream's batch 0 appends normally
+    * instead of being swallowed by a prior stream's marker. Marker I/O goes
+    * through the Hadoop `FileSystem` of `indexPath` — the layout lives on
+    * HDFS/object stores in production, where a `java.nio` probe would
+    * always report "no marker" and silently disarm the guard. The marker
+    * lands AFTER the data commit, so a crash inside that window can still
     * duplicate on retry; the periodic full-rebuild compaction clears any
     * such remnant, and a compactor can also dedup on vec_id directly. */
   def ivfAppendBatch(spark: SparkSession, indexPath: String,
-      batch: DataFrame, batchId: Option[Long] = None): Unit = {
-    val marker = batchId.map(id =>
-      java.nio.file.Paths.get(s"$indexPath/lists/_applied_batch_$id"))
-    if (marker.exists(java.nio.file.Files.exists(_)))
+      batch: DataFrame, batchId: Option[Long] = None,
+      streamId: String = "default"): Unit = {
+    val scope = streamId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = batchId.map(id => new org.apache.hadoop.fs.Path(
+      s"$indexPath/lists", s"_applied_${scope}_batch_$id"))
+    lazy val fs = marker.get.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (marker.exists(fs.exists(_)))
       System.err.println(s"[graft.Vectors] ivfAppendBatch: batch " +
-        s"${batchId.get} already applied at $indexPath: replay suppressed")
+        s"${batchId.get} of stream $scope already applied at $indexPath: " +
+        "replay suppressed")
     else {
       ivfAssignBatch(batch, spark.read.parquet(s"$indexPath/centroids"))
         .repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
         .write.mode("append").parquet(s"$indexPath/lists")
-      marker.foreach(m => java.nio.file.Files.createFile(m))
+      marker.foreach(m => fs.create(m, false).close())
       ()
     }
   }
@@ -691,9 +708,15 @@ object Vectors {
     * size; the heavy lifting happens inside q21/q66/q68's own plans. */
   def q71AnnRecall(spark: SparkSession, dir: String,
       floorPct: Int = RecallFloorPct): DataFrame = {
+    // pinned: three branches read `exact` (two semi-join probes + the
+    // n_exact aggregate). Its kernel is the full-corpus cosine ranking —
+    // the query's dominant cost — so single-computation is made STRUCTURAL
+    // (k·q-row checkpoint) rather than left to exchange-reuse/AQE, the
+    // same convention as ivfTopk/lshTopk's pinned inputs.
     val exact = q21TopkCosine(spark, dir)
       .filter(col("rank") <= IvfGateTopK)
       .select("query_id", "neighbor_id")
+      .localCheckpoint(true)
     def hitsVs(approx: DataFrame, out: String): DataFrame = exact
       .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as(out))

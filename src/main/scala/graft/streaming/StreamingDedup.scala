@@ -103,20 +103,35 @@ object StreamingDedup {
   /** The stream identity the replay guard is scoped to: the query id from
     * the checkpoint's `metadata` file (JSON `{"id":"<uuid>"}`) — stable
     * across restarts of the same checkpoint, fresh when the checkpoint is
-    * recreated. Falls back to the path if the file is missing/unparseable
-    * (pre-start resolution or a hand-built test dir). */
-  private[graft] def streamScope(checkpointPath: String): String = {
-    val meta = Paths.get(checkpointPath).resolve("metadata")
-    if (Files.exists(meta)) {
-      val txt = new String(Files.readAllBytes(meta), StandardCharsets.UTF_8)
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse(checkpointPath)
-    } else checkpointPath
-  }
+    * recreated. Falls back to the path if the file is missing/unreadable/
+    * unparseable (pre-start resolution or a hand-built test dir). Read
+    * through the Hadoop `FileSystem` API, NOT `java.nio` — production
+    * checkpoints live on HDFS/object stores where a local-FS read would
+    * silently report "missing" and degrade every stream to the path-aliased
+    * scope this id exists to avoid. */
+  private[graft] def streamScope(checkpointPath: String): String =
+    try {
+      val meta = new org.apache.hadoop.fs.Path(checkpointPath, "metadata")
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = meta.getFileSystem(conf)
+      if (fs.exists(meta)) {
+        val in = fs.open(meta)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse(checkpointPath)
+      } else checkpointPath
+    } catch { case scala.util.control.NonFatal(_) => checkpointPath }
 
   /** One micro-batch's merge, exposed for direct replay testing.
-    * `streamId` is the replay-guard scope — the owning query's checkpoint
-    * path in production. */
+    * `streamId` is the replay-guard scope — in production the owning
+    * query's PERSISTED ID resolved by [[streamScope]] (never the checkpoint
+    * path: a deleted-and-recreated checkpoint at the same path is a new
+    * stream whose restarted batch ids a path scope would swallow). */
   private[graft] def applyDedupBatch(batch: DataFrame, storePath: String,
       batchId: Long, streamId: String): Unit = {
     val spark = batch.sparkSession

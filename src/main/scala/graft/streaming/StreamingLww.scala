@@ -29,7 +29,7 @@ import graft.operators.Lww
   */
 object StreamingLww {
 
-  private[streaming] def deleteRecursively(f: java.io.File): Unit =
+  private[graft] def deleteRecursively(f: java.io.File): Unit =
     if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
       f.delete(); ()

@@ -148,22 +148,29 @@ class GraphSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("ccStar with a reliable checkpoint dir: same labels, and checkpoint " +
-    "files actually land in the dir") {
+  test("ccStar with a reliable checkpoint dir: same labels, checkpoint " +
+    "files land in the dir, and superseded rounds' files are deleted") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ccstar_ckpt")
     val hub = (1 to 50).map(i => ("<hub>", f"<leaf_$i%02d>"))
-    val edgeSeq = hub ++ Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
+    // the chain forces MULTIPLE contraction rounds (its middle nodes are
+    // both a hi and a lo), so the superseded-round cleanup actually runs
+    val chain = Seq(("<b>", "<a>"), ("<c>", "<b>"), ("<d>", "<c>"),
+      ("<e>", "<d>"), ("<f>", "<e>"), ("<g>", "<f>"))
+    val edgeSeq = hub ++ chain ++ Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
     val got = Graph.ccStar(edgeSeq.toDF("src", "dst"),
         checkpointDir = Some(dir.toString))
       .as[(String, String)].collect().toMap
     assert(got == unionFindLabels(edgeSeq))
     // reliable mode must have written real checkpoint data (rdd-* dirs
-    // under the UUID subdir setCheckpointDir creates)
+    // under the UUID subdir setCheckpointDir creates) — and kept ONLY the
+    // two generations the lazy result still reads (the input snapshot and
+    // the final round); every superseded round's dir must be gone
     def rddDirs(f: java.io.File): Array[java.io.File] =
       Option(f.listFiles).getOrElse(Array.empty)
         .flatMap(c => if (c.getName.startsWith("rdd-")) Array(c) else rddDirs(c))
-    assert(rddDirs(dir.toFile).nonEmpty,
-      s"no rdd-* checkpoint dirs under $dir")
+    assert(rddDirs(dir.toFile).length == 2,
+      s"expected exactly input-snapshot + final-round checkpoints under " +
+        s"$dir, found: ${rddDirs(dir.toFile).map(_.getName).mkString(",")}")
   }
 
   test("ccStar build pays no eager materialization jobs: an already-star " +
@@ -180,6 +187,20 @@ class GraphSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sc.addSparkListener(listener)
     try {
+      // settle FIRST: an AsyncEventQueue delivers still-queued events from
+      // earlier tests' jobs to a freshly added listener — without a
+      // pre-build drain those inflate the count and fail this test
+      // spuriously (the same bus-bleed Bench.settledCounts exists for)
+      def settle(): Unit = {
+        var prev = -1
+        val deadline = System.currentTimeMillis() + 10000
+        while (jobs.size != prev && System.currentTimeMillis() < deadline) {
+          prev = jobs.size
+          Thread.sleep(200)
+        }
+      }
+      settle()
+      val base = jobs.size
       val stars = Seq(("<b>", "<a>"), ("<c>", "<a>")).toDF("src", "dst")
       Graph.ccStar(stars) // build only — the result DataFrame stays lazy
       // drain the async listener bus behind a sentinel action, then wait
@@ -189,14 +210,14 @@ class GraphSpec extends AnyFunSuite {
       val deadline = System.currentTimeMillis() + 20000
       while (System.currentTimeMillis() < deadline && jobs.size == before)
         Thread.sleep(50)
-      Thread.sleep(500)
+      settle()
       // The build's only action is the fused isStarSet probe; its isEmpty
       // may take 1–2 incremental executeTake jobs. The retired
       // eager-checkpoint shape paid 2 extra materialization jobs (edges0,
       // e) BEFORE the probe — 4+ total. Sentinel included in the count.
-      assert(jobs.size <= 3,
-        s"eager materialization jobs leaked back in: ${jobs.size} jobs " +
-          "for an already-star build (expected fused probe + sentinel)")
+      assert(jobs.size - base <= 3,
+        s"eager materialization jobs leaked back in: ${jobs.size - base} " +
+          "jobs for an already-star build (expected fused probe + sentinel)")
     } finally {
       sc.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)

@@ -454,6 +454,17 @@ class PipelineSpec extends AnyFunSuite {
     // of each batch vec_id; the guarded REPLAY must not make a third
     assert(afterReplay == 0L,
       "guarded replay duplicated vec_ids in the lists layout")
+    // the guard is scoped to the STREAM: a different stream's batch 7 is
+    // new data (per-stream batch ids restart at 0), not a replay — it must
+    // append, and only IT (batch vec_ids now at 3 copies, never 4)
+    Vectors.ivfAppendBatch(spark, out, batch, batchId = Some(7L),
+      streamId = "gen2")
+    Vectors.ivfAppendBatch(spark, out, batch, batchId = Some(7L),
+      streamId = "gen2")
+    val counts = spark.read.parquet(s"$out/lists")
+      .groupBy("vec_id").count().agg(max(col("count"))).as[Long].head()
+    assert(counts == 3L,
+      s"cross-stream append broke the scope: max copies $counts (want 3)")
   }
 
   test("q71 recall gate: IVF recall clears the floor with margin, LSH " +
@@ -722,6 +733,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.imageDims(
       Array(0xff.toByte, 0xd8.toByte) ++ "garbage after SOI".getBytes).isEmpty)
     assert(Multimodal.imageDims(Array.empty[Byte]).isEmpty)
+    // a TRUNCATED frame header (len < 8 can't hold precision+h+w) must be
+    // refused, not have its "dims" read from the following segment's bytes
+    val truncatedSof = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xc0, Array.empty[Byte]) ++ seg(0xdb, Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(Multimodal.imageDims(truncatedSof).isEmpty,
+      "dims were read past a truncated SOF segment's payload")
   }
 
   test("multimodal: extractImageFeatures carries real dimensions for image " +
