@@ -15,6 +15,11 @@ import graft.TripleStore.triples
   */
 object Graph {
 
+  /** Default [[ccStar]] local-finish threshold: switch to the in-driver
+    * union-find once a round's contracted edge set is at most this many
+    * edges (~150 MB of boxed string pairs — size to the driver heap). */
+  val LocalFinishDefault: Long = 1L << 20
+
   /** Entity-valued edge list. */
   def edges(spark: SparkSession, dir: String): DataFrame =
     triples(spark, dir)
@@ -161,7 +166,7 @@ object Graph {
     * including isolated self-loop-only nodes.
     *
     * Driver-job budget: ONE blocking job per round. Each round's edge set is
-    * marked with a LAZY checkpoint and the [[isStarSet]] probe's aggregate
+    * marked with a LAZY checkpoint and the star-fixed-point probe's aggregate
     * action is what materializes it — the probe job computes the round's
     * partitions (cached/truncated by the checkpoint machinery as they
     * stream through) AND the fixed-point flag in the same job, where the
@@ -187,9 +192,27 @@ object Graph {
     * that would otherwise accumulate per round × per invocation); the
     * FINAL round's and the input snapshot's files back the returned lazy
     * DataFrame and stay — the caller owns the dir's lifecycle once done
-    * consuming the result. */
+    * consuming the result.
+    *
+    * `localFinishEdges`: star contraction shrinks the edge set
+    * GEOMETRICALLY, so the last several rounds each pay a full
+    * probe-job + 3-exchange round to contract an edge set that already
+    * fits in driver memory. Once a round's probe reports at most this many
+    * edges (the probe's aggregate returns the count for free — same single
+    * job), the remaining rounds are replaced by ONE collect of the
+    * contracted set and an in-driver union-find that emits the star fixed
+    * point directly — on an iterative query whose latency floor is its
+    * driver-blocking job count (BENCH_NOTES r10: the r9 q60 anomaly), this
+    * cuts the tail of small rounds to two jobs total. The threshold bounds
+    * DRIVER MEMORY, not input size: at 100 TB the early rounds run fully
+    * distributed and the switch happens exactly when the survivor set is
+    * provably small (~150 MB of boxed strings at the 1M default — size it
+    * to the driver heap; 0 disables the finish entirely). Labels are
+    * IDENTICAL either way: union-find keeps each component's minimum as
+    * its root, the same fixed point the star rounds converge to. */
   def ccStar(edgeDf: DataFrame, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localFinishEdges: Long = LocalFinishDefault): DataFrame = {
     checkpointDir.foreach(edgeDf.sparkSession.sparkContext.setCheckpointDir)
     // LAZY materialization mark: the next action through the result both
     // computes and pins it. Reliable mode writes checkpoint files in a
@@ -207,20 +230,22 @@ object Graph {
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.flatMap(_.getCheckpointFile)
+    def deleteReliable(old: String): Unit =
+      try {
+        val p = new org.apache.hadoop.fs.Path(old)
+        p.getFileSystem(
+          edgeDf.sparkSession.sessionState.newHadoopConf())
+          .delete(p, true)
+        ()
+      } catch {
+        case scala.util.control.NonFatal(ex) => System.err.println(
+          s"[graft.Graph] ccStar: could not delete superseded " +
+            s"checkpoint $old: $ex")
+      }
     def dropSuperseded(oldRound: DataFrame, newRound: DataFrame): Unit =
       // best-effort, and ONLY once the new round's files verifiably exist
       for (_ <- reliableFile(newRound); old <- reliableFile(oldRound))
-        try {
-          val p = new org.apache.hadoop.fs.Path(old)
-          p.getFileSystem(
-            edgeDf.sparkSession.sessionState.newHadoopConf())
-            .delete(p, true)
-          ()
-        } catch {
-          case scala.util.control.NonFatal(ex) => System.err.println(
-            s"[graft.Graph] ccStar: could not delete superseded " +
-              s"checkpoint $old: $ex")
-        }
+        deleteReliable(old)
     // one materialization of the input: the edge list feeds canon here AND
     // both sides of the closing node-domain union — without this the source
     // scan (a parquet read for the store graph) runs three times
@@ -236,26 +261,34 @@ object Graph {
     // either star step to a star set reproduces it. ONE aggregate job that
     // BOTH materializes the lazily-marked round (its map side computes every
     // partition of `df`, which the checkpoint mark pins as they stream
-    // through — the limit inside `isEmpty` only trims the post-shuffle read)
-    // AND computes the flag: group the node domain (hi ∪ lo) and flag a
-    // violation when a node is both a hi and a lo, or a hi has two distinct
-    // parents (min ≠ max — cheaper than countDistinct's expand). This
-    // replaces a full ~4-shuffle detection round, the earlier two-probe
-    // (two-job) variant, and (r10) the eager-checkpoint-then-probe
-    // two-job-per-round shape.
-    def isStarSet(df: DataFrame): Boolean = df
-      .select(col("hi").as("node"), col("lo"), lit(1).as("as_hi"))
-      .union(df.select(col("lo").as("node"),
-        lit(null).cast("string").as("lo"), lit(0).as("as_hi")))
-      .groupBy("node")
-      .agg(min(col("lo")).as("lo_min"), max(col("lo")).as("lo_max"),
-        min(col("as_hi")).as("hi_min"), max(col("as_hi")).as("hi_max"))
-      .filter(col("hi_max") === 1 &&
-        (col("hi_min") === 0 || col("lo_min") =!= col("lo_max")))
-      .isEmpty
-    var stable = isStarSet(e) // input may already be stars
+    // through) AND computes the flag: group the node domain (hi ∪ lo) and
+    // flag a violation when a node is both a hi and a lo, or a hi has two
+    // distinct parents (min ≠ max — cheaper than countDistinct's expand).
+    // The same job also returns the round's EDGE COUNT (sum of per-node hi
+    // rows — the set is distinct, so that IS |E|) to drive the local-finish
+    // switch. This replaces a full ~4-shuffle detection round, the earlier
+    // two-probe (two-job) variant, and (r10) the eager-checkpoint-then-
+    // probe two-job-per-round shape.
+    def probe(df: DataFrame): (Boolean, Long) = {
+      val r = df
+        .select(col("hi").as("node"), col("lo"), lit(1L).as("as_hi"))
+        .union(df.select(col("lo").as("node"),
+          lit(null).cast("string").as("lo"), lit(0L).as("as_hi")))
+        .groupBy("node")
+        .agg(min(col("lo")).as("lo_min"), max(col("lo")).as("lo_max"),
+          min(col("as_hi")).as("hi_min"), max(col("as_hi")).as("hi_max"),
+          sum(col("as_hi")).as("n_hi"))
+        .agg(
+          coalesce(sum(when(col("hi_max") === 1 &&
+            (col("hi_min") === 0 || col("lo_min") =!= col("lo_max")), 1L)
+            .otherwise(0L)), lit(0L)).as("violations"),
+          coalesce(sum(col("n_hi")), lit(0L)).as("n_edges"))
+        .head()
+      (r.getLong(0) == 0L, r.getLong(1))
+    }
+    var (stable, nEdges) = probe(e) // input may already be stars
     var iter = 0
-    while (!stable && iter < maxIter) {
+    while (!stable && nEdges > localFinishEdges && iter < maxIter) {
       // large-star over BOTH directions. The per-u neighborhood minimum is
       // a window aggregate, NOT a groupBy + join-back: min-over-partition
       // rides the one shuffle that partitions by u, where the join-back
@@ -282,10 +315,24 @@ object Graph {
           .select(col("lo").as("hi"), col("m").as("lo"))
         .union(withM.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo")).distinct())
-      stable = isStarSet(small)
+      val (s, n) = probe(small)
+      stable = s; nEdges = n
       if (checkpointDir.isDefined) dropSuperseded(e, small)
       e = small
       iter += 1
+    }
+    if (!stable && nEdges <= localFinishEdges) {
+      // Local finish: the contracted set fits the threshold — ONE collect
+      // (cheap: the probe just materialized/pinned these partitions) and an
+      // in-driver union-find replace the remaining O(log) rounds. The
+      // collected round's checkpoint files are dead the moment the local
+      // star set exists (the result plan no longer reads them).
+      val finished = localStarSet(e)
+      // the local set exists by construction (driver memory) — no
+      // new-round file check gates this deletion
+      if (checkpointDir.isDefined) reliableFile(e).foreach(deleteReliable)
+      e = finished
+      stable = true
     }
     // A hit iteration cap without the star fixed point would mean the edge
     // set is only partially contracted — the groupBy/min below would then
@@ -306,5 +353,35 @@ object Graph {
         Seq("node"), "left_outer")
       .groupBy("node")
       .agg(min(coalesce(col("label"), col("node"))).as("label"))
+  }
+
+  /** [[ccStar]]'s local finish: collect the (threshold-bounded) contracted
+    * edge set, union-find it on the driver with each component's MINIMUM
+    * kept as the root (string order — the same total order the star rounds
+    * use), and hand back the star fixed point as a LocalRelation
+    * `(hi, lo)` — accurate size stats, so the closing label join
+    * broadcasts it instead of shuffling the full node domain twice.
+    * Order-insensitive (the root is the component min no matter how the
+    * collected rows interleave), so the output is deterministic. */
+  private def localStarSet(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression: point the walked chain at the root
+      while (c != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    val nodes = scala.collection.mutable.HashSet.empty[String]
+    df.select("hi", "lo").collect().foreach { row =>
+      val a = row.getString(0); val b = row.getString(1)
+      nodes += a; nodes += b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+      .toSeq.toDF("hi", "lo")
   }
 }

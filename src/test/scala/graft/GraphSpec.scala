@@ -83,15 +83,20 @@ class GraphSpec extends AnyFunSuite {
     "and converge to the component minimum") {
     // a hub wired to 2,000 leaves (the fan-in min-label propagation funnels
     // through one reducer key every round), bridged to a long chain, plus a
-    // disjoint pair and an isolated self-loop
+    // disjoint pair and an isolated self-loop. localFinishEdges = 0 pins
+    // the DISTRIBUTED star rounds (the default would collect this tiny set
+    // after the first probe and never contract).
     val hub = (1 to 2000).map(i => ("<hub>", f"<leaf_$i%04d>"))
     val chain = (1 until 30).map(i => (f"<chain_$i%02d>", f"<chain_${i + 1}%02d>"))
     val bridge = Seq(("<leaf_0001>", "<chain_01>"))
     val rest = Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
     val edgeSeq = hub ++ chain ++ bridge ++ rest
     val edges = edgeSeq.toDF("src", "dst")
-    val star = Graph.ccStar(edges).as[(String, String)].collect().toMap
+    val star = Graph.ccStar(edges, localFinishEdges = 0)
+      .as[(String, String)].collect().toMap
     assert(star == unionFindLabels(edgeSeq))
+    // and the local-finish path (default threshold) agrees exactly
+    assert(Graph.ccStar(edges).as[(String, String)].collect().toMap == star)
     // the big component's min is <chain_01>; every hub/leaf/chain node joins
     assert(star("<hub>") == "<chain_01>")
     assert(star("<leaf_2000>") == "<chain_01>")
@@ -102,13 +107,19 @@ class GraphSpec extends AnyFunSuite {
   test("ccStar refuses to return labels when the iteration cap is hit " +
     "before the star fixed point") {
     // a 30-node chain is far from star-shaped after one round; a silent
-    // return here would hand back split components (ADVICE r6)
+    // return here would hand back split components (ADVICE r6). The local
+    // finish is disabled — it would (correctly) solve any under-threshold
+    // set without iterating, which is exactly what this test must not let
+    // mask a cap regression on the distributed path.
     val chain = (1 until 30).map(i => (f"<c_$i%02d>", f"<c_${i + 1}%02d>"))
     val e = chain.toDF("src", "dst")
-    val ex = intercept[IllegalArgumentException] { Graph.ccStar(e, maxIter = 1) }
+    val ex = intercept[IllegalArgumentException] {
+      Graph.ccStar(e, maxIter = 1, localFinishEdges = 0)
+    }
     assert(ex.getMessage.contains("star fixed point"))
     // and the same input converges fine under the default cap
-    val ok = Graph.ccStar(e).as[(String, String)].collect().toMap
+    val ok = Graph.ccStar(e, localFinishEdges = 0)
+      .as[(String, String)].collect().toMap
     assert(ok.values.toSet == Set("<c_01>"))
   }
 
@@ -158,7 +169,7 @@ class GraphSpec extends AnyFunSuite {
       ("<e>", "<d>"), ("<f>", "<e>"), ("<g>", "<f>"))
     val edgeSeq = hub ++ chain ++ Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
     val got = Graph.ccStar(edgeSeq.toDF("src", "dst"),
-        checkpointDir = Some(dir.toString))
+        checkpointDir = Some(dir.toString), localFinishEdges = 0)
       .as[(String, String)].collect().toMap
     assert(got == unionFindLabels(edgeSeq))
     // reliable mode must have written real checkpoint data (rdd-* dirs
@@ -171,6 +182,73 @@ class GraphSpec extends AnyFunSuite {
     assert(rddDirs(dir.toFile).length == 2,
       s"expected exactly input-snapshot + final-round checkpoints under " +
         s"$dir, found: ${rddDirs(dir.toFile).map(_.getName).mkString(",")}")
+  }
+
+  test("ccStar local finish under a reliable checkpoint dir: same labels, " +
+    "and the collected round's files are deleted too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccstar_lf_ckpt")
+    val chain = Seq(("<b>", "<a>"), ("<c>", "<b>"), ("<d>", "<c>"),
+      ("<e>", "<d>"))
+    val edgeSeq = chain ++ Seq(("<p>", "<q>"), ("<solo>", "<solo>"))
+    val got = Graph.ccStar(edgeSeq.toDF("src", "dst"),
+        checkpointDir = Some(dir.toString))
+      .as[(String, String)].collect().toMap
+    assert(got == unionFindLabels(edgeSeq))
+    // under the default threshold the first probe hands the whole set to
+    // the driver: the canonical round's checkpoint is dead the moment the
+    // local star set exists, so ONLY the input snapshot's files survive
+    def rddDirs(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles).getOrElse(Array.empty)
+        .flatMap(c => if (c.getName.startsWith("rdd-")) Array(c) else rddDirs(c))
+    assert(rddDirs(dir.toFile).length == 1,
+      s"expected only the input snapshot's checkpoint under $dir, found: " +
+        rddDirs(dir.toFile).map(_.getName).mkString(","))
+  }
+
+  test("ccStar local finish replaces the round tail with probe + collect: " +
+    "a multi-round chain builds AND labels in a fixed small job budget") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.add(js.jobId); ()
+      }
+    }
+    val sc = spark.sparkContext
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.addSparkListener(listener)
+    try {
+      def settle(): Unit = {
+        var prev = -1
+        val deadline = System.currentTimeMillis() + 10000
+        while (jobs.size != prev && System.currentTimeMillis() < deadline) {
+          prev = jobs.size
+          Thread.sleep(200)
+        }
+      }
+      settle()
+      val base = jobs.size
+      // a chain this long needs multiple distributed contraction rounds —
+      // each a blocking probe job plus 3 exchanges. The local finish must
+      // spend exactly ONE probe and ONE collect instead, regardless of the
+      // chain's diameter.
+      val chain = (1 until 40).map(i => (f"<c_$i%02d>", f"<c_${i + 1}%02d>"))
+      val labels = Graph.ccStar(chain.toDF("src", "dst"))
+        .as[(String, String)].collect().toMap
+      assert(labels.values.toSet == Set("<c_01>"))
+      settle()
+      // probe (head: 1–2 incremental jobs) + local-finish collect + the
+      // final label collect — far under the ~5 jobs even TWO distributed
+      // rounds would add on top
+      assert(jobs.size - base <= 4,
+        s"local finish did not bound the job count: ${jobs.size - base} " +
+          "jobs for an under-threshold chain (expected probe + collect + " +
+          "label collect)")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
   }
 
   test("ccStar build pays no eager materialization jobs: an already-star " +
