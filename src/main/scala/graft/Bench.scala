@@ -87,14 +87,31 @@ object Bench {
         med(used.map(_._3.toDouble)).toLong, err)
     }
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:$v" }.mkString("{", ",", "}")
+    def sec(v: Double) = f"$v%.3f" // median of 3 carries ±0.1 s noise; ms is plenty
+    val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
     val jobs = results.map { case (k, _, j, _, _) => s"${js(k)}:$j" }.mkString("{", ",", "}")
     val stages = results.map { case (k, _, _, st, _) => s"${js(k)}:$st" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, _, Some(e)) => s"${js(k)}:${js(e)}" }
       .mkString("{", ",", "}")
     val ok = results.filter(_._5.isEmpty)
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
+    // The stdout contract is ONE parseable JSON line, and the harness that
+    // reads it keeps only a bounded tail of the output — r10's line carried
+    // the full jobs/stages maps, overflowed that window, and the round lost
+    // its bench numbers to a parse failure. So the line stays compact
+    // (seconds + errors only) and the per-query job/stage tally lands in
+    // BENCH_DETAIL.json next to the build instead (BENCH_METHOD.md).
+    val detail =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft.Bench] could not write BENCH_DETAIL.json: $e")
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters.SeqHasAsJava
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -270,10 +272,14 @@ object Graph {
     // two-probe (two-job) variant, and (r10) the eager-checkpoint-then-
     // probe two-job-per-round shape.
     def probe(df: DataFrame): (Boolean, Long) = {
+      // the null filler must carry the NODE type: a hard-coded string cast
+      // would union-coerce a numeric `lo` column to string (legal but a
+      // silent re-type of every row through the aggregate)
+      val loType = df.schema("lo").dataType
       val r = df
         .select(col("hi").as("node"), col("lo"), lit(1L).as("as_hi"))
         .union(df.select(col("lo").as("node"),
-          lit(null).cast("string").as("lo"), lit(0L).as("as_hi")))
+          lit(null).cast(loType).as("lo"), lit(0L).as("as_hi")))
         .groupBy("node")
         .agg(min(col("lo")).as("lo_min"), max(col("lo")).as("lo_max"),
           min(col("as_hi")).as("hi_min"), max(col("as_hi")).as("hi_max"),
@@ -286,9 +292,14 @@ object Graph {
         .head()
       (r.getLong(0) == 0L, r.getLong(1))
     }
+    // node-id types the driver-side union-find can't order identically to
+    // Catalyst stay fully distributed (threshold 0 = finish disabled)
+    val finishEdges =
+      if (localFinishSupported(e.schema("hi").dataType)) localFinishEdges
+      else 0L
     var (stable, nEdges) = probe(e) // input may already be stars
     var iter = 0
-    while (!stable && nEdges > localFinishEdges && iter < maxIter) {
+    while (!stable && nEdges > finishEdges && iter < maxIter) {
       // large-star over BOTH directions. The per-u neighborhood minimum is
       // a window aggregate, NOT a groupBy + join-back: min-over-partition
       // rides the one shuffle that partitions by u, where the join-back
@@ -321,7 +332,7 @@ object Graph {
       e = small
       iter += 1
     }
-    if (!stable && nEdges <= localFinishEdges) {
+    if (!stable && nEdges <= finishEdges) {
       // Local finish: the contracted set fits the threshold — ONE collect
       // (cheap: the probe just materialized/pinned these partitions) and an
       // in-driver union-find replace the remaining O(log) rounds. The
@@ -357,31 +368,78 @@ object Graph {
 
   /** [[ccStar]]'s local finish: collect the (threshold-bounded) contracted
     * edge set, union-find it on the driver with each component's MINIMUM
-    * kept as the root (string order — the same total order the star rounds
-    * use), and hand back the star fixed point as a LocalRelation
-    * `(hi, lo)` — accurate size stats, so the closing label join
-    * broadcasts it instead of shuffling the full node domain twice.
+    * kept as the root, and hand back the star fixed point as a
+    * LocalRelation `(hi, lo)` — accurate size stats, so the closing label
+    * join broadcasts it instead of shuffling the full node domain twice.
     * Order-insensitive (the root is the component min no matter how the
-    * collected rows interleave), so the output is deterministic. */
+    * collected rows interleave), so the output is deterministic.
+    *
+    * GENERIC over the node type — the star rounds compare node ids with
+    * Catalyst's ordering on whatever the edge columns carry (q33 feeds
+    * `<entity>` strings, q60 feeds BIGINT doc ids), so the driver-side
+    * finish must use the SAME total order or the two materialization paths
+    * would crown different roots. For strings that order is UTF8String's
+    * BINARY (UTF-8 byte) comparison, which disagrees with Java
+    * `String.compareTo` (UTF-16 code-unit order) exactly at the
+    * astral/U+FFFF boundary the store's fixtures pin — so strings compare
+    * through [[org.apache.spark.unsafe.types.UTF8String]], not `<`. */
   private def localStarSet(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+    val proj = df.select("hi", "lo")
+    val schema = proj.schema
+    val lt = localNodeLt(schema.head.dataType)
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
       var c = x // path compression: point the walked chain at the root
       while (c != r) { val next = parent(c); parent(c) = r; c = next }
       r
     }
-    val nodes = scala.collection.mutable.HashSet.empty[String]
-    df.select("hi", "lo").collect().foreach { row =>
-      val a = row.getString(0); val b = row.getString(1)
+    val nodes = scala.collection.mutable.HashSet.empty[Any]
+    proj.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
       nodes += a; nodes += b
       val ra = find(a); val rb = find(b)
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }
-    nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
-      .toSeq.toDF("hi", "lo")
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      nodes.iterator.map(n => (n, find(n))).collect {
+        case (n, r) if n != r => org.apache.spark.sql.Row(n, r)
+      }.toSeq.asJava
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Strict less-than matching Catalyst's ascending order for the atomic
+    * node-id types a graph edge list can carry. Types outside this set
+    * never reach here — [[ccStar]] disables the local finish for them. */
+  private def localNodeLt(dt: org.apache.spark.sql.types.DataType)
+      : (Any, Any) => Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        (a, b) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b.asInstanceOf[String])) < 0
+      case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case ShortType   => (a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short]
+      case ByteType    => (a, b) => a.asInstanceOf[Byte] < b.asInstanceOf[Byte]
+      case other => throw new IllegalArgumentException(
+        s"ccStar local finish: unsupported node id type $other")
+    }
+  }
+
+  /** True when [[localStarSet]] can finish a graph whose node ids have this
+    * type; anything else keeps the contraction fully distributed. */
+  private[operators] def localFinishSupported(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
   }
 }

@@ -21,10 +21,13 @@ object Relational {
 
   import TripleStore.{table, triples}
 
-  /** events.ts is nanosecond-precision parquet; normalize to epoch millis the
-    * same way DuckDB's `epoch_ms(CAST(ts AS TIMESTAMP))` does (floor to ms)
-    * whether Spark surfaces it as a (truncated) timestamp or as raw ns longs. */
-  private[operators] def eventTsMs(df: DataFrame): Column =
+  /** events.ts normalized to epoch millis the same way DuckDB's
+    * `epoch_ms(CAST(ts AS TIMESTAMP))` does (floor to ms), whatever the
+    * parquet physical type: generations of the driver testdata have carried
+    * BOTH timestamp[ns] (surfaced as raw ns longs under `nanosAsLong`) and
+    * timestamp[us] (surfaced as a timestamp), so every consumer — main and
+    * spec — must dispatch on the schema, never assume one. */
+  private[graft] def eventTsMs(df: DataFrame): Column =
     df.schema("ts").dataType match {
       case LongType => expr("ts div 1000000")
       case _        => unix_millis(col("ts").cast(TimestampType))

@@ -104,6 +104,47 @@ class GraphSpec extends AnyFunSuite {
     assert(star("<q>") == "<p>" && star("<solo>") == "<solo>")
   }
 
+  test("ccStar on BIGINT node ids: local finish and distributed rounds " +
+    "agree with union-find (r10 driver regression: q60's doc-id graph)") {
+    // q60 feeds ccStar LONG doc ids, not entity strings — r10's local
+    // finish assumed strings and threw ClassCastException on the first
+    // collected row, killing q60 in the driver's bench AND verify. Pin the
+    // numeric path on both materialization shapes.
+    val edgeSeq = Seq((7L, 3L), (3L, 12L), (100L, 4L), (9L, 9L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val expect = Map(7L -> 3L, 3L -> 3L, 12L -> 3L,
+      100L -> 4L, 4L -> 4L, 9L -> 9L)
+    val local = Graph.ccStar(edges).as[(Long, Long)].collect().toMap
+    val dist = Graph.ccStar(edges, localFinishEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expect)
+    assert(dist == expect)
+  }
+
+  test("ccStar local finish orders strings like Catalyst (UTF-8 binary), " +
+    "not like java.lang.String (UTF-16 code units)") {
+    // U+FFFF's UTF-8 bytes (EF BF BF) sort BELOW the astral chars'
+    // (F0 90 80 8x), while Java's UTF-16 comparison puts the surrogates
+    // (D800 DC0x) below U+FFFF — so the two orders disagree on this
+    // component's minimum. A 3-node chain keeps the input non-star (one
+    // canonical hi with two parents), forcing the local finish to actually
+    // union-find; its label must be the UTF-8 minimum on BOTH
+    // materialization paths, or a local finish would crown a different
+    // root than the star rounds.
+    val a0 = "𐀀" // U+10000
+    val a1 = "𐀁" // U+10001
+    val bmp = "￿" // U+FFFF
+    assert(a0 < bmp && a1 < bmp,
+      "Java order must put astral below U+FFFF for this pin to bite")
+    val edges = Seq((a0, a1), (a1, bmp)).toDF("src", "dst")
+    val local = Graph.ccStar(edges).as[(String, String)].collect().toMap
+    val dist = Graph.ccStar(edges, localFinishEdges = 0)
+      .as[(String, String)].collect().toMap
+    val expect = Map(a0 -> bmp, a1 -> bmp, bmp -> bmp)
+    assert(local == expect)
+    assert(dist == expect)
+  }
+
   test("ccStar refuses to return labels when the iteration cap is hit " +
     "before the star fixed point") {
     // a 30-node chain is far from star-shaped after one round; a silent

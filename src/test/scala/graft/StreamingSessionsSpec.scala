@@ -59,10 +59,12 @@ class StreamingSessionsSpec extends AnyFunSuite {
   test("streaming sessions == batch q39 on the driver's events table") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
-    // nanosAsLong=true in the test session: surface ts as a real timestamp
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // surface ts as a real ms-floored timestamp whatever the parquet
+    // generation carries (ns longs under nanosAsLong, or us timestamps)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = raw
       .select(col("user_id"), col("event_id"),
-        timestamp_millis(expr("ts div 1000000")).as("ts"), col("value"))
+        timestamp_millis(Relational.eventTsMs(raw)).as("ts"), col("value"))
     val rows = ev.as[(Long, Long, Timestamp, Double)].collect()
     val maxTs = rows.map(_._3.getTime).max
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Temporal
+import graft.operators.{Relational, Temporal}
 
 /** The temporal join operators: binned range join + union-window as-of join.
   * Semantics on hand-built frames, plan shape on the gate queries (the scale
@@ -61,9 +61,10 @@ class TemporalSpec extends AnyFunSuite {
   }
 
   test("q45 matches a direct (unscalable) inequality-join evaluation") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = raw
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
-        expr("ts div 1000000").as("ts_ms"))
+        Relational.eventTsMs(raw).as("ts_ms"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("win_id"),
         col("ts_ms").as("ws"))
@@ -119,10 +120,14 @@ class TemporalSpec extends AnyFunSuite {
   }
 
   test("q46 matches a direct (unscalable) inequality-join evaluation") {
-    spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("ev_asof")
+    // the view pre-normalizes ts to epoch ms so the SQL twin is agnostic to
+    // the parquet timestamp generation (ns longs vs us timestamps)
+    val rawAsof = spark.read.parquet(s"$sf/events.parquet")
+    rawAsof.withColumn("ts_ms", Relational.eventTsMs(rawAsof))
+      .createOrReplaceTempView("ev_asof")
     val naive = spark.sql(
       s"""WITH e AS (SELECT user_id, event_id, event_type, round(value, 2) AS value,
-         |                  ts div 1000000 AS ts_ms FROM ev_asof),
+         |                  ts_ms FROM ev_asof),
          |l AS (SELECT * FROM e WHERE event_type <> 'purchase'),
          |r AS (SELECT user_id AS ru, ts_ms AS rt, event_id AS rid, value AS rv
          |      FROM e WHERE event_type = 'purchase')
