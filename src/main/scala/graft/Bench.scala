@@ -88,6 +88,12 @@ object Bench {
     }
     def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def sec(v: Double) = f"$v%.3f" // median of 3 carries ±0.1 s noise; ms is plenty
+    // stdout-line values get one less decimal: the harness tail that must
+    // contain the whole line is 2000 chars, and at 73 entries every byte of
+    // margin counts (±10 ms is inside the run-to-run noise anyway)
+    def sec2(v: Double) = f"$v%.2f"
+    val qsLine = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec2(v)}" }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val jobs = results.map { case (k, _, j, _, _) => s"${js(k)}:$j" }.mkString("{", ",", "}")
@@ -111,7 +117,11 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft.Bench] could not write BENCH_DETAIL.json: $e")
     }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
+    // errors only when present: the empty map would spend line budget on
+    // the healthy case, and its absence IS the healthy signal (n_err 0)
+    val errsLine =
+      if (results.size == ok.size) "" else s""","errors":$errs"""
+    println(s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsLine$errsLine,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

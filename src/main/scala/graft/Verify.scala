@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is timestamp[ns]; surface it as raw ns longs (the
-      // eventTsMs LongType branch) instead of aborting the read.
+      // older testdata generations carry timestamp[ns] events; surface
+      // those as raw ns longs (eventTsMs's LongType branch) instead of
+      // aborting the read — a no-op on the timestamp[us] generation.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // q31's bucketed tables are catalog tables; keep their managed
