@@ -86,30 +86,7 @@ object Bench {
       (name, med(used.map(_._1)), med(used.map(_._2.toDouble)).toLong,
         med(used.map(_._3.toDouble)).toLong, err)
     }
-    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    def sec(v: Double) = f"$v%.3f" // median of 3 carries ±0.1 s noise; ms is plenty
-    // stdout-line values get one less decimal: the harness tail that must
-    // contain the whole line is 2000 chars, and at 73 entries every byte of
-    // margin counts (±10 ms is inside the run-to-run noise anyway)
-    def sec2(v: Double) = f"$v%.2f"
-    val qsLine = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec2(v)}" }
-      .mkString("{", ",", "}")
-    val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec(v)}" }
-      .mkString("{", ",", "}")
-    val jobs = results.map { case (k, _, j, _, _) => s"${js(k)}:$j" }.mkString("{", ",", "}")
-    val stages = results.map { case (k, _, _, st, _) => s"${js(k)}:$st" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${js(k)}:${js(e)}" }
-      .mkString("{", ",", "}")
-    val ok = results.filter(_._5.isEmpty)
-    val total = ok.map(_._2).sum
-    // The stdout contract is ONE parseable JSON line, and the harness that
-    // reads it keeps only a bounded tail of the output — r10's line carried
-    // the full jobs/stages maps, overflowed that window, and the round lost
-    // its bench numbers to a parse failure. So the line stays compact
-    // (seconds + errors only) and the per-query job/stage tally lands in
-    // BENCH_DETAIL.json next to the build instead (BENCH_METHOD.md).
-    val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":$errs,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}"""
+    val detail = renderDetail(results, sfDir)
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(detail) finally w.close()
@@ -117,11 +94,57 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft.Bench] could not write BENCH_DETAIL.json: $e")
     }
+    println(renderLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** One result row: (query name, median seconds, median jobs, median
+    * stages, first error class if any run failed). */
+  type Result = (String, Double, Long, Long, Option[String])
+
+  private def js(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def sec(v: Double) = f"$v%.3f" // ±0.1 s run noise; ms is plenty
+  // stdout-line values get one less decimal: the harness tail that must
+  // contain the whole line is 2000 chars, and at 73 entries every byte of
+  // margin counts (±10 ms is inside the run-to-run noise anyway)
+  private def sec2(v: Double) = f"$v%.2f"
+  private def errsJson(results: Seq[Result]) = results
+    .collect { case (k, _, _, _, Some(e)) => s"${js(k)}:${js(e)}" }
+    .mkString("{", ",", "}")
+
+  /** The stdout contract: ONE parseable JSON line, and the harness that
+    * reads it keeps only a 2,000-char tail of the run's output (with sbt's
+    * success trailer behind the line) — r10's line carried the full
+    * jobs/stages maps, overflowed that window, and the round lost its bench
+    * numbers to a parse failure — and inspection showed every round's line
+    * back to r5 had already overflowed it. So the line stays compact —
+    * 2-decimal seconds, errors only when any — and the full tally is
+    * [[renderDetail]]'s file instead (BENCH_METHOD.md rules 7–8).
+    * BenchFormatSpec pins the budget against the REAL gate roster. */
+  private[graft] def renderLine(results: Seq[Result], sfDir: String): String = {
+    val qsLine = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec2(v)}" }
+      .mkString("{", ",", "}")
+    val ok = results.count(_._5.isEmpty)
     // errors only when present: the empty map would spend line budget on
     // the healthy case, and its absence IS the healthy signal (n_err 0)
     val errsLine =
-      if (results.size == ok.size) "" else s""","errors":$errs"""
-    println(s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsLine$errsLine,"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}""")
-    spark.stop()
+      if (ok == results.size) "" else s""","errors":${errsJson(results)}"""
+    val total = results.filter(_._5.isEmpty).map(_._2).sum
+    s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsLine$errsLine,"n_ok":$ok,"n_err":${results.size - ok},"sf":"$sfDir"}"""
+  }
+
+  /** The full record (3-decimal seconds + per-query job/stage medians),
+    * written to `BENCH_DETAIL.json` and committed at round close. */
+  private[graft] def renderDetail(results: Seq[Result], sfDir: String): String = {
+    val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec(v)}" }
+      .mkString("{", ",", "}")
+    val jobs = results.map { case (k, _, j, _, _) => s"${js(k)}:$j" }
+      .mkString("{", ",", "}")
+    val stages = results.map { case (k, _, _, st, _) => s"${js(k)}:$st" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._5.isEmpty)
+    val total = ok.map(_._2).sum
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":${errsJson(results)},"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}"""
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench stdout line is read by a harness that keeps only a 2,000-char
+  * tail of the run's output, with sbt's `[info] ` prefix ahead of the line
+  * and its `[success] Total time: ...` trailer behind it — so the line must
+  * stay comfortably under budget AT THE REAL GATE SIZE or the round's
+  * numbers are lost to a parse failure (BENCH_r05–r10 all shipped
+  * `parsed: null` this way). No Spark session needed: this pins pure
+  * string rendering against the actual `SparkEntry.queries` roster. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  /** ~90 chars of non-line bytes observed in real harness tails: the sbt
+    * `[info] ` prefix, the success trailer, and the newlines around them. */
+  private val TailOverheadBudget = 100
+  private val TailWindow = 2000
+
+  // worst-case realistic medians: 3-digit seconds for every query
+  private def healthy: Seq[Bench.Result] =
+    SparkEntry.queries.keys.toSeq.sorted.map(q => (q, 999.994, 99L, 999L,
+      Option.empty[String]))
+
+  test("stdout line fits the harness tail window at the real gate size, " +
+    "with worst-case 3-digit timings") {
+    val line = Bench.renderLine(healthy, "/root/testdata/sf0.1")
+    assert(line.length + TailOverheadBudget <= TailWindow,
+      s"bench stdout line is ${line.length} chars — the ${TailWindow}-char " +
+        "harness tail would truncate it (grow BENCH_DETAIL.json, not the " +
+        "line; see BENCH_METHOD.md rule 8)")
+  }
+
+  test("stdout line is valid JSON with the contract keys, and omits the " +
+    "errors map when healthy") {
+    val line = Bench.renderLine(healthy, "/sf")
+    val parsed = JsonMethods.parse(line)
+    val keys = parsed.asInstanceOf[org.json4s.JObject].obj.map(_._1).toSet
+    assert(keys == Set("metric", "value", "unit", "queries", "n_ok", "n_err",
+      "sf"))
+    val n = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.size
+    assert(n == SparkEntry.queries.size)
+  }
+
+  test("a failed query surfaces in the line's errors map and is excluded " +
+    "from the total") {
+    val mixed = Seq[Bench.Result](
+      ("q_ok", 1.5, 3L, 4L, None),
+      ("q_bad", 0.01, 1L, 1L, Some("ClassCastException")))
+    val line = Bench.renderLine(mixed, "/sf")
+    val parsed = JsonMethods.parse(line)
+    assert((parsed \ "n_err") == org.json4s.JInt(1))
+    assert((parsed \ "errors" \ "q_bad") ==
+      org.json4s.JString("ClassCastException"))
+    assert((parsed \ "value") == org.json4s.JDouble(1.5))
+  }
+
+  test("detail record parses and carries per-query jobs/stages at full " +
+    "precision") {
+    val detail = Bench.renderDetail(healthy, "/sf")
+    val parsed = JsonMethods.parse(detail)
+    val jobs = (parsed \ "jobs").asInstanceOf[org.json4s.JObject].obj.toMap
+    val stages = (parsed \ "stages").asInstanceOf[org.json4s.JObject].obj
+    assert(jobs.size == SparkEntry.queries.size)
+    assert(stages.size == SparkEntry.queries.size)
+    assert(jobs(SparkEntry.queries.keys.head) == org.json4s.JInt(99))
+  }
+}
