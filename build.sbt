@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's output RAW instead of through sbt's logger:
+// the logger stamps every stdout line with an "[info] " prefix, which
+// breaks line-oriented JSON parsing of Bench/Verify output by whatever
+// invoked sbt (a bare `{"metric":...}` line must reach the caller
+// byte-identical). Stderr (Spark's INFO noise) likewise loses its fake
+// "[error] " tag.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
