@@ -1,0 +1,89 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** One-off measurement: [[Graph.ccStar]]'s two round-materialization modes
+  * at store scale — `localCheckpoint` (executor memory/disk; fastest, but
+  * blocks die with executors) vs a reliable checkpoint dir (survives
+  * executor loss; the 100 TB-cluster trade). GraphSpec proves the modes
+  * label-equivalent at fixture scale; this quantifies the reliable-mode
+  * overhead on millions of edges so BENCH_NOTES carries a measured number
+  * instead of a guess. Also reports per-mode Spark job counts: ccStar's
+  * latency floor at fixed data size is its driver-blocking job count.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.CcModeBench
+  * [sfDir] [replicate]"` — edges are the sf dir's entity graph, optionally
+  * replicated k× with disjoint id suffixes (components stay disjoint per
+  * copy, so labels scale trivially and the work is k× honest edges).
+  */
+object CcModeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val replicate = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    def settled(): Long = {
+      var prev = -1L; var cur = jobs.get()
+      val deadline = System.currentTimeMillis() + 5000
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        prev = cur; Thread.sleep(50); cur = jobs.get()
+      }
+      cur
+    }
+
+    // k disjoint copies of the entity graph, ids suffixed per copy —
+    // materialized once so both modes contract the identical input
+    val base = Graph.edges(spark, sfDir)
+    val edges = (0 until replicate).map { i =>
+      base.select(concat(col("src"), lit(s"#$i")).as("src"),
+        concat(col("dst"), lit(s"#$i")).as("dst"))
+    }.reduce(_ union _).localCheckpoint(true)
+    val nEdges = edges.count()
+
+    def run(mode: String, dir: Option[String]): (Double, Long, Long) = {
+      val j0 = settled()
+      val t0 = System.nanoTime()
+      val labels = Graph.ccStar(edges, checkpointDir = dir)
+      val n = labels.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (dt, settled() - j0, n)
+    }
+    // warmup contraction (JIT/codegen), then timed: local, reliable
+    run("warmup", None)
+    val (tLocal, jLocal, nLocal) = run("local", None)
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_reliable").toString
+    val (tRel, jRel, nRel) = run("reliable", Some(ckDir))
+    require(nLocal == nRel,
+      s"mode disagreement: local $nLocal nodes vs reliable $nRel")
+
+    println(s"""{"metric":"cc_mode_bench","unit":"sec","edges":$nEdges,""" +
+      s""""nodes":$nLocal,"local_sec":${f"$tLocal%.3f"},""" +
+      s""""local_jobs":$jLocal,"reliable_sec":${f"$tRel%.3f"},""" +
+      s""""reliable_jobs":$jRel,"sf":"$sfDir","replicate":$replicate}""")
+    spark.stop()
+  }
+}
