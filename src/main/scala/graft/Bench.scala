@@ -1,21 +1,10 @@
 package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.warehouse.dir",
-        sys.props("java.io.tmpdir") + "/graft_warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create(cpus)
     // Per-query job/stage tally (BENCH_METHOD.md): an iterative query's cost
     // at fixed data size is dominated by its driver-blocking job count, so a
     // time regression with a flat job count is environment noise while a
@@ -87,12 +76,15 @@ object Bench {
         med(used.map(_._3.toDouble)).toLong, err)
     }
     val detail = renderDetail(results, sfDir)
+    // per-sf file name: an sf0.001 smoke run must not clobber the committed
+    // sf0.1 round-close artifact sitting in the same working directory
+    val detailPath = detailFileName(sfDir)
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[graft.Bench] could not write BENCH_DETAIL.json: $e")
+        System.err.println(s"[graft.Bench] could not write $detailPath: $e")
     }
     println(renderLine(results, sfDir))
     spark.stop()
@@ -104,11 +96,16 @@ object Bench {
 
   private def js(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-  private def sec(v: Double) = f"$v%.3f" // ±0.1 s run noise; ms is plenty
+  // Locale.ROOT, NOT the f interpolator: String.format under a
+  // comma-decimal default locale (de_DE etc.) would render 0.72 as "0,72"
+  // and break the JSON the line-budget work exists to make parseable.
+  private def sec(v: Double) = // ±0.1 s run noise; ms is plenty
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   // stdout-line values get one less decimal: the harness tail that must
   // contain the whole line is 2000 chars, and at 73 entries every byte of
   // margin counts (±10 ms is inside the run-to-run noise anyway)
-  private def sec2(v: Double) = f"$v%.2f"
+  private def sec2(v: Double) =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
   private def errsJson(results: Seq[Result]) = results
     .collect { case (k, _, _, _, Some(e)) => s"${js(k)}:${js(e)}" }
     .mkString("{", ",", "}")
@@ -131,11 +128,15 @@ object Bench {
     val errsLine =
       if (ok == results.size) "" else s""","errors":${errsJson(results)}"""
     val total = results.filter(_._5.isEmpty).map(_._2).sum
-    s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsLine$errsLine,"n_ok":$ok,"n_err":${results.size - ok},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec2(total)},"unit":"sec","queries":$qsLine$errsLine,"n_ok":$ok,"n_err":${results.size - ok},"sf":${js(sfDir)}}"""
   }
 
+  /** `BENCH_DETAIL_<sf-basename>.json` — e.g. `BENCH_DETAIL_sf0.1.json`. */
+  private[graft] def detailFileName(sfDir: String): String =
+    "BENCH_DETAIL_" + new java.io.File(sfDir).getName + ".json"
+
   /** The full record (3-decimal seconds + per-query job/stage medians),
-    * written to `BENCH_DETAIL.json` and committed at round close. */
+    * written to [[detailFileName]] and committed at round close. */
   private[graft] def renderDetail(results: Seq[Result], sfDir: String): String = {
     val qs = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
@@ -145,6 +146,6 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._5.isEmpty)
     val total = ok.map(_._2).sum
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":${errsJson(results)},"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"jobs":$jobs,"stages":$stages,"errors":${errsJson(results)},"n_ok":${ok.size},"n_err":${results.size - ok.size},"sf":${js(sfDir)}}"""
   }
 }

@@ -387,7 +387,11 @@ object Graph {
     val spark = df.sparkSession
     val proj = df.select("hi", "lo")
     val schema = proj.schema
-    val lt = localNodeLt(schema.head.dataType)
+    val lt = localNodeLt(schema.head.dataType).getOrElse(
+      // unreachable: ccStar gates the local finish on localFinishSupported
+      throw new IllegalStateException(
+        s"ccStar local finish on unsupported node id type " +
+          s"${schema.head.dataType}"))
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -411,35 +415,37 @@ object Graph {
   }
 
   /** Strict less-than matching Catalyst's ascending order for the atomic
-    * node-id types a graph edge list can carry. Types outside this set
-    * never reach here — [[ccStar]] disables the local finish for them. */
+    * node-id types a graph edge list can carry; `None` for anything else.
+    * [[localFinishSupported]] is DERIVED from this (`isDefined`), so the
+    * supported set and the comparator can never drift apart — a split list
+    * would turn the documented stay-distributed fallback into a mid-query
+    * throw the moment one side gained a type the other lacked. */
   private def localNodeLt(dt: org.apache.spark.sql.types.DataType)
-      : (Any, Any) => Boolean = {
+      : Option[(Any, Any) => Boolean] = {
     import org.apache.spark.sql.types._
     dt match {
-      case StringType =>
+      case StringType => Some {
         (a, b) =>
           org.apache.spark.unsafe.types.UTF8String
             .fromString(a.asInstanceOf[String])
             .compareTo(org.apache.spark.unsafe.types.UTF8String
               .fromString(b.asInstanceOf[String])) < 0
-      case LongType    => (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-      case IntegerType => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
-      case ShortType   => (a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short]
-      case ByteType    => (a, b) => a.asInstanceOf[Byte] < b.asInstanceOf[Byte]
-      case other => throw new IllegalArgumentException(
-        s"ccStar local finish: unsupported node id type $other")
+      }
+      case LongType =>
+        Some((a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long])
+      case IntegerType =>
+        Some((a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int])
+      case ShortType =>
+        Some((a, b) => a.asInstanceOf[Short] < b.asInstanceOf[Short])
+      case ByteType =>
+        Some((a, b) => a.asInstanceOf[Byte] < b.asInstanceOf[Byte])
+      case _ => None
     }
   }
 
   /** True when [[localStarSet]] can finish a graph whose node ids have this
     * type; anything else keeps the contraction fully distributed. */
   private[operators] def localFinishSupported(
-      dt: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case StringType | LongType | IntegerType | ShortType | ByteType => true
-      case _ => false
-    }
-  }
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    localNodeLt(dt).isDefined
 }

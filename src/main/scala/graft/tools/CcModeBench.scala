@@ -27,17 +27,7 @@ object CcModeBench {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val replicate = if (args.length > 1) args(1).toInt else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.warehouse.dir",
-        sys.props("java.io.tmpdir") + "/graft_warehouse")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.LocalSession.create(cpus)
 
     val jobs = new AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -63,7 +53,7 @@ object CcModeBench {
     }.reduce(_ union _).localCheckpoint(true)
     val nEdges = edges.count()
 
-    def run(mode: String, dir: Option[String]): (Double, Long, Long) = {
+    def run(dir: Option[String]): (Double, Long, Long) = {
       val j0 = settled()
       val t0 = System.nanoTime()
       val labels = Graph.ccStar(edges, checkpointDir = dir)
@@ -72,17 +62,22 @@ object CcModeBench {
       (dt, settled() - j0, n)
     }
     // warmup contraction (JIT/codegen), then timed: local, reliable
-    run("warmup", None)
-    val (tLocal, jLocal, nLocal) = run("local", None)
+    run(None)
+    val (tLocal, jLocal, nLocal) = run(None)
     val ckDir = java.nio.file.Files
-      .createTempDirectory("graft_cc_reliable").toString
-    val (tRel, jRel, nRel) = run("reliable", Some(ckDir))
+      .createTempDirectory("graft_cc_reliable")
+    val (tRel, jRel, nRel) = run(Some(ckDir.toString))
     require(nLocal == nRel,
       s"mode disagreement: local $nLocal nodes vs reliable $nRel")
+    // the labels were consumed (count) — this caller owns the checkpoint
+    // dir's lifecycle now, per ccStar's scaladoc
+    org.apache.commons.io.FileUtils.deleteDirectory(ckDir.toFile)
 
+    def sec(v: Double) = // Locale.ROOT: comma-decimal locales break JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"cc_mode_bench","unit":"sec","edges":$nEdges,""" +
-      s""""nodes":$nLocal,"local_sec":${f"$tLocal%.3f"},""" +
-      s""""local_jobs":$jLocal,"reliable_sec":${f"$tRel%.3f"},""" +
+      s""""nodes":$nLocal,"local_sec":${sec(tLocal)},""" +
+      s""""local_jobs":$jLocal,"reliable_sec":${sec(tRel)},""" +
       s""""reliable_jobs":$jRel,"sf":"$sfDir","replicate":$replicate}""")
     spark.stop()
   }

@@ -4,16 +4,18 @@ import org.json4s.jackson.JsonMethods
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench stdout line is read by a harness that keeps only a 2,000-char
-  * tail of the run's output, with sbt's `[info] ` prefix ahead of the line
-  * and its `[success] Total time: ...` trailer behind it — so the line must
-  * stay comfortably under budget AT THE REAL GATE SIZE or the round's
-  * numbers are lost to a parse failure (BENCH_r05–r10 all shipped
-  * `parsed: null` this way). No Spark session needed: this pins pure
-  * string rendering against the actual `SparkEntry.queries` roster. */
+  * tail of the run's output, with sbt's `[success] Total time: ...`
+  * trailer printed behind it — so the line must stay comfortably under
+  * budget AT THE REAL GATE SIZE or the round's numbers are lost to a parse
+  * failure (BENCH_r01–r10 all shipped `parsed: null`; length was one of
+  * the two causes, sbt's since-removed `[info] ` logger prefix the other —
+  * build.sbt's `run / outputStrategy := StdoutOutput` now emits the line
+  * raw). No Spark session needed: this pins pure string rendering against
+  * the actual `SparkEntry.queries` roster. */
 class BenchFormatSpec extends AnyFunSuite {
 
-  /** ~90 chars of non-line bytes observed in real harness tails: the sbt
-    * `[info] ` prefix, the success trailer, and the newlines around them. */
+  /** Non-line bytes sharing the tail window: the sbt success trailer
+    * (~75 chars) and surrounding newlines, with headroom. */
   private val TailOverheadBudget = 100
   private val TailWindow = 2000
 

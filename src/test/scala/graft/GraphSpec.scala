@@ -108,12 +108,17 @@ class GraphSpec extends AnyFunSuite {
     "agree with union-find (r10 driver regression: q60's doc-id graph)") {
     // q60 feeds ccStar LONG doc ids, not entity strings — r10's local
     // finish assumed strings and threw ClassCastException on the first
-    // collected row, killing q60 in the driver's bench AND verify. Pin the
-    // numeric path on both materialization shapes.
-    val edgeSeq = Seq((7L, 3L), (3L, 12L), (100L, 4L), (9L, 9L))
+    // collected row, killing q60 in the driver's bench AND verify. The
+    // fixture must NOT already be a star set (a star input makes the first
+    // probe report stable and the local finish never runs — a vacuous pin):
+    // hi 5 carries TWO parents (3, 4), so contraction is forced on both
+    // materialization shapes, and (100, 4) chains a third node into the
+    // same component so the union-find does real root merging.
+    val edgeSeq = Seq((5L, 3L), (5L, 4L), (100L, 4L), (9L, 9L),
+      (200L, 150L))
     val edges = edgeSeq.toDF("src", "dst")
-    val expect = Map(7L -> 3L, 3L -> 3L, 12L -> 3L,
-      100L -> 4L, 4L -> 4L, 9L -> 9L)
+    val expect = Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 100L -> 3L,
+      9L -> 9L, 200L -> 150L, 150L -> 150L)
     val local = Graph.ccStar(edges).as[(Long, Long)].collect().toMap
     val dist = Graph.ccStar(edges, localFinishEdges = 0)
       .as[(Long, Long)].collect().toMap
