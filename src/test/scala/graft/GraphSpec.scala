@@ -150,6 +150,56 @@ class GraphSpec extends AnyFunSuite {
     assert(dist == expect)
   }
 
+  test("ccStar property: local finish ≡ distributed rounds ≡ union-find " +
+    "partition, over random graphs on adversarial string AND Long ids") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // id pools deliberately include the orderings' disagreement points:
+    // U+FFFF vs astral-plane (UTF-8 byte order vs UTF-16 code-unit order),
+    // empty string, combining accents — plus plain ids
+    val stringPool = Vector("", "a", "z~", "é", "0", "￿",
+      "𐀀", "𐀁", "m-id", "ÿ")
+    val longPool = Vector(0L, 1L, 3L, 7L, 9L, 12L, 100L, -5L, Long.MaxValue,
+      42L)
+    def genEdges[T](pool: Vector[T]): Gen[List[(T, T)]] =
+      Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+        for {a <- Gen.oneOf(pool); b <- Gen.oneOf(pool)} yield (a, b)))
+    // order-free oracle: the PARTITION into components (set of node sets),
+    // independent of which member each algorithm crowns as the root —
+    // exact equality of the two ccStar paths separately pins that the
+    // driver-side comparator agrees with Catalyst's order on the roots
+    def ufPartition[T](edges: List[(T, T)]): Set[Set[T]] = {
+      val parent = scala.collection.mutable.Map[T, T]()
+      def find(x: T): T = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      parent.keys.groupBy(find).values.map(_.toSet).toSet
+    }
+    def check[T](edges: List[(T, T)], toDf: List[(T, T)] =>
+        org.apache.spark.sql.DataFrame): Prop = {
+      val df = toDf(edges)
+      val local = Graph.ccStar(df).collect()
+        .map(r => (r.get(0), r.get(1))).toMap
+      val dist = Graph.ccStar(df, localFinishEdges = 0).collect()
+        .map(r => (r.get(0), r.get(1))).toMap
+      val partition = local.groupBy(_._2).values.map(_.keys.toSet).toSet
+      Prop(local == dist) :| s"local $local != distributed $dist" &&
+        Prop(partition == ufPartition(edges)) :|
+          s"partition $partition != union-find ${ufPartition(edges)}"
+    }
+    val prop =
+      Prop.forAll(genEdges(stringPool)) { es =>
+        check[String](es, _.toDF("src", "dst")) } &&
+      Prop.forAll(genEdges(longPool)) { es =>
+        check[Long](es, _.toDF("src", "dst")) }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ccStar refuses to return labels when the iteration cap is hit " +
     "before the star fixed point") {
     // a 30-node chain is far from star-shaped after one round; a silent
