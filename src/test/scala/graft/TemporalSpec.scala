@@ -14,6 +14,24 @@ class TemporalSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import spark.implicits._
 
+  test("eventTsMs dispatches on the physical ts type: ns longs and " +
+    "(ntz) timestamps floor to the same epoch millis") {
+    // the driver's testdata generation has shipped BOTH encodings of
+    // events.ts across rounds (timestamp[ns] → raw longs under
+    // nanosAsLong; timestamp[us] → a timestamp); every consumer must get
+    // identical millis either way — three specs hard-coding the ns form
+    // broke the day the generation flipped
+    val instantMs = 1700000000123L // arbitrary epoch ms with a sub-second
+    val asNs = Seq(instantMs * 1000000L + 999999L).toDF("ts") // ns long
+    val asTs = Seq(new java.sql.Timestamp(instantMs)).toDF("ts")
+    val fromNs = asNs.select(Relational.eventTsMs(asNs).as("ms"))
+      .as[Long].head()
+    val fromTs = asTs.select(Relational.eventTsMs(asTs).as("ms"))
+      .as[Long].head()
+    assert(fromNs == instantMs, s"ns branch: $fromNs")
+    assert(fromTs == instantMs, s"timestamp branch: $fromTs")
+  }
+
   // --- rangeJoin semantics ---------------------------------------------------
 
   private def probeDf = Seq(
