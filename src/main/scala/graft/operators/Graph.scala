@@ -19,7 +19,10 @@ object Graph {
 
   /** Default [[ccStar]] local-finish threshold: switch to the in-driver
     * union-find once a round's contracted edge set is at most this many
-    * edges (~150 MB of boxed string pairs — size to the driver heap). */
+    * edges. Sized to the driver heap for the WORST-case node type — string
+    * ids at ~150 MB of boxed pairs; numeric id types (q60's BIGINT doc
+    * ids, INT) box far smaller, so the same 1M-edge bound holds with
+    * headroom for every type the generic finish supports. */
   val LocalFinishDefault: Long = 1L << 20
 
   /** Entity-valued edge list. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting — the manual fallback when AQE's runtime
@@ -48,4 +48,38 @@ object Skew {
       .agg(partial(partialIn).as("_partial"))
       .groupBy(col(key))
       .agg(finalAgg(col("_partial")).as("agg"))
+
+  /** Q72 gate entry: [[saltedJoin]] over the store's hot-key JOIN shape —
+    * `triples ⋈ dim` on `predicate`, the skew twin of q35's salted
+    * aggregation. The predicate domain is 6 values, so a plain shuffle join
+    * keys ~1/6 of the corpus to each of six reducers — the 100× shape the
+    * reference's O3 probe loop (`MongoDBConnector.py:131-157`) becomes when
+    * one key dominates a changelog. Salting is semantics-preserving, so the
+    * PLAIN join is the exact oracle ([[q72Sql]]); SkewSpec pins the
+    * physical shape (join keys `(predicate, _salt)`, hot key fanned over
+    * `saltFactor` reducers with broadcast disabled).
+    *
+    * The dim side is derived from the corpus itself (distinct predicates +
+    * their char length) so both engines rebuild it deterministically; at
+    * gate scale Spark broadcasts it — replication cost `saltFactor × 6`
+    * rows — and at 100 TB, where the dim outgrows the broadcast threshold,
+    * the same plan degrades to the sort-merge join the spec pins. */
+  def q72SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val triples = graft.TripleStore.triples(spark, dir)
+    val dim = triples.select(col("predicate")).distinct()
+      .withColumn("pred_len", length(col("predicate")).cast("long"))
+    saltedJoin(triples, dim, "predicate", saltFactor = 8)
+      .select(col("subject"), col("predicate"), col("object"),
+        col("ts_ms"), col("pred_len"))
+      .orderBy("subject", "predicate", "object")
+  }
+
+  val q72Sql: String =
+    s"""WITH ${graft.TripleStore.TriplesCte},
+       |dim AS (SELECT DISTINCT predicate,
+       |               CAST(length(predicate) AS BIGINT) AS pred_len
+       |        FROM triples)
+       |SELECT t.subject, t.predicate, t.object, t.ts_ms, d.pred_len
+       |FROM triples t JOIN dim d USING (predicate)
+       |ORDER BY subject, predicate, object""".stripMargin
 }

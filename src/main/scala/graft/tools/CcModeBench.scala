@@ -61,12 +61,22 @@ object CcModeBench {
       val dt = (System.nanoTime() - t0) / 1e9
       (dt, settled() - j0, n)
     }
-    // warmup contraction (JIT/codegen), then timed: local, reliable
+    // warmup contraction (JIT/codegen), then per-mode MEDIAN of 3 timed
+    // runs (same convention as Bench): this host shows multi-second stalls
+    // (BENCH_NOTES r11), so a one-shot local-vs-reliable overhead number
+    // would be noise-prone (ADVICE r11)
     run(None)
-    val (tLocal, jLocal, nLocal) = run(None)
+    def med3(f: () => (Double, Long, Long)): (Double, Long, Long) = {
+      val rs = (1 to 3).map(_ => f())
+      val byTime = rs.sortBy(_._1).apply(1)
+      require(rs.map(_._3).distinct.size == 1,
+        s"node-count disagreement across runs: ${rs.map(_._3)}")
+      byTime
+    }
+    val (tLocal, jLocal, nLocal) = med3(() => run(None))
     val ckDir = java.nio.file.Files
       .createTempDirectory("graft_cc_reliable")
-    val (tRel, jRel, nRel) = run(Some(ckDir.toString))
+    val (tRel, jRel, nRel) = med3(() => run(Some(ckDir.toString)))
     require(nLocal == nRel,
       s"mode disagreement: local $nLocal nodes vs reliable $nRel")
     // the labels were consumed (count) — this caller owns the checkpoint

@@ -57,6 +57,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((parsed \ "value") == org.json4s.JDouble(1.5))
   }
 
+  test("line total equals the sum of the per-query values AS PRINTED, " +
+    "across the adaptive-precision magnitude tiers") {
+    // 0.004 prints "0.00", 123.456 prints "123.5" (1-decimal tier),
+    // 0.006 prints "0.01" — value must be their sum (123.51), not the
+    // rounded full-precision sum (123.466 → 123.47): ADVICE r11
+    val rs = Seq[Bench.Result](
+      ("a", 0.004, 1L, 1L, None),
+      ("b", 123.456, 1L, 1L, None),
+      ("c", 0.006, 1L, 1L, None))
+    val parsed = JsonMethods.parse(Bench.renderLine(rs, "/sf"))
+    assert((parsed \ "value") == org.json4s.JDouble(123.51))
+    assert((parsed \ "queries" \ "b") == org.json4s.JDouble(123.5))
+  }
+
   test("detail record parses and carries per-query jobs/stages at full " +
     "precision") {
     val detail = Bench.renderDetail(healthy, "/sf")

@@ -38,7 +38,11 @@ class ConcurrencySpec extends AnyFunSuite {
     // round-10: the recall gate (q71) fans out over BOTH memoized layouts
     // (IVF index + exact/LSH kernels) inside one plan — the heaviest
     // concurrent consumer of the shared memoization surfaces
-    "q71_ann_recall")
+    "q71_ann_recall",
+    // round-12: the salted join (per-partition-seeded rand salt must be
+    // deterministic under concurrent execution) and the memoized TSV
+    // export (concurrent first reads must block on ONE writeTsv)
+    "q72_salted_join", "q73_tsv_roundtrip")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -56,4 +56,40 @@ class SkewSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet
     assert(saltedMax == directMax)
   }
+
+  test("q72 gate: the salted-join plan keys the shuffle on (key, salt) — " +
+    "hot keys fan out — and still matches the plain join") {
+    // broadcast disabled: force the shuffle-join shape the salt exists for
+    // (at gate scale the tiny dim side would otherwise broadcast, where
+    // skew is moot and the plan assertion would be vacuous)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Skew.q72SaltedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the salt IS the fan-out: with it in the join key, one hot
+      // predicate hashes to saltFactor distinct reducers instead of one
+      val joinLine = plan.linesIterator.find(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        .getOrElse(fail(s"no shuffle join in plan:\n$plan"))
+      assert(joinLine.contains("predicate") && joinLine.contains("_salt"),
+        s"join does not key on (predicate, _salt): $joinLine")
+      val exchangeLine = plan.linesIterator.find(l =>
+        l.contains("hashpartitioning") && l.contains("_salt"))
+      assert(exchangeLine.isDefined,
+        s"no hashpartitioning exchange carries the salt:\n$plan")
+      // semantics preserved under the forced shuffle shape
+      val salted = df.as[(String, String, String, Long, Long)]
+        .collect().toSeq.sorted
+      val dim = TripleStore.triples(spark, sf)
+        .select(col("predicate")).distinct()
+        .withColumn("pred_len", length(col("predicate")).cast("long"))
+      val plain = TripleStore.triples(spark, sf)
+        .join(dim, Seq("predicate"))
+        .select(col("subject"), col("predicate"), col("object"),
+          col("ts_ms"), col("pred_len"))
+        .as[(String, String, String, Long, Long)].collect().toSeq.sorted
+      assert(salted == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
