@@ -92,7 +92,15 @@ object PlanFingerprint {
   def deriveAll(spark: SparkSession, sfDir: String): Map[String, Fp] = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try SparkEntry.queries.map { case (name, fn) =>
+    // the driver's flagship smoke query rides along (keyed `_entry` so it
+    // sorts apart from the gate roster): it exercises the derived-view
+    // point-scan path no q-entry covers since the r8 trim, and its plan
+    // deserves the same drift pin. `entry` fixes its own sf (0.001 — the
+    // driver contract), so the `sfDir` argument is ignored for it.
+    val all = SparkEntry.queries +
+      ("_entry" -> ((s: org.apache.spark.sql.SparkSession, _: String) =>
+        SparkEntry.entry(s)))
+    try all.map { case (name, fn) =>
       name -> (try fingerprint(fn(spark, sfDir))
       catch { case e: Throwable =>
         Fp(s"ERROR:${e.getClass.getSimpleName}", 0, 0, 0, 0, 0, "") })
