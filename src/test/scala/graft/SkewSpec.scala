@@ -92,4 +92,19 @@ class SkewSpec extends AnyFunSuite {
       assert(salted == plain)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("saltedJoin keeps inner-join NULL-key semantics: null keys drop " +
+    "on both paths") {
+    // a null key never equi-joins; salting must not resurrect it (the
+    // salt column is non-null, so a (null, salt) pair could otherwise
+    // look joinable if the key ever fell out of the join condition)
+    val left = Seq(("a", "k1"), ("b", null), ("c", "k2"), ("d", null))
+      .toDF("id", "key")
+    val dim = Seq(("k1", 1L), ("k2", 2L), (null, 99L)).toDF("key", "v")
+    val plain = left.join(dim, Seq("key"))
+      .select("id", "v").as[(String, Long)].collect().toSet
+    val salted = Skew.saltedJoin(left, dim, "key", saltFactor = 4)
+      .select("id", "v").as[(String, Long)].collect().toSet
+    assert(salted == plain && plain == Set(("a", 1L), ("c", 2L)))
+  }
 }
