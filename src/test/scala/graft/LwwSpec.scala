@@ -207,4 +207,80 @@ class LwwSpec extends AnyFunSuite {
     assert(winners(Lww.changelogUnion(df(older), df(newer))) ==
       Set(("<s>", "<p>", "NEW", 90L)))
   }
+
+  // ---- model-based differential check with FREE objects --------------
+  // The lattice-law generators above pin object := f(s, p, ts) so ties
+  // agree by construction; here objects are unconstrained, so equal-
+  // (ts, prio) ties with DIFFERENT objects occur and the documented
+  // deterministic tie-break (struct-lexicographic, object last, compared
+  // in UTF-8 BINARY order — Catalyst UTF8String, not Java's UTF-16
+  // code-unit compareTo) is what the naive in-memory model must
+  // reproduce. The object pool includes "😀" (UTF-16 D83D…, UTF-8 F0…)
+  // and "ﬀ" (UTF-16 FB00, UTF-8 EF…), whose relative order FLIPS
+  // between the two encodings — a model (or an implementation) comparing
+  // in the wrong encoding fails the property.
+
+  private val genFree2: Gen[List[Row4]] = {
+    val one = for {
+      s  <- Gen.oneOf("<a>", "<b>")
+      p  <- Gen.oneOf("<p1>", "<p2>")
+      ts <- Gen.choose(0L, 2L)
+      o  <- Gen.oneOf("", "a", "Z", "obj", "ä", "😀", "ﬀ")
+    } yield (s, p, o, ts)
+    Gen.listOfN(10, one)
+  }
+
+  /** Unsigned byte-wise UTF-8 comparison — UTF8String's order. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Naive fold: winner per (s, p) under the production comparator —
+    * merge order (ts, prio, object), upsert order (prio, ts, object). */
+  private def modelWinners(tagged: List[(Row4, Int)],
+      upsertOrder: Boolean): Set[Row4] =
+    tagged.groupBy(t => (t._1._1, t._1._2)).values.map { group =>
+      group.reduce { (x, y) =>
+        val ((_, _, ox, tx), px) = x
+        val ((_, _, oy, ty), py) = y
+        val keyLess =
+          if (upsertOrder) (px < py) || (px == py && tx < ty)
+          else (tx < ty) || (tx == ty && px < py)
+        val tie =
+          if (upsertOrder) px == py && tx == ty else tx == ty && px == py
+        if (keyLess || (tie && utf8Less(ox, oy))) y else x
+      }._1
+    }.toSet
+
+  test("model check: merge == naive (ts, prio, object-utf8) fold under " +
+    "free objects") {
+    checkProp(Prop.forAll(genFree2, genFree2) { (l, r) =>
+      winners(Lww.merge(df(l), df(r))) ==
+        modelWinners(l.map((_, 1)) ++ r.map((_, 0)), upsertOrder = false)
+    })
+  }
+
+  test("model check: upsert == naive (prio, ts, object-utf8) fold under " +
+    "free objects") {
+    checkProp(Prop.forAll(genFree2, genFree2) { (b, u) =>
+      winners(Lww.upsert(df(b), df(u))) ==
+        modelWinners(b.map((_, 0)) ++ u.map((_, 1)), upsertOrder = true)
+    })
+  }
+
+  test("equal-(ts, prio) tie resolves in UTF-8 binary order: the astral " +
+    "'😀' beats the BMP ligature 'ﬀ' (UTF-16 order would flip it)") {
+    assert("😀".compareTo("ﬀ") < 0) // Java UTF-16 order: 😀 < ﬀ
+    val side = List(("<s>", "<p>", "😀", 5L), ("<s>", "<p>", "ﬀ", 5L))
+    assert(winners(Lww.merge(df(side), df(Nil))) ==
+      Set(("<s>", "<p>", "😀", 5L))) // Spark UTF-8 order: 😀 > ﬀ
+  }
 }
