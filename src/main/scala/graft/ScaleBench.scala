@@ -95,7 +95,13 @@ object ScaleBench {
     val changelog = spark.createDataFrame(
       spark.sparkContext.parallelize(pending.toIndexedSeq),
       store.schema)
-    val (loS, hiS) = (pending.map(_.getString(0)).min, pending.map(_.getString(0)).max)
+    // bounds in code-point order (== Spark's UTF-8 `between` order), not
+    // Scala's UTF-16 min/max: bounds derived in the wrong order could
+    // EXCLUDE pending keys whose subjects straddle the astral/BMP
+    // divergence, silently shrinking the merge's affected set
+    val cpo = graft.plans.RangeBucket.codePointOrdering
+    val subjects = pending.map(_.getString(0))
+    val (loS, hiS) = (subjects.min(cpo), subjects.max(cpo))
     val (c3, tMerge) = timed {
       val affected = store
         .filter(col("subject").between(loS, hiS))

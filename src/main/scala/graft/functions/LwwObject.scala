@@ -24,8 +24,11 @@ object LwwObject
   /** (object, ts_ms); ts = Long.MinValue marks "no input yet". */
   override def zero: (String, Long) = ("", Long.MinValue)
 
+  // tie order must be UTF8String binary (graft.operators.Lww.newerWins),
+  // NOT Scala's `b._1 > a._1` (UTF-16 code-unit) — the two diverge on
+  // astral-vs-BMP object pairs and the gate oracle compares in UTF-8
   private def better(a: (String, Long), b: (String, Long)): (String, Long) =
-    if (b._2 > a._2 || (b._2 == a._2 && b._1 > a._1)) b else a
+    if (graft.operators.Lww.newerWins(a._1, a._2, b._1, b._2)) b else a
 
   override def reduce(buf: (String, Long), in: (String, Long)): (String, Long) =
     better(buf, in)

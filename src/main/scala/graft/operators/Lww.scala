@@ -34,6 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object Lww {
 
+  /** Catalyst's STRING order (UTF8String — unsigned UTF-8 bytes) for
+    * JVM-side tie-breaks, so typed/streaming winner selection agrees
+    * row-for-row with [[merge]]'s `max_by` struct ordering. Java's
+    * `String.compareTo` (UTF-16 code-unit order) diverges from it on
+    * astral-vs-BMP pairs (e.g. "😀" vs "ﬀ") — the trap ccStar's local
+    * finish hit in round 11 (`Graph.scala:384-450`). A null loses to any
+    * non-null, matching Catalyst's nulls-first ascending struct order. */
+  def utf8Greater(a: String, b: String): Boolean =
+    if (a == null) false
+    else if (b == null) true
+    else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) > 0
+
+  /** The merge-comparator for JVM-side paths ([[graft.functions.LwwObject]],
+    * streaming state): does `(bObj, bTs)` beat `(aObj, aTs)`? Strictly
+    * newer ts wins; an equal ts breaks by greatest object in
+    * [[utf8Greater]] order — exactly `max_by(_, struct(ts_ms, object))`. */
+  def newerWins(aObj: String, aTs: Long, bObj: String, bTs: Long): Boolean =
+    bTs > aTs || (bTs == aTs && utf8Greater(bObj, aObj))
+
   /** One winner per (subject, predicate): max over the given ordering key. */
   private def resolve(tagged: DataFrame, orderKey: Column): DataFrame =
     tagged

@@ -95,8 +95,12 @@ object StreamingLww {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (_: (String, String), rows: Iterator[Triple],
          state: GroupState[Triple]) =>
-          val w = (state.getOption.iterator ++ rows)
-            .maxBy(t => (t.ts_ms, t.`object`))
+          // Lww.newerWins, not maxBy on (Long, String): Scala's String
+          // ordering is UTF-16 and diverges from the batch kernel's
+          // UTF8String tie order on astral-vs-BMP objects
+          val w = (state.getOption.iterator ++ rows).reduce((a, b) =>
+            if (Lww.newerWins(a.`object`, a.ts_ms, b.`object`, b.ts_ms)) b
+            else a)
           state.update(w)
           w
       }
@@ -290,7 +294,10 @@ object StreamingLww {
           } else {
             val w = (state.getOption.iterator ++
                 rows.map(r => Triple(r._1, r._2, r._3, r._4)))
-              .maxBy(t => (t.ts_ms, t.`object`))
+              .reduce((a, b) => // UTF8String tie order — see winners()
+                if (Lww.newerWins(a.`object`, a.ts_ms,
+                  b.`object`, b.ts_ms)) b
+                else a)
             state.update(w)
             // must stay ahead of the watermark or Spark rejects it; a
             // winner already within ttl of the watermark evicts next batch

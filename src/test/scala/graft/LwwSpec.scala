@@ -283,4 +283,15 @@ class LwwSpec extends AnyFunSuite {
     assert(winners(Lww.merge(df(side), df(Nil))) ==
       Set(("<s>", "<p>", "😀", 5L))) // Spark UTF-8 order: 😀 > ﬀ
   }
+
+  test("lww_object UDAF breaks the same tie the same way (its JVM-side " +
+    "comparator must be UTF8String order, not Scala's String >)") {
+    import org.apache.spark.sql.functions.col
+    val in = df(List(("<s>", "<p>", "ﬀ", 5L), ("<s>", "<p>", "😀", 5L)))
+    val viaUdaf = in.groupBy("subject", "predicate")
+      .agg(graft.functions.LwwObject.column(col("object"), col("ts_ms"))
+        .as("object"))
+      .as[(String, String, String)].collect().toSet
+    assert(viaUdaf == Set(("<s>", "<p>", "😀")))
+  }
 }

@@ -59,6 +59,36 @@ class StreamingLwwSpec extends AnyFunSuite {
       Triple("<c>", "<q>", "new", 50L)))
   }
 
+  test("an equal-ts tie arriving across micro-batches resolves in " +
+    "UTF8String order, agreeing with the batch kernel (astral vs BMP)") {
+    // "ﬀ" then "😀" at the same ts: Scala's (Long, String) maxBy — UTF-16
+    // code-unit order — keeps "ﬀ"; the batch kernel's max_by struct order
+    // (UTF-8 binary) picks "😀". The streaming state must match batch.
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Triple]
+    val q = StreamingLww.winners(source.toDS())
+      .writeStream.format("memory").queryName("lww_tie_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      source.addData(Triple("<t>", "<p>", "ﬀ", 500L))
+      q.processAllAvailable()
+      source.addData(Triple("<t>", "<p>", "😀", 500L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lastState = spark.table("lww_tie_stream").as[Triple].collect()
+      .reduce((a, b) => // LWW over its own emissions — idempotence
+        if (Lww.newerWins(a.`object`, a.ts_ms, b.`object`, b.ts_ms)) b
+        else a)
+    assert(lastState == Triple("<t>", "<p>", "😀", 500L))
+    val batchTwin = Lww.upsert(
+        Seq.empty[Triple].toDF("subject", "predicate", "object", "ts_ms"),
+        Seq(Triple("<t>", "<p>", "ﬀ", 500L),
+          Triple("<t>", "<p>", "😀", 500L))
+          .toDF("subject", "predicate", "object", "ts_ms"))
+      .as[Triple].collect().toSet
+    assert(batchTwin == Set(Triple("<t>", "<p>", "😀", 500L)))
+  }
+
   test("foreachBatch merge sink: store converges to the batch LWW result " +
     "across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
