@@ -1,0 +1,106 @@
+#!/usr/bin/env bash
+# Round-close checklist, mechanized. Runs every check a round-close record
+# claims, in order, and prints a one-screen PASS/FAIL summary:
+#   1. full unit suite (sbt test)
+#   2. gate replay on all four corpora (sf0.001, sf0.01, sf0.1, adversarial)
+#      via graft.Verify -> scripts/check.py (DuckDB oracle, hash-exact)
+#   3. sf0.1 bench (graft.Bench, stdout line + BENCH_DETAIL_sf0.1.json)
+#   4. ScaleBench headlines vs BASELINE budgets
+# Usage: scripts/roundclose.sh [--skip-test] [--skip-bench]
+# Logs land under /tmp/roundclose/; the summary is also written to
+# /tmp/roundclose/SUMMARY.txt. Exit 0 iff every executed step passed.
+set -u
+cd "$(dirname "$0")/.."
+LOGS=/tmp/roundclose
+mkdir -p "$LOGS"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+SKIP_TEST=0; SKIP_BENCH=0
+for a in "$@"; do
+  case "$a" in
+    --skip-test) SKIP_TEST=1 ;;
+    --skip-bench) SKIP_BENCH=1 ;;
+    *) echo "unknown arg: $a" >&2; exit 2 ;;
+  esac
+done
+
+declare -a RESULTS
+step() { # step <name> <exitcode>
+  if [ "$2" -eq 0 ]; then RESULTS+=("PASS  $1"); else RESULTS+=("FAIL  $1"); fi
+}
+
+if [ "$SKIP_TEST" -eq 0 ]; then
+  echo "== [1/4] sbt test =="
+  sbt -batch test > "$LOGS/test.log" 2>&1
+  trc=$?
+  ntests=$(grep -Eo 'Total number of tests run: [0-9]+' "$LOGS/test.log" | tail -1 || echo '?')
+  step "sbt test ($ntests)" "$trc"
+else
+  RESULTS+=("SKIP  sbt test")
+fi
+
+echo "== [2/4] four-corpora gate replay =="
+python3 scripts/make_advdata.py /root/testdata/sf0.001 /tmp/advdata \
+  > "$LOGS/advdata.log" 2>&1 || { step "make_advdata" 1; }
+declare -a CORPORA=(
+  "/root/testdata/sf0.001 sf0.001"
+  "/root/testdata/sf0.01 sf0.01"
+  "/root/testdata/sf0.1 sf0.1"
+  "/tmp/advdata adversarial"
+)
+for entry in "${CORPORA[@]}"; do
+  dir="${entry% *}"; tag="${entry#* }"
+  out="/tmp/verify_rc_$tag"
+  rm -rf "$out"
+  SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $dir $out" \
+    > "$LOGS/verify_$tag.log" 2>&1
+  vrc=$?
+  python3 scripts/check.py "$out" "$dir" > "$LOGS/check_$tag.log" 2>&1
+  crc=$?
+  n_ok=$(grep -c ': OK ' "$LOGS/check_$tag.log" || true)
+  n_all=$(grep -cE ': (OK|FAIL|SPARK)' "$LOGS/check_$tag.log" || true)
+  step "gate replay $tag ($n_ok/$n_all hash-exact)" $(( vrc || crc ))
+done
+
+if [ "$SKIP_BENCH" -eq 0 ]; then
+  echo "== [3/4] sf0.1 bench =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.Bench" > "$LOGS/bench.log" 2>&1
+  brc=$?
+  line=$(grep -E '^\{"metric"' "$LOGS/bench.log" | tail -1)
+  nerr=$(printf '%s' "$line" | python3 -c \
+    'import json,sys; print(json.load(sys.stdin).get("n_err",99))' 2>/dev/null || echo 99)
+  total=$(printf '%s' "$line" | python3 -c \
+    'import json,sys; print(json.load(sys.stdin).get("value","?"))' 2>/dev/null || echo '?')
+  step "bench sf0.1 (total ${total}s, n_err $nerr)" $(( brc || nerr != 0 ))
+
+  echo "== [4/4] ScaleBench headlines =="
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.ScaleBench" > "$LOGS/scalebench.log" 2>&1
+  src=$?
+  # budgets: 2x the reference baseline (BASELINE.md): point 0.9002,
+  # upsert 2.4244, merge 2.2729
+  sline=$(grep -E '^\{"' "$LOGS/scalebench.log" | tail -1)
+  inb=$(printf '%s' "$sline" | python3 -c '
+import json,sys
+try:
+    d = json.load(sys.stdin)
+    budget = {"point_search": 1.8004, "point_upsert": 4.8488,
+              "merge_1k_pending": 4.5458}
+    bad = [k for k, lim in budget.items() if float(d[k]) > lim]
+    print(0 if not bad else 1)
+except Exception:
+    print(1)' 2>/dev/null || echo 1)
+  step "scalebench headlines within 2x budget" $(( src || inb ))
+else
+  RESULTS+=("SKIP  bench sf0.1"); RESULTS+=("SKIP  scalebench")
+fi
+
+echo
+echo "== round-close summary ==" | tee "$LOGS/SUMMARY.txt"
+fails=0
+for r in "${RESULTS[@]}"; do
+  echo "$r" | tee -a "$LOGS/SUMMARY.txt"
+  case "$r" in FAIL*) fails=$((fails+1)) ;; esac
+done
+echo "logs: $LOGS/" | tee -a "$LOGS/SUMMARY.txt"
+exit $(( fails > 0 ))
