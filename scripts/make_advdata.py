@@ -1,15 +1,23 @@
 #!/usr/bin/env python3
-"""Build an adversarial documents corpus for cross-engine parity sweeps:
-copies an sf dir and replaces documents.parquet with rows exercising NULL
-text, empty text, irregular whitespace (empty tokens), astral-plane
-unicode, heavy repetition, control characters and quote/backslash content.
+"""Build an adversarial corpus for cross-engine parity sweeps: copies an
+sf dir and replaces documents/embeddings/events (NULL and empty text,
+irregular whitespace, astral-plane unicode, control characters, zero/huge/
+NaN vectors, hostile JSON) and — round 12 — orders/customer, the triple
+derivation's source tables, so the LWW/scan/shard/graph gate entries run
+on hostile strings and duplicated-key equal-timestamp ties whose objects
+straddle the astral/BMP UTF-16-vs-UTF-8 order divergence.
 
 Usage: make_advdata.py [<srcSfDir> <outDir>]
 Then:  sbt "runMain graft.Verify <outDir> /tmp/verify_adv"
        python3 scripts/check.py /tmp/verify_adv <outDir>
 
 Round-7 result: the full gate hash-exact on this corpus (the
-NULL-text row is the case that motivated q47's explicit filter)."""
+NULL-text row is the case that motivated q47's explicit filter).
+Round-12 result: 75/75 hash-exact with the triple sources adversarial;
+replayed against pre-round-12 code, the corpus catches the uncompacted
+q31 bucketed store (dup keys fan out through the full-outer join,
+247 rows vs the oracle's 237) — the regression class Lww.compact
+closes."""
 import sys, shutil, os, glob
 import duckdb
 
@@ -26,7 +34,9 @@ for p in glob.glob(os.path.join(src, '*.parquet')):
     # pre-copied real documents.parquet would masquerade as adversarial
     if os.path.basename(p) not in ('documents.parquet',
                                    'embeddings.parquet',
-                                   'events.parquet'):
+                                   'events.parquet',
+                                   'orders.parquet',
+                                   'customer.parquet'):
         shutil.copy(p, adv)
 
 rows = [
@@ -135,3 +145,72 @@ etbl = pa.table({
 })
 pq.write_table(etbl, f'{adv}/events.parquet')
 print(f'{adv}: {len(erows)} adversarial events')
+
+# adversarial orders + customer: the TRIPLE derivation's source tables
+# (TripleStore.triples / updates / remoteChangelog read only these), so
+# every LWW / scan / shard / graph gate entry runs on hostile strings and
+# — via duplicated customer keys — on equal-timestamp ties whose objects
+# straddle the astral/BMP divide ('😀' UTF-8 F0 9F…, UTF-16 D83D…; 'ﬀ'
+# UTF-8 EF AC…, UTF-16 FB00 — the two orders FLIP), the divergence class
+# that UTF-16 comparators in JVM-side winner selection silently get wrong
+# (ASCII corpora mask it; the round-12 lww_object/streaming fix is the
+# motivating bug). Corpus invariants the gate's oracles assume, kept here:
+#   - o_orderkey stays UNIQUE (remoteChangelog/updates derive one row per
+#     matching key and must stay key-unique changelogs); the dup-key tie
+#     vector is CUSTOMER, whose triples carry ts_ms=0 on every row
+#   - duplicated custkeys share ONE c_nationkey: a customer linking two
+#     nations in different regions would merge components that q33's
+#     region-rooted oracle labels independently
+#   - every o_custkey exists in customer, and no string value starts with
+#     '<': a '<'-prefixed object becomes a graph LEAF that never reaches a
+#     region node, which q33's 3-hop region-labelled oracle drops
+#   - no tabs/newlines (q73 round-trips these values through the plain-TSV
+#     wire format, which cannot carry them) and no empty strings (an empty
+#     unquoted CSV field reads back as NULL, not '')
+STATUS = ['F', '😀', 'ﬀ', 'Ünïcödé', '中文状态', 'a b', 'é', 'é',
+          '🚀🌕', 'b\\s', 'Z' * 200, '�', 'private', 'ᄀᄀᄀ',
+          'ع ر ب', 'F']   # 'F' twice: q5_semi_anti's status='F' probe
+PRIO = ['1-URGENT', '9-😀', '2-ﬀ LIGATURE', '5-ز عالية', '3-中等', '0-*',
+        '7-Ẑẑ', '4-NOT SPECIFIED']
+DATES = ['1995-03-15 00:00:00', '1997-01-15 00:00:00',
+         '1998-06-01 00:00:00', '2000-12-31 00:00:00']
+orows = []
+for k in range(1, 61):   # covers %3/%7/%11 (and combined) derivation
+    orows.append((        # residues: REMOTE equal-ts/newer ties, UPDATED
+        k,                # equal-ts overwrites, note inserts
+        500 + k % 16,
+        STATUS[k % len(STATUS)],
+        1000.0 if k <= 15 else round((k * 137.31) % 400000, 2),
+        DATES[k % 4],     # k<=15 share o_totalprice: q8's LIMIT 10 cuts
+        PRIO[k % len(PRIO)]))  # inside a tie run (orderkey breaks it)
+con.execute("CREATE TABLE advo(o_orderkey BIGINT, o_custkey BIGINT, "
+            "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+            "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)")
+con.executemany("INSERT INTO advo VALUES (?,?,?,?,?,?)", orows)
+con.execute(f"COPY advo TO '{adv}/orders.parquet' (FORMAT PARQUET)")
+print(f'{adv}: {len(orows)} adversarial orders')
+
+crows = [
+    # dup custkeys: equal-ts (0) hasSegment ties on divergent object pairs
+    (500, 'n500', 3, 50.0, '😀seg'), (500, 'n500b', 3, 50.0, 'ﬀseg'),
+    (501, 'n501', 7, 60.0, '🚀'),    (501, 'n501b', 7, 60.0, 'ﬁ'),
+    (502, 'n502', 11, 70.0, '😀a'),  (502, 'n502b', 11, 70.0, 'ﬀa'),
+    (502, 'n502c', 11, 70.0, 'za'),  # 3-way tie
+    (503, 'same', 2, 80.0, 'same'),  (503, 'same', 2, 80.0, 'same'),
+    # unique keys, hostile segments
+    (504, 'n504', 1, 11.5, 'Ünïcödé wörds'),
+    (505, 'n505', 5, -3.25, 'é'),          # precomposed U+00E9
+    (506, 'n506', 5, 0.0, 'é'),      # decomposed e + combining acute
+    (507, 'n507', 9, 2.25, '中文段'),
+    (508, 'n508', 4, 91.0, ' leading'),
+    (509, 'n509', 4, 92.0, 'trailing '),
+] + [
+    # one shared segment with equal balances: q8_topk's rn ties break on
+    # custkey inside one window partition
+    (510 + i, f'n{510 + i}', i % 25, 100.0, 'COMMON') for i in range(6)
+]
+con.execute("CREATE TABLE advc(c_custkey BIGINT, c_name VARCHAR, "
+            "c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+con.executemany("INSERT INTO advc VALUES (?,?,?,?,?)", crows)
+con.execute(f"COPY advc TO '{adv}/customer.parquet' (FORMAT PARQUET)")
+print(f'{adv}: {len(crows)} adversarial customers')

@@ -345,8 +345,17 @@ object TripleStore {
       // a previous crashed run may have left managed locations behind
       // without catalog entries; saveAsTable refuses to reuse them
       Seq(local, remote).foreach(t => dropTableAndLocation(spark, t))
-      writeBucketed(triples(spark, dir), local, numBuckets)
-      writeBucketed(remoteChangelog(spark, dir), remote, numBuckets)
+      // compact both sides first: mergeCoLocated is a full-outer join that
+      // REQUIRES at-most-one row per logical key per side (a duplicated key
+      // would fan out into a per-key cross product), and the raw triple
+      // derivation only happens to be key-unique on benign corpora — an
+      // adversarial corpus with duplicated source keys must land here
+      // already holding the materialized-store invariant. Compaction keeps
+      // the same final winners (graft.operators.Lww.compact scaladoc).
+      writeBucketed(operators.Lww.compact(triples(spark, dir)),
+        local, numBuckets)
+      writeBucketed(operators.Lww.compact(remoteChangelog(spark, dir)),
+        remote, numBuckets)
       local
     })
     (local, remote)

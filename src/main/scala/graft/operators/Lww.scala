@@ -83,6 +83,19 @@ object Lww {
         .unionByName(remote.withColumn("prio", lit(0))),
       struct(col("ts_ms"), col("prio"), col("object")))
 
+  /** Compaction to the materialized-store invariant: ONE row per logical
+    * key, the winner by `(ts_ms, object)` — within one replica there is no
+    * local/remote priority, so this is [[merge]]'s comparator restricted to
+    * equal `prio`. Because lexicographic max is associative, compacting a
+    * side first never changes a later [[merge]]/[[upsert]]'s winner
+    * (LwwSpec pins this against the uncompacted aggregate on free objects,
+    * astral ties included), which is what lets [[mergeCoLocated]] — a
+    * full-outer join that REQUIRES at-most-one row per key per side, or a
+    * duplicated key fans out into a per-key cross product — sit on top of
+    * any corpus, not only key-unique ones. */
+  def compact(df: DataFrame): DataFrame =
+    resolve(df, struct(col("ts_ms"), col("object")))
+
   /** O12 changelog union (`MasterServer.py:106-115`): the reference lets the
     * second dict win unconditionally on key collision; expressed here as an
     * upsert so the newer changelog's rows take precedence. */

@@ -276,6 +276,19 @@ class LwwSpec extends AnyFunSuite {
     })
   }
 
+  test("compact-then-mergeCoLocated == merge on UNCOMPACTED inputs " +
+    "(free objects with astral ties — the path q31's bucketed ETL takes " +
+    "on a corpus whose source keys are duplicated)") {
+    // lexicographic max is associative, so compacting each side by
+    // (ts, object) first must leave merge's (ts, prio, object) winners
+    // unchanged; genFree2's 😀/ﬀ pool makes equal-ts dup-key ties hit the
+    // UTF-8 object leg on both the compaction and the merge.
+    checkProp(Prop.forAll(genFree2, genFree2) { (l, r) =>
+      winners(Lww.mergeCoLocated(Lww.compact(df(l)), Lww.compact(df(r)))) ==
+        winners(Lww.merge(df(l), df(r)))
+    })
+  }
+
   test("equal-(ts, prio) tie resolves in UTF-8 binary order: the astral " +
     "'😀' beats the BMP ligature 'ﬀ' (UTF-16 order would flip it)") {
     assert("😀".compareTo("ﬀ") < 0) // Java UTF-16 order: 😀 < ﬀ
