@@ -385,6 +385,11 @@ object TripleStore {
     spark.read
       .option("sep", "\t")
       .option("quote", "\u0000") // plain TSV: no CSV quoting in the wire format
+      // explicit even though false is the READ default: the write side's
+      // default is TRUE and silently trims boundary whitespace -- pin both
+      // directions so the wire carries values verbatim
+      .option("ignoreLeadingWhiteSpace", value = false)
+      .option("ignoreTrailingWhiteSpace", value = false)
       .schema("subject STRING, predicate STRING, object STRING, ts STRING")
       .csv(path)
       .select(col("subject"), col("predicate"), col("object"),
@@ -405,6 +410,12 @@ object TripleStore {
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
       .write.mode("overwrite")
       .option("sep", "\t").option("quote", "\u0000")
+      // Spark's CSV WRITER trims boundary whitespace BY DEFAULT
+      // (ignoreLeading/TrailingWhiteSpace default true on write, unlike
+      // read): ' leading' silently leaves the wire as 'leading'. Found by
+      // q73's min/max(object) integrity probe on the adversarial corpus.
+      .option("ignoreLeadingWhiteSpace", value = false)
+      .option("ignoreTrailingWhiteSpace", value = false)
       .csv(path)
 
   /** Once-per-session TSV materialization of [[triples]] via [[writeTsv]] —
@@ -421,23 +432,31 @@ object TripleStore {
   /** O15's gate entry (q73): the bulk TSV path driver-gated end-to-end.
     * [[writeTsv]] exports the store in the reference's wire format
     * (`MongoDBConnector.py:224-264`), [[fromTsv]] bulk-loads it back, and
-    * the gate aggregates per predicate with count + ts bounds — so the
-    * string columns AND the `%f` timestamp format must BOTH round-trip
-    * exactly for the parquet-side oracle ([[Q73Sql]]) to hash-match. Scale
-    * shape: one distributed export + one distributed load + a 6-row
-    * aggregate; no driver materialization anywhere. */
+    * the gate aggregates per predicate with count, ts bounds AND object
+    * bounds — so the string columns and the `%f` timestamp format must
+    * BOTH round-trip exactly for the parquet-side oracle ([[Q73Sql]]) to
+    * hash-match. The object bounds are the VALUE-integrity probe: counts
+    * alone can't see a mangled byte, but min/max(object) — UTF-8 binary
+    * order in both engines — shift if the wire corrupts a domain-extreme
+    * value (the adversarial corpus plants astral/200-char/backslash
+    * statuses at those extremes for exactly this check). Scale shape: one
+    * distributed export + one distributed load + a 6-row aggregate; no
+    * driver materialization anywhere. */
   def q73TsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     fromTsv(spark, tsvPath(spark, dir))
       .groupBy("predicate")
       .agg(count(lit(1)).as("n_rows"),
         min(col("ts_ms")).as("min_ts"),
-        max(col("ts_ms")).as("max_ts"))
+        max(col("ts_ms")).as("max_ts"),
+        min(col("object")).as("min_obj"),
+        max(col("object")).as("max_obj"))
       .orderBy("predicate")
 
   lazy val Q73Sql: String =
     s"""WITH $TriplesCte
        |SELECT predicate, CAST(count(*) AS BIGINT) AS n_rows,
-       |       min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+       |       min(ts_ms) AS min_ts, max(ts_ms) AS max_ts,
+       |       min(object) AS min_obj, max(object) AS max_obj
        |FROM triples GROUP BY predicate ORDER BY predicate""".stripMargin
 
   /** JSONL sink — the reference's actual wire format: its master relays

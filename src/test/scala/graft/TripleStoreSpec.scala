@@ -351,6 +351,21 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(back.as[Triple].collect().toSet == orig.as[Triple].collect().toSet)
   }
 
+  test("TSV round-trip preserves boundary whitespace (the CSV writer " +
+    "trims it BY DEFAULT — ignoreLeading/TrailingWhiteSpace default true " +
+    "on write; caught by q73's object-bounds probe)") {
+    val orig = Seq(
+      ("<s1>", "<p>", " leading", 1700000000000L),
+      ("<s2>", "<p>", "trailing ", 1700000000001L),
+      ("<s3>", "<p>", "  both  ", 1700000000002L),
+      ("<s4>", "<p>", "back\\slash", 1700000000003L))
+      .toDF("subject", "predicate", "object", "ts_ms")
+    val dir = Files.createTempDirectory("graft_tsv_ws").resolve("out").toString
+    TripleStore.writeTsv(orig, dir)
+    val back = TripleStore.fromTsv(spark, dir)
+    assert(back.as[Triple].collect().toSet == orig.as[Triple].collect().toSet)
+  }
+
   test("writeTsv/fromTsv round-trip preserves rows and timestamps") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_tsv_rt").resolve("out").toString
