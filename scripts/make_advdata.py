@@ -172,8 +172,10 @@ STATUS = ['F', '😀', 'ﬀ', 'Ünïcödé', '中文状态', 'a b', 'é', 'é',
           'ع ر ب', 'F']   # 'F' twice: q5_semi_anti's status='F' probe
 PRIO = ['1-URGENT', '9-😀', '2-ﬀ LIGATURE', '5-ز عالية', '3-中等', '0-*',
         '7-Ẑẑ', '4-NOT SPECIFIED']
-DATES = ['1995-03-15 00:00:00', '1997-01-15 00:00:00',
-         '1998-06-01 00:00:00', '2000-12-31 00:00:00']
+DATES = ['1995-03-15 00:00:00', '1969-07-20 20:17:40',  # pre-1970: ts_ms
+         '1998-06-01 00:00:00', '2000-12-31 00:00:00']  # goes NEGATIVE
+# through every LWW comparison tied to that date and through the TSV
+# %f wire (format -> parse of a negative epoch must round-trip exactly)
 orows = []
 for k in range(1, 61):   # covers %3/%7/%11 (and combined) derivation
     orows.append((        # residues: REMOTE equal-ts/newer ties, UPDATED
