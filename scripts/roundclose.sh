@@ -32,21 +32,31 @@ if [ "$SKIP_TEST" -eq 0 ]; then
   echo "== [1/4] sbt test =="
   sbt -batch test > "$LOGS/test.log" 2>&1
   trc=$?
-  ntests=$(grep -Eo 'Total number of tests run: [0-9]+' "$LOGS/test.log" | tail -1 || echo '?')
+  # tail exits 0 on empty input, so test a missing marker explicitly (an
+  # early sbt crash never prints the total line)
+  ntests=$(grep -Eo 'Total number of tests run: [0-9]+' "$LOGS/test.log" | tail -1)
+  [ -n "$ntests" ] || ntests='?'
   step "sbt test ($ntests)" "$trc"
 else
   RESULTS+=("SKIP  sbt test")
 fi
 
 echo "== [2/4] four-corpora gate replay =="
-python3 scripts/make_advdata.py /root/testdata/sf0.001 /tmp/advdata \
-  > "$LOGS/advdata.log" 2>&1 || { step "make_advdata" 1; }
 declare -a CORPORA=(
   "/root/testdata/sf0.001 sf0.001"
   "/root/testdata/sf0.01 sf0.01"
   "/root/testdata/sf0.1 sf0.1"
-  "/tmp/advdata adversarial"
 )
+# only replay the adversarial corpus if THIS run generated it: a failed
+# generator must not let a stale /tmp/advdata masquerade as a PASS for
+# the current HEAD (make_advdata rmtree's the dir first, but it can die
+# before that, e.g. on an import error)
+if python3 scripts/make_advdata.py /root/testdata/sf0.001 /tmp/advdata \
+    > "$LOGS/advdata.log" 2>&1; then
+  CORPORA+=("/tmp/advdata adversarial")
+else
+  RESULTS+=("FAIL  make_advdata (adversarial replay not run)")
+fi
 for entry in "${CORPORA[@]}"; do
   dir="${entry% *}"; tag="${entry#* }"
   out="/tmp/verify_rc_$tag"
@@ -57,7 +67,10 @@ for entry in "${CORPORA[@]}"; do
   python3 scripts/check.py "$out" "$dir" > "$LOGS/check_$tag.log" 2>&1
   crc=$?
   n_ok=$(grep -c ': OK ' "$LOGS/check_$tag.log" || true)
-  n_all=$(grep -cE ': (OK|FAIL|SPARK)' "$LOGS/check_$tag.log" || true)
+  # every per-query verdict check.py can print: OK / FAIL / SPARK OUTPUT
+  # MISSING / ORACLE SQL ERROR — a narrower set would let an errored
+  # query vanish from the denominator and read as a perfect score
+  n_all=$(grep -cE ': (OK |FAIL |SPARK OUTPUT|ORACLE SQL)' "$LOGS/check_$tag.log" || true)
   step "gate replay $tag ($n_ok/$n_all hash-exact)" $(( vrc || crc ))
 done
 
