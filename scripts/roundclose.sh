@@ -86,6 +86,33 @@ if [ "$SKIP_BENCH" -eq 0 ]; then
     'import json,sys; print(json.load(sys.stdin).get("value","?"))' 2>/dev/null || echo '?')
   step "bench sf0.1 (total ${total}s, n_err $nerr)" $(( brc || nerr != 0 ))
 
+  # the noise-triage rule, automated: a per-query time shift with flat
+  # job/stage counts is environment noise; a count change is a plan
+  # regression and must ship with a reviewed fingerprint/detail diff.
+  # Compare the fresh detail against the committed one and fail loudly
+  # on count drift (time is deliberately NOT compared here).
+  jobdrift=$(python3 - <<'PY'
+import json, subprocess, sys
+try:
+    new = json.load(open('BENCH_DETAIL_sf0.1.json'))
+    old = json.loads(subprocess.run(
+        ['git', 'show', 'HEAD:BENCH_DETAIL_sf0.1.json'],
+        capture_output=True, text=True, check=True).stdout)
+except Exception as e:
+    print(f'unreadable: {e}'); sys.exit(0)
+drift = [f'{q} jobs {old["jobs"][q]}->{new["jobs"].get(q)}'
+         for q in old.get('jobs', {}) if new.get('jobs', {}).get(q) != old['jobs'][q]]
+drift += [f'{q} stages {old["stages"][q]}->{new["stages"].get(q)}'
+          for q in old.get('stages', {}) if new.get('stages', {}).get(q) != old['stages'][q]]
+print('; '.join(drift))
+PY
+)
+  if [ -n "$jobdrift" ]; then
+    RESULTS+=("FAIL  bench job/stage counts vs committed detail: $jobdrift")
+  else
+    RESULTS+=("PASS  bench job/stage counts flat vs committed detail")
+  fi
+
   echo "== [4/4] ScaleBench headlines =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
     sbt -batch "runMain graft.ScaleBench" > "$LOGS/scalebench.log" 2>&1

@@ -137,6 +137,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
   }
 
+  test("model check: asofJoin == naive per-row backward scan on random " +
+    "data (dense time domain forces exact-match, tie, and tolerance hits)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tol = 3L
+    // times 0..7 on two keys: collisions everywhere, so exact matches,
+    // right-right ties, and out-of-tolerance gaps all occur routinely
+    val genLeft = Gen.listOfN(8, for {
+      k <- Gen.oneOf("u1", "u2"); t <- Gen.choose(0L, 7L)
+    } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) =>
+      (k, t, i.toLong) })
+    val genRight = Gen.listOfN(6, for {
+      k <- Gen.oneOf("u1", "u2"); t <- Gen.choose(0L, 7L)
+    } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) =>
+      (k, t, 100L + i, s"p$i") })
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(genLeft, genRight) { (ls, rs) =>
+        val got = Temporal.asofJoin(ls.toDF("k", "t", "lid"),
+            rs.toDF("k", "t", "rid", "pay"),
+            Seq("k"), "t", "t", "lid", "rid", Seq("pay"), Some(tol))
+          .select("lid", "pay").as[(Long, Option[String])].collect().toMap
+        val want = ls.map { case (k, t, lid) =>
+          val cands = rs.filter(r => r._1 == k && r._2 <= t && t - r._2 <= tol)
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(r => (r._2, r._3))._4))
+        }.toMap
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("q46 matches a direct (unscalable) inequality-join evaluation") {
     // the view pre-normalizes ts to epoch ms so the SQL twin is agnostic to
     // the parquet timestamp generation (ns longs vs us timestamps)
