@@ -70,6 +70,37 @@ class TemporalSpec extends AnyFunSuite {
     assert(n == 0L)
   }
 
+  test("model check: rangeJoin == naive inequality filter on random data " +
+    "(intervals straddling/equal to bucket edges, empty/inverted included)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // bucket width 4 with times 0..15: intervals start/end mid-bucket, on
+    // edges, inverted, and empty; every (probe, interval) pair must appear
+    // exactly once or not at all
+    val genProbe = Gen.listOfN(8, for {
+      k <- Gen.oneOf("a", "b"); t <- Gen.choose(0L, 15L)
+    } yield (k, t)).map(_.zipWithIndex.map { case ((k, t), i) =>
+      (k, t, s"e$i") })
+    val genIv = Gen.listOfN(5, for {
+      k <- Gen.oneOf("a", "b"); s <- Gen.choose(0L, 15L)
+      e <- Gen.choose(0L, 16L)
+    } yield (k, s, e)).map(_.zipWithIndex.map { case ((k, s, e), i) =>
+      (k, s, e, s"w$i") })
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(genProbe, genIv) { (ps, ivs) =>
+        val got = Temporal.rangeJoin(ps.toDF("k", "t", "id"),
+            ivs.toDF("k", "s", "e", "w"), Seq("k"), "t", "s", "e", 4L)
+          .select("id", "w").as[(String, String)].collect()
+        val want = for {
+          (pk, t, id) <- ps; (ik, s, e, w) <- ivs
+          if pk == ik && t >= s && t < e
+        } yield (id, w)
+        // exact multiset equality: a replicated interval meeting a probe in
+        // two buckets would show up here as a duplicated pair
+        got.sorted.toSeq == want.sorted
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("q45 plan: equi-join on (key, bucket), no nested-loop or cartesian node") {
     val plan = SparkEntry.queries("q45_range_join")(spark, sf)
       .queryExecution.executedPlan.toString
