@@ -356,14 +356,19 @@ object Relational {
     * At 100 TB that's the canonical sessionize shape: shuffle the event log
     * once by entity, never again; per-user fan-in is bounded by that user's
     * event count. (ts_ms, event_id) is a TOTAL order — raw ts repeats. */
-  def q39Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The sessionization kernel on a pre-projected
+    * `(user_id, event_id, value, ts_ms)` frame: gap > `gapMs` between
+    * consecutive events (total order `(ts_ms, event_id)`) starts a new
+    * session; 1-based session ids per user; per-session bounds/count/sum.
+    * Factored from [[q39Sessionize]] so a model check can drive it on
+    * synthetic frames (RelationalSpec-style naive fold in TemporalSpec's
+    * sibling suite). */
+  def sessionize(ev: DataFrame, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = table(spark, dir, "events")
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    ev.select(col("user_id"), col("event_id"), col("value"),
-        eventTsMs(ev).as("ts_ms"))
+    ev
       .withColumn("new_sess",
-        when(col("ts_ms") - lag("ts_ms", 1).over(w) <= SessionGapMs, 0L)
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) <= gapMs, 0L)
           .otherwise(1L))
       .withColumn("session_id", sum("new_sess")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -373,6 +378,14 @@ object Relational {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
+  }
+
+  def q39Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    sessionize(
+      ev.select(col("user_id"), col("event_id"), col("value"),
+        eventTsMs(ev).as("ts_ms")),
+      SessionGapMs)
   }
 
   val q39Sql: String =

@@ -56,6 +56,41 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("model check: batch sessionize == naive per-user gap fold on random " +
+    "data (dense times force boundary gaps, equal-ts ties, 1-row sessions)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gap = 3L
+    // times 0..11 on two users with duplicate timestamps: the (ts, event_id)
+    // total order, gap-exactly-equal boundaries (gap <= 3 keeps the
+    // session), and singleton sessions all occur routinely
+    val genEvents = Gen.listOfN(9, for {
+      u <- Gen.oneOf(1L, 2L); t <- Gen.choose(0L, 11L)
+      v <- Gen.choose(0, 50).map(_ / 4.0)
+    } yield (u, t, v)).map(_.zipWithIndex.map { case ((u, t, v), i) =>
+      (u, i.toLong, v, t) })
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(genEvents) { es =>
+        val got = Relational.sessionize(
+            es.toDF("user_id", "event_id", "value", "ts_ms"), gap)
+          .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+        val want = es.groupBy(_._1).flatMap { case (u, rows) =>
+          val sorted = rows.sortBy(r => (r._4, r._2)) // (ts, event_id) order
+          val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+            (acc, r) =>
+              if (r._4 - acc.head.head._4 <= gap) (r :: acc.head) :: acc.tail
+              else List(r) :: acc
+          }.reverse.map(_.reverse)
+          sessions.zipWithIndex.map { case (s, i) =>
+            (u, i + 1L, s.head._4, s.last._4, s.size.toLong,
+              BigDecimal(s.map(_._3).sum)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }.toSet
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming sessions == batch q39 on the driver's events table") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
