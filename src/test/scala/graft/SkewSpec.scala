@@ -25,6 +25,34 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("model check: saltedJoin == plain inner join as a MULTISET on " +
+    "random data (dup rows both sides, null keys, unmatched keys)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny key domain with nulls and keys present on only one side: the
+    // salt must neither drop nor duplicate any matched pair, row
+    // multiplicity included (hence sorted-seq, not set, comparison)
+    val genLeft = Gen.listOfN(10, for {
+      k <- Gen.oneOf(Some("a"), Some("a"), Some("b"), Some("l"), None)
+      v <- Gen.choose(0, 3)
+    } yield (k, v))
+    val genDim = Gen.listOfN(5, for {
+      k <- Gen.oneOf(Some("a"), Some("b"), Some("d"), None)
+      p <- Gen.choose(10, 12)
+    } yield (k, p))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(genLeft, genDim) { (ls, ds) =>
+        val l = ls.toDF("k", "v")
+        val d = ds.toDF("k", "p")
+        val plain = l.join(d, Seq("k"))
+          .as[(String, Int, Int)].collect().toSeq.sorted
+        val salted = Skew.saltedJoin(l, d, "k", saltFactor = 4)
+          .select("k", "v", "p")
+          .as[(String, Int, Int)].collect().toSeq.sorted
+        salted == plain
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("the production salt spreads a hot key over saltFactor buckets, " +
     "even for byte-identical rows") {
     val triples = TripleStore.triples(spark, sf)
