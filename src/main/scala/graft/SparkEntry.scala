@@ -240,6 +240,16 @@ object SparkEntry {
     // O15 bulk TSV load driver-gated end-to-end: writeTsv → fromTsv →
     // per-predicate counts + ts bounds vs the parquet-side oracle.
     "q73_tsv_roundtrip" -> (TripleStore.q73TsvRoundtrip(_, _)),
+    // Streaming sessionization through a REAL readStream (time-range JSONL
+    // replay, watermark-deferred emission), oracled by batch q39's SQL —
+    // the final closed-session table is deterministic once the watermark
+    // passes, so stream ≡ batch (StreamingSessionsSpec pins it in-process).
+    "q74_stream_sessions" ->
+      (graft.streaming.StreamingGate.q74StreamSessions(_, _)),
+    // PageRank over the entity graph, fixed 3 iterations, n-scaled scores
+    // rounded before hashing; oracle = the same iterations unrolled as
+    // DuckDB CTEs (q66's determinism template for iterative algorithms).
+    "q75_pagerank" -> (Graph.q75PageRank(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -378,5 +388,7 @@ object SparkEntry {
     "q71_ann_recall"       -> Vectors.q71Sql,
     "q72_salted_join"      -> Skew.q72Sql,
     "q73_tsv_roundtrip"    -> TripleStore.Q73Sql,
+    "q74_stream_sessions"  -> Relational.q39Sql,
+    "q75_pagerank"         -> Graph.q75Sql,
   )
 }

@@ -113,6 +113,65 @@ object Graph {
     ranks
   }
 
+  /** q75's fixed iteration count: enough rounds that rank has propagated
+    * across the graph's full diameter (order→cust→nation→region is 3 hops)
+    * and the dangling-mass redistribution has fed back at least once, while
+    * keeping the unrolled DuckDB oracle and the fingerprint derivation
+    * cheap. Determinism discipline is q66's: a FIXED unrolled computation,
+    * scores normalized before hashing. */
+  private[graft] val PageRankIters = 3
+
+  /** Q75: [[pageRank]] driver-gated — the north-star graph operator's gate
+    * entry. Scores are emitted n-scaled (`rank * n_nodes`, mean 1.0 — the
+    * usual "importance relative to uniform" reading) and rounded to 6
+    * decimals before hashing: every arithmetic step is written identically
+    * in the oracle, so the only engine divergence is summation order inside
+    * the per-node contribution aggregates — bounded in-degree sums whose
+    * fp wobble (~1e-13 relative) sits eight orders of magnitude inside the
+    * rounding half-ulp. */
+  def q75PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val nCount = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .agg(count(lit(1)).cast("double").as("n_nodes"))
+    pageRank(e, iters = PageRankIters)
+      .crossJoin(broadcast(nCount))
+      .select(col("node"),
+        round(col("rank") * col("n_nodes"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for q75: [[PageRankIters]] iterations unrolled as CTEs,
+    * each the literal transcription of [[pageRank]]'s update — dangling
+    * mass as a scalar subquery, contributions as a grouped sum, the same
+    * `(1-d)/n + d*(contrib + dangling/n)` association — so both engines
+    * execute the same IEEE arithmetic up to aggregate summation order. */
+  val q75Sql: String = {
+    val iters = (1 to PageRankIters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT COALESCE(sum(rank), 0) AS dm FROM $p
+         |      LEFT JOIN outdeg USING (node) WHERE d IS NULL),
+         |c$i AS (SELECT e.dst AS node, sum(r.rank / o.d) AS m
+         |      FROM e JOIN $p r ON e.src = r.node
+         |      JOIN outdeg o ON e.src = o.node GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |        (1 - 0.85) / (SELECT n FROM nn)
+         |        + 0.85 * (COALESCE(c$i.m, 0)
+         |                  + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS rank
+         |      FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TripleStore.TriplesCte},
+       |e AS (SELECT subject AS src, object AS dst FROM triples
+       |      WHERE object LIKE '<%'),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |$iters
+       |SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank
+       |FROM r$PageRankIters ORDER BY node""".stripMargin
+  }
+
   /** DuckDB oracle for q33: connected components WITHOUT iteration. The
     * derived entity graph is a forest of region-rooted DAGs
     * (order→cust→nation→region, diameter ≤ 3), so each node's component is

@@ -343,8 +343,10 @@ object Relational {
   // --- Q39: gap-based sessionization of the event stream --------------------
 
   /** A session ends after 30 minutes of per-user inactivity — the classic
-    * clickstream/training-telemetry cut. */
-  private val SessionGapMs = 30L * 60 * 1000
+    * clickstream/training-telemetry cut. Shared with the streaming twin's
+    * gate replay (StreamingGate.q74) so batch and stream sessionize under
+    * the same cut and q39's oracle stays valid for both. */
+  private[graft] val SessionGapMs = 30L * 60 * 1000
 
   /** Q39: assign every event to a per-user session (a new session starts
     * when the gap from the user's previous event exceeds [[SessionGapMs]]),

@@ -1,11 +1,15 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.TripleStore
+import graft.operators.Relational
 
 /** Q67: the anti-entropy merge driven through an ACTUAL streaming query —
   * the gate entry that closes the loop StreamingLwwSpec proves in-process.
@@ -30,6 +34,8 @@ object StreamingGate {
   private val ran =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ranDedup =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ranSessions =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Number of wire files the batch relation is split into = number of
@@ -95,5 +101,97 @@ object StreamingGate {
           .awaitTermination()
     }
     spark.read.parquet(store).orderBy("content_hash")
+  }
+
+  /** Watermark-driver sentinel identity for [[q74StreamSessions]]: a user id
+    * outside the events table's domain whose two far-future events advance
+    * the watermark past every real session's `end + gap` (first sentinel
+    * batch) and then give the engine a batch in which the resulting
+    * event-time timeouts fire (second) — the same closing handshake
+    * StreamingSessionsSpec uses. Filtered from the gate result. */
+  private val SentinelUser = -1L
+
+  /** Q74: gap-sessionization driven through an ACTUAL streaming query — the
+    * q67/q70 replay pattern applied to
+    * [[StreamingSessions.sessionize]], oracled by batch q39's SQL (valid
+    * because once the watermark passes a session's `end + gap` its emission
+    * is final and deterministic, so the complete closed-session table ≡ the
+    * batch sessionization; StreamingSessionsSpec pins the equivalence
+    * in-process, including mid-session batch boundaries and late-event
+    * fusing).
+    *
+    * The events table is exported as [[NumBatches]] JSONL files split BY
+    * TIME RANGE and replayed in event-time order (file mtimes pinned
+    * ascending — FileStreamSource orders pending files by mtime), so each
+    * micro-batch genuinely advances the watermark and sessions close
+    * incrementally across batches instead of all at once at the sentinel:
+    * the state the store carries between batches is the not-yet-closable
+    * tail, exactly the 100 TB operating shape. Within a file, arrival
+    * order is whatever the export wrote — disorder the buffer absorbs.
+    *
+    * The streamed [[ClosedSession]] identity is `(user_id, session_start)`;
+    * the batch twin's ordinal `session_id` is re-derived afterwards as a
+    * per-user `row_number` over `session_start` (sessions of one user are
+    * disjoint intervals, so the order is total and the mapping exact). */
+  def q74StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val store = replayOnce(ranSessions, dir, "graft_stream_sessions") {
+      (src, storePath, ckpt) =>
+        import spark.implicits._
+        Files.createDirectories(Paths.get(src))
+        val gap = Relational.SessionGapMs
+        val raw = TripleStore.table(spark, dir, "events")
+        val ev = raw.select(col("user_id"), col("event_id"),
+          Relational.eventTsMs(raw).as("ts_ms"), col("value"))
+        val (loTs, hiTs) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
+          .as[(Long, Long)].head()
+        val span = hiTs - loTs + 1
+        // strictly ascending mtimes, spaced far beyond fs granularity; in
+        // the past so no file looks newer than the query's start
+        var mtime = System.currentTimeMillis() - 3600L * 1000
+        def place(name: String, lines: Seq[String]): Unit = {
+          val f = Paths.get(src, name)
+          Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+          Files.setLastModifiedTime(f, FileTime.fromMillis(mtime))
+          mtime += 2000
+        }
+        (0 until NumBatches).foreach { i =>
+          val (lo, hi) = (loTs + span * i / NumBatches,
+            loTs + span * (i + 1) / NumBatches)
+          // one driver-built JSONL file per time slice; the slices are small
+          // by construction (a gate replay, not the store) and the file
+          // boundary IS the micro-batch boundary under maxFilesPerTrigger=1
+          val rows = ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+            .as[(Long, Long, Long, Double)].collect()
+          place(f"part$i%02d.json", rows.toSeq.map { case (u, e, ts, v) =>
+            s"""{"user_id":$u,"event_id":$e,"ts_ms":$ts,"value":$v}"""
+          })
+        }
+        place("sentinel0.json", Seq(
+          s"""{"user_id":$SentinelUser,"event_id":0,"ts_ms":${hiTs + 10 * gap},"value":0.0}"""))
+        place("sentinel1.json", Seq(
+          s"""{"user_id":$SentinelUser,"event_id":1,"ts_ms":${hiTs + 11 * gap},"value":0.0}"""))
+        val stream = spark.readStream
+          .schema("user_id LONG, event_id LONG, ts_ms LONG, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .option("mode", "FAILFAST")
+          .json(src)
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+        StreamingSessions.sessionize(stream, gap, watermarkDelay = "10 minutes")
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", storePath)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+    }
+    val w = Window.partitionBy("user_id").orderBy("session_start")
+    spark.read.parquet(store)
+      .filter(col("user_id") =!= SentinelUser)
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
   }
 }

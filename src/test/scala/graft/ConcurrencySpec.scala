@@ -42,7 +42,11 @@ class ConcurrencySpec extends AnyFunSuite {
     // round-12: the salted join (per-partition-seeded rand salt must be
     // deterministic under concurrent execution) and the memoized TSV
     // export (concurrent first reads must block on ONE writeTsv)
-    "q72_salted_join", "q73_tsv_roundtrip")
+    "q72_salted_join", "q73_tsv_roundtrip",
+    // round-13: the once-per-session streaming sessionization replay
+    // (concurrent first calls must block on ONE readStream run) and
+    // PageRank's per-iteration localCheckpoints under parallel execution
+    "q74_stream_sessions", "q75_pagerank")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
