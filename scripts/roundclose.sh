@@ -90,7 +90,13 @@ if [ "$SKIP_BENCH" -eq 0 ]; then
   # job/stage counts is environment noise; a count change is a plan
   # regression and must ship with a reviewed fingerprint/detail diff.
   # Compare the fresh detail against the committed one and fail loudly
-  # on count drift (time is deliberately NOT compared here).
+  # on count drift (time is deliberately NOT compared here). Only judge
+  # a detail file THIS bench run wrote: on a failed bench the working-tree
+  # file may be stale and a PASS line would be misleading (ADVICE r12) —
+  # mirror the make_advdata guard and mark the step SKIP instead.
+  if [ "$brc" -ne 0 ]; then
+    RESULTS+=("SKIP  bench job/stage count check (bench step failed)")
+  else
   jobdrift=$(python3 - <<'PY'
 import json, subprocess, sys
 try:
@@ -112,20 +118,32 @@ PY
   else
     RESULTS+=("PASS  bench job/stage counts flat vs committed detail")
   fi
+  fi
 
   echo "== [4/4] ScaleBench headlines =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
     sbt -batch "runMain graft.ScaleBench" > "$LOGS/scalebench.log" 2>&1
   src=$?
-  # budgets: 2x the reference baseline (BASELINE.md): point 0.9002,
-  # upsert 2.4244, merge 2.2729
+  # budgets: 2x the reference baselines, parsed from BASELINE.md's §1
+  # table (ADVICE r12: a hardcoded copy silently goes stale if the
+  # baseline document is corrected) — refuse to judge if parsing fails.
   sline=$(grep -E '^\{"' "$LOGS/scalebench.log" | tail -1)
   inb=$(printf '%s' "$sline" | python3 -c '
-import json,sys
+import json, re, sys
 try:
     d = json.load(sys.stdin)
-    budget = {"point_search": 1.8004, "point_upsert": 4.8488,
-              "merge_1k_pending": 4.5458}
+    rows = {"Point query latency": "point_search",
+            "Single upsert latency": "point_upsert",
+            "Pairwise merge": "merge_1k_pending"}
+    budget = {}
+    for line in open("BASELINE.md"):
+        for label, key in rows.items():
+            if label in line:
+                m = re.search(r"\|\s*([0-9.]+)\s*s\s*\|", line)
+                if m:
+                    budget[key] = 2 * float(m.group(1))
+    if set(budget) != set(rows.values()):
+        print(1); sys.exit()  # baseline table unparseable: fail loudly
     bad = [k for k, lim in budget.items() if float(d[k]) > lim]
     print(0 if not bad else 1)
 except Exception:

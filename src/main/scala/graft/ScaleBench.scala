@@ -35,11 +35,17 @@ object ScaleBench {
     // 0.19-0.33 / 0.68-1.10 / 0.84-1.54 s on identical plans). One-shot
     // sections (ETL writes, compaction, streaming) stay single-run: they
     // either mutate state or are throughput paths the judge reads as such.
-    def timedMedian3[A](f: => A): (A, Double) = {
+    // Returns (result, cold, median): run 1 is the only sample whose cache
+    // regime is comparable to a single-shot baseline (runs 2-3 are
+    // page-cache/JIT warm), so BOTH land in the JSON line — `<key>` is the
+    // median (the steady-state serving number), `<key>_cold` is run 1
+    // (ADVICE r12: reporting only the warm median against a likely
+    // single-shot baseline compares different cache regimes).
+    def timedMedian3[A](f: => A): (A, Double, Double) = {
       val (a1, t1) = timed(f)
       val (_, t2) = timed(f)
       val (_, t3) = timed(f)
-      (a1, Seq(t1, t2, t3).sorted.apply(1))
+      (a1, t1, Seq(t1, t2, t3).sorted.apply(1))
     }
     // materialize through the noop sink, NOT count(): under a count the
     // optimizer prunes non-key aggregate payloads, so an LWW merge would be
@@ -73,7 +79,7 @@ object ScaleBench {
     // Sorted row groups + pushed equality => min/max skipping prunes almost
     // the whole store.
     store.filter(col("subject") === "<order_1>_r0").count()
-    val (c1, tSearch) = timedMedian3 {
+    val (c1, tSearchCold, tSearch) = timedMedian3 {
       // fetch the matching ROWS (the reference returns them over HTTP), not
       // a count the optimizer can satisfy from the subject column alone
       store.filter(col("subject") === "<order_42>_r7").collect().length
@@ -82,7 +88,7 @@ object ScaleBench {
     // O2 single upsert (reference 2.4244 s): point probe + comparator,
     // returning old+new rows — the reference's actual contract
     // (MongoDBConnector.py:46-102 touches one key, not the store).
-    val (rows2, tUpsert) = timedMedian3 {
+    val (rows2, tUpsertCold, tUpsert) = timedMedian3 {
       Lww.upsertPoint(store, "<order_42>_r7", "<hasStatus>", "UPDATED",
         4102444800000L).collect()
     }
@@ -114,7 +120,7 @@ object ScaleBench {
     val cpo = graft.plans.RangeBucket.codePointOrdering
     val subjects = pending.map(_.getString(0))
     val (loS, hiS) = (subjects.min(cpo), subjects.max(cpo))
-    val (c3, tMerge) = timedMedian3 {
+    val (c3, tMergeCold, tMerge) = timedMedian3 {
       val affected = store
         .filter(col("subject").between(loS, hiS))
         .join(broadcast(changelog.select("subject", "predicate")),
@@ -235,6 +241,8 @@ object ScaleBench {
     println(
       s"""{"metric":"scalebench","rows":$total,"unit":"sec","etl_write":$tEtl,""" +
       s""""point_search":$tSearch,"point_upsert":$tUpsert,"merge_1k_pending":$tMerge,""" +
+      s""""point_search_cold":$tSearchCold,"point_upsert_cold":$tUpsertCold,""" +
+      s""""merge_1k_pending_cold":$tMergeCold,""" +
       s""""full_compaction":$tCompact,"search_rows":$c1,"upsert_rows":${rows2.length},""" +
       s""""merge_rows":$c3,"compact_rows":$c4,""" +
       s""""zorder_etl":$tZEtl,"pred_probe_zorder":$tZProbe,""" +
