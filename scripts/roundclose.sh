@@ -74,6 +74,42 @@ for entry in "${CORPORA[@]}"; do
   step "gate replay $tag ($n_ok/$n_all hash-exact)" $(( vrc || crc ))
 done
 
+# Second-scale plan drift (VERDICT r12 #5): stats-driven choices
+# (broadcast-vs-SMJ flips) could legitimately differ by SF; the committed
+# PLAN_SF0.01_r*.json artifact pins the sf0.01 executed plans (r13 finding:
+# currently IDENTICAL to the sf0.001 set — every gate plan is SF-invariant
+# at gate scales). Re-derive fresh and diff hashes; a flip must ship with a
+# reviewed artifact update, exactly like the sf0.001 spec gate.
+echo "== second-scale (sf0.01) plan fingerprints =="
+sf2_committed=$(ls PLAN_SF0.01_r*.json 2>/dev/null | sort -V | tail -1)
+if [ -z "$sf2_committed" ]; then
+  RESULTS+=("FAIL  sf0.01 plan check (no committed PLAN_SF0.01_r*.json)")
+else
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.tools.PlanFingerprint 0 $LOGS/plan_sf001_fresh.json" \
+    > "$LOGS/plan_sf001.log" 2>&1
+  prc=$?
+  pdrift=$(python3 - "$sf2_committed" "$LOGS/plan_sf001_fresh.json" <<'PY'
+import json, sys
+try:
+    old = json.load(open(sys.argv[1]))['queries']
+    new = json.load(open(sys.argv[2]))['queries']
+except Exception as e:
+    print(f'unreadable: {e}'); sys.exit(0)
+drift = [q for q in old if new.get(q, {}).get('hash') != old[q]['hash']]
+drift += [q for q in new if q not in old]
+print('; '.join(sorted(set(drift))))
+PY
+)
+  if [ "$prc" -ne 0 ]; then
+    RESULTS+=("FAIL  sf0.01 plan derivation (see plan_sf001.log)")
+  elif [ -n "$pdrift" ]; then
+    RESULTS+=("FAIL  sf0.01 plans drifted vs $sf2_committed: $pdrift")
+  else
+    RESULTS+=("PASS  sf0.01 plans match $sf2_committed")
+  fi
+fi
+
 if [ "$SKIP_BENCH" -eq 0 ]; then
   echo "== [3/4] sf0.1 bench =="
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \

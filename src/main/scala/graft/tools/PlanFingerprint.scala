@@ -127,13 +127,17 @@ object PlanFingerprint {
     s"""{\n"sf":${js(sfDir)},\n"queries":{\n${entries.mkString(",\n")}\n}}"""
   }
 
+  /** args: `[round] [outPath]` — default output `PLAN_r<round>.json`; an
+    * explicit second arg writes elsewhere (the round-close sf0.01
+    * drift check derives into /tmp and diffs against the committed
+    * second-scale artifact, `PLAN_SF0.01_r<round>.json`). */
   def main(args: Array[String]): Unit = {
     val round = if (args.nonEmpty) args(0) else "12"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = graft.LocalSession.create(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val fps = deriveAll(spark, sfDir)
-    val out = s"PLAN_r$round.json"
+    val out = if (args.length > 1) args(1) else s"PLAN_r$round.json"
     Files.writeString(Paths.get(out), renderJson(fps, sfDir))
     val errs = fps.collect { case (n, fp) if fp.hash.startsWith("ERROR") => n }
     println(s"$out: ${fps.size} fingerprints" +
