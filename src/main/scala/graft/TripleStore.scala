@@ -268,8 +268,8 @@ object TripleStore {
     * write time, and physical pruning comes from parquet min/max, not this
     * map. A store resharded via [[reshard]] (q28) still reports THIS
     * declared map — mirroring the reference, whose `SHARDING` dict is
-    * equally static across reshards; derive from the new layout's parquet
-    * footers if a dynamic map is ever needed. */
+    * equally static across reshards; [[describeShardsFromLayout]] is the
+    * dynamic twin that derives the map from a layout's parquet footers. */
   def describeShards(spark: SparkSession, dir: String): DataFrame =
     triples(spark, dir)
       .withColumn("shard_id",
@@ -292,6 +292,47 @@ object TripleStore {
        |       min(subject) AS min_subject, max(subject) AS max_subject,
        |       CAST(count(DISTINCT predicate) AS BIGINT) AS n_predicates
        |FROM triples GROUP BY 1 ORDER BY shard_id""".stripMargin
+
+  /** O22 over a PHYSICAL layout (the r11/r12 carry-over): per-shard row
+    * counts and actual key bounds for a [[writeSharded]]/[[reshard]]-ed
+    * store, derived from the layout's PARQUET FOOTERS alone — file row
+    * counts plus the subject column's chunk min/max statistics — so the
+    * describe reads O(#shards) metadata blocks and ZERO data pages. This is
+    * the dynamic twin of [[describeShards]]'s declared routing map: after a
+    * reshard it reports the NEW physical boundaries (the map
+    * `repartitionByRange` actually sampled), which is what an operator
+    * pointing lookups at the store needs. Driver-side by design: a describe
+    * surface over a bounded shard count, the same class as the reference's
+    * `SHARDING` dict dump (`MasterServer.py:435-463`). */
+  def describeShardsFromLayout(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files = root.getFileSystem(conf).listStatus(root)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val rows = files.zipWithIndex.map { case (f, i) =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala
+        val nRows = blocks.map(_.getRowCount).sum
+        val subjStats = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == "subject").map(_.getStatistics))
+        def bin(b: Any): String = new String(
+          b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8")
+        // combine per-block stats under CODE-POINT order — the unsigned
+        // byte order parquet computed them in — not JVM UTF-16 order
+        val cpo = graft.plans.RangeBucket.codePointOrdering
+        (i.toLong, nRows,
+          subjStats.map(s => bin(s.genericGetMin)).minOption(cpo).orNull,
+          subjStats.map(s => bin(s.genericGetMax)).maxOption(cpo).orNull)
+      } finally rd.close()
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("shard_id", "n_rows", "min_subject", "max_subject")
+      .orderBy("shard_id")
+  }
 
   /** Bucketed layout on the logical key: `bucketBy(subject, predicate)` +
     * in-bucket sort. Two tables bucketed the same way join/aggregate on the

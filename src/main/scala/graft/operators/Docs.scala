@@ -930,10 +930,19 @@ object Docs {
     *
     * Three-step plan, corpus touched only by map-side scans:
     *   1. `bloom_build` aggregates a bloom filter over the corpus hashes —
-    *      map-side partial blooms, one tiny merge (KBs cross the exchange,
-    *      never rows). No false negatives, so every batch row the probe
+    *      map-side partial blooms, one merge whose exchange carries
+    *      P·numBits/8 bytes (P = build partitions), never rows: KBs at
+    *      gate sizing. No false negatives, so every batch row the probe
     *      rejects is DEFINITELY new and is admitted with no join at all —
     *      at a realistic dup rate that is almost the whole batch.
+    *      Sizing law, measured at 10M keys (DedupScaleBench r13): each
+    *      partial is a fixed numBits/8 bytes, so a per-batch REBUILD ships
+    *      P·1.25 B/key at 10 bits/key — 191 MB with P=32 vs the anti-join's
+    *      648 MB corpus shuffle, and coalescing the build scan (P=4) cuts
+    *      it to 42 MB at a parallelism cost. The true 100 TB shape does
+    *      not rebuild at all: the bloom is STATE, built once and updated
+    *      with each batch's admitted hashes (q70's incremental-store
+    *      pattern), so the steady-state per-batch exchange is the batch.
     *   2. The few bloom-positive rows (true dups + the fp rate) have their
     *      hashes broadcast; a semi-join extracts the matching corpus hashes
     *      from another map-only corpus scan — the corpus side of the exact

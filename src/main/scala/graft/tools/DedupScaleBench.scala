@@ -1,0 +1,157 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.LocalSession
+
+/** Incremental-dedup shapes at the reference's row count (VERDICT r12 #4):
+  * the r11 20×-corpus stress covered the near-dup chain (q19→q60); this
+  * one-off main extends the same discipline to the INCREMENTAL shapes —
+  * q52's anti-join and q61's bloom route — at a 10M-hash corpus with a
+  * 100k batch, i.e. the daily-crawl cardinality where the corpus can no
+  * longer broadcast and the two plans genuinely diverge:
+  *
+  *   - q52 shape (anti-join): both sides hash-partition on content_hash —
+  *     the corpus's hash column crosses the exchange (~64 B/row → ~GB at
+  *     10M rows). Correct, spill-safe, but the corpus pays per batch.
+  *   - q61 shape (bloom route): corpus touched by map-side scans only; the
+  *     only corpus-derived exchange is the bloom merge (KBs). The claim
+  *     under test is exactly that — at REAL cardinality the corpus-side
+  *     shuffle disappears and the exchange volume is batch-bounded.
+  *
+  * The kernels mirror graft.operators.Docs.q52IncrementalDedup /
+  * q61BloomDedup with the bloom sized to corpus cardinality (the gate
+  * sizes it to the documents table); synthetic hashes, deterministic split:
+  * 10% of the batch duplicates corpus rows, 1% duplicates within-batch.
+  * Both plans must agree exactly (count + order-independent checksum)
+  * before any number is reported. Prints one JSON line per plan with wall
+  * seconds and shuffle/broadcast volumes from task metrics, then a summary.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.DedupScaleBench
+  *        [corpusRows] [batchRows]"
+  */
+object DedupScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val corpusRows = if (args.length > 0) args(0).toLong else 10000000L
+    val batchRows = if (args.length > 1) args(1).toLong else 100000L
+    val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val shufWrite = new AtomicLong(0)
+    val shufRecords = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+    })
+    def settled(): (Long, Long) = {
+      var prev = (-1L, -1L)
+      var cur = (shufWrite.get, shufRecords.get)
+      val deadline = System.currentTimeMillis() + 5000
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        prev = cur; Thread.sleep(50)
+        cur = (shufWrite.get, shufRecords.get)
+      }
+      cur
+    }
+
+    // deterministic synthetic hashes; materialized to parquet so both
+    // plans read identical bytes and the corpus is a SCAN, not a range
+    val tmp = sys.props("java.io.tmpdir")
+    val corpusPath = s"$tmp/graft_dedupscale_corpus"
+    val batchPath = s"$tmp/graft_dedupscale_batch"
+    spark.range(corpusRows)
+      .select(col("id").as("doc_id"),
+        sha2(concat(lit("corpus_"), col("id")), 256).as("content_hash"))
+      .write.mode("overwrite").parquet(corpusPath)
+    // batch ids continue past the corpus; hash domain: 10% corpus dups
+    // (id % 10 == 0 reuses a corpus hash), 1% within-batch dups (id % 100
+    // == 1 collapses to a shared new hash), the rest genuinely new
+    spark.range(batchRows)
+      .select((col("id") + corpusRows).as("doc_id"),
+        when(col("id") % 10 === 0,
+          sha2(concat(lit("corpus_"), col("id") % corpusRows), 256))
+          .when(col("id") % 100 === 1,
+            sha2(concat(lit("batchdup_"), col("id") % 7), 256))
+          .otherwise(sha2(concat(lit("batch_"), col("id")), 256))
+          .as("content_hash"))
+      .write.mode("overwrite").parquet(batchPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val batch = spark.read.parquet(batchPath)
+
+    def admit(plan: DataFrame): DataFrame = plan
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .select("doc_id", "content_hash", "n_in_batch")
+
+    // q52 shape: shuffled anti-join (corpus far over any broadcast bound)
+    def antiJoinPlan(): DataFrame =
+      admit(batch.join(corpus, Seq("content_hash"), "left_anti"))
+
+    // q61 shape, bloom sized to corpusRows (~10 bits/key, fp ~1%).
+    // buildParts caps the bloom build's map-side parallelism (coalesce, no
+    // shuffle): the partial-bloom merge ships buildParts × numBits/8 bytes,
+    // so fewer build partitions trade scan parallelism for exchange volume
+    // — the tradeoff this bench exists to measure.
+    def bloomPlan(buildParts: Option[Int]): DataFrame = {
+      val buildSide = buildParts.map(corpus.coalesce).getOrElse(corpus)
+      val bloom = buildSide
+        .select(call_function("bloom_build", xxhash64(col("content_hash")),
+          lit(corpusRows), lit(corpusRows * 10)).as("bf"))
+        .scalar()
+      val probed = batch.withColumn("maybe_dup",
+        coalesce(call_function("bloom_might_contain", bloom,
+          xxhash64(col("content_hash"))), lit(false)))
+      val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
+      val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
+      val hits = corpus
+        .join(broadcast(pos.select("content_hash").distinct()),
+          Seq("content_hash"), "left_semi")
+        .select("content_hash").distinct()
+      admit(clean.unionByName(
+        pos.join(broadcast(hits), Seq("content_hash"), "left_anti")))
+    }
+
+    // order-independent result digest: count + XOR of row hashes (sum
+    // would overflow a long under ANSI arithmetic)
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(doc_id, content_hash, n_in_batch))").as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def run(name: String, mk: () => DataFrame): (Long, Long) = {
+      val (w0, r0) = settled()
+      val t0 = System.nanoTime()
+      val d = digest(mk())
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (w1, r1) = settled()
+      val secsStr =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(secs))
+      println(s"""{"plan":"$name","secs":$secsStr,""" +
+        s""""shuffle_bytes":${w1 - w0},"shuffle_records":${r1 - r0},""" +
+        s""""admitted":${d._1},"digest":${d._2}}""")
+      d
+    }
+
+    println(s"""{"dedup_scale":"start","corpus_rows":$corpusRows,""" +
+      s""""batch_rows":$batchRows}""")
+    val dAnti = run("q52_anti_join", () => antiJoinPlan())
+    val dBloom = run("q61_bloom_route", () => bloomPlan(None))
+    val dBloom4 = run("q61_bloom_build4", () => bloomPlan(Some(4)))
+    val agree = dAnti == dBloom && dBloom == dBloom4
+    println(s"""{"dedup_scale":"done","plans_agree":$agree}""")
+    spark.stop()
+    if (!agree) sys.exit(1)
+  }
+}

@@ -52,6 +52,31 @@ class TripleStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("describeShardsFromLayout: footer-derived shard map matches the " +
+    "data, after a reshard reports the NEW boundaries") {
+    val path5 = TripleStore.reshardedPath(spark, sf, toShards = 5)
+    val desc = TripleStore.describeShardsFromLayout(spark, path5)
+      .as[(Long, Long, String, String)].collect().toSeq
+    val store = spark.read.parquet(path5)
+    // counts: per-shard rows sum to the store
+    assert(desc.map(_._2).sum == store.count())
+    assert(desc.forall(_._2 > 0))
+    // bounds: footer stats must equal the data's actual per-file min/max
+    val byFile = store.inputFiles.sorted.toSeq.map { f =>
+      spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("subject"),
+          org.apache.spark.sql.functions.max("subject"))
+        .as[(String, String)].head()
+    }
+    assert(desc.map(d => (d._3, d._4)).sortBy(_._1) == byFile.sortBy(_._1),
+      s"footer bounds != data bounds: $desc vs $byFile")
+    // the physical map is the DISJOINT cover the declared map can't see
+    desc.map(d => (d._3, d._4)).sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("shardPredicate filters a changelog to a shard's range box (O5/O11)") {
     val upd = TripleStore.updates(spark, sf)
     val inShard = upd.filter(Lww.shardPredicate("<order_1", "<a", "<order_5", "<z"))
