@@ -159,11 +159,17 @@ object StreamingGate {
             loTs + span * (i + 1) / NumBatches)
           // one driver-built JSONL file per time slice; the slices are small
           // by construction (a gate replay, not the store) and the file
-          // boundary IS the micro-batch boundary under maxFilesPerTrigger=1
+          // boundary IS the micro-batch boundary under maxFilesPerTrigger=1.
+          // user_id/value serialize as JSON null when absent (batch q39
+          // keeps both: NULL users group, NULL values vanish from sum);
+          // NaN/Infinity ride as bare tokens (Spark's JSON reader accepts
+          // them by default — allowNonNumericNumbers)
           val rows = ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
-            .as[(Long, Long, Long, Double)].collect()
+            .as[(Option[Long], Long, Long, Option[Double])].collect()
           place(f"part$i%02d.json", rows.toSeq.map { case (u, e, ts, v) =>
-            s"""{"user_id":$u,"event_id":$e,"ts_ms":$ts,"value":$v}"""
+            s"""{"user_id":${u.map(_.toString).getOrElse("null")},""" +
+              s""""event_id":$e,"ts_ms":$ts,""" +
+              s""""value":${v.map(_.toString).getOrElse("null")}}"""
           })
         }
         place("sentinel0.json", Seq(
@@ -187,7 +193,9 @@ object StreamingGate {
     }
     val w = Window.partitionBy("user_id").orderBy("session_start")
     spark.read.parquet(store)
-      .filter(col("user_id") =!= SentinelUser)
+      // null-SAFE inequality: a NULL-user session is a real q39 group and
+      // `=!=` would silently drop it (NULL comparison → filtered)
+      .filter(!(col("user_id") <=> lit(SentinelUser)))
       .withColumn("session_id", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_id"), col("session_start"),
         col("session_end"), col("n_events"),

@@ -4,17 +4,24 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One event inside a user's open session buffer. */
-case class SessionEvent(ts_ms: Long, event_id: Long, value: Double)
+/** One event inside a user's open session buffer. `value` is optional
+  * because the batch twin's `sum(value)` IGNORES NULLs — dropping the whole
+  * event (or zero-filling) would diverge from q39 on a corpus with null
+  * values (the adversarial events table has them). */
+case class SessionEvent(ts_ms: Long, event_id: Long, value: Option[Double])
 
 /** A closed session. Identity is `(user_id, session_start)` — NOT a per-user
   * ordinal like the batch twin's `session_id`: an ordinal requires keeping a
   * per-user counter alive forever (state that can never be evicted), while
   * the start timestamp is derivable from the session itself, so state can be
   * dropped the moment a session closes. The batch/stream equivalence join is
-  * on `(user_id, session_start)` (StreamingSessionsSpec). */
-case class ClosedSession(user_id: Long, session_start: Long,
-    session_end: Long, n_events: Long, sum_value: Double)
+  * on `(user_id, session_start)` (StreamingSessionsSpec). `user_id` is
+  * optional — a NULL user is a legal grouping key that forms its own
+  * session stream in BOTH engines (q39's window partitions NULLs into one
+  * group); `sum_value` is None when every event in the session carried a
+  * NULL value, matching SQL `sum` over an all-NULL group. */
+case class ClosedSession(user_id: Option[Long], session_start: Long,
+    session_end: Long, n_events: Long, sum_value: Option[Double])
 
 /** Streaming twin of the batch gap-sessionizer
   * ([[graft.operators.Relational.q39Sessionize]]): close a user's session
@@ -46,25 +53,29 @@ object StreamingSessions {
       else acc :+ Vector(e)
     }
 
-  private def close(userId: Long, s: Seq[SessionEvent]): ClosedSession =
+  private def close(userId: Option[Long],
+      s: Seq[SessionEvent]): ClosedSession = {
+    // SQL-sum semantics: NULL addends ignored; all-NULL group sums to NULL
+    val vs = s.flatMap(_.value)
     ClosedSession(userId, s.head.ts_ms, s.last.ts_ms, s.size.toLong,
-      s.map(_.value).sum)
+      if (vs.isEmpty) None else Some(vs.sum))
+  }
 
   /** `events` needs columns `user_id LONG, event_id LONG, ts TIMESTAMP,
-    * value DOUBLE` (the driver's events schema). Emits one row per closed
-    * session, append mode. */
+    * value DOUBLE` (the driver's events schema; user_id and value may be
+    * NULL). Emits one row per closed session, append mode. */
   def sessionize(events: DataFrame, gapMs: Long,
       watermarkDelay: String): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .as[(Option[Long], Long, java.sql.Timestamp, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long,
-         rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+        (userId: Option[Long],
+         rows: Iterator[(Option[Long], Long, java.sql.Timestamp, Option[Double])],
          state: GroupState[Seq[SessionEvent]]) =>
           if (state.hasTimedOut) {
             // timeout fired ⇒ watermark passed lastTs + gap ⇒ EVERY buffered

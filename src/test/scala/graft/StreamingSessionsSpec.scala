@@ -20,14 +20,15 @@ class StreamingSessionsSpec extends AnyFunSuite {
   private val GapMs = 30L * 60 * 1000
   private val SentinelUser = -1L
 
-  private def row(user: Long, eid: Long, tsMs: Long,
-      value: Double): (Long, Long, Timestamp, Double) =
-    (user, eid, new Timestamp(tsMs), value)
+  private def row(user: Long, eid: Long, tsMs: Long, value: Double)
+      : (Option[Long], Long, Timestamp, Option[Double]) =
+    (Some(user), eid, new Timestamp(tsMs), Some(value))
 
   test("split folds a sorted buffer into gap-delimited sessions") {
-    val e = Seq(SessionEvent(0L, 0L, 1.0), SessionEvent(10L, 1L, 1.0),
-      SessionEvent(10L + GapMs, 2L, 1.0),        // still within gap of 10
-      SessionEvent(11L + 2 * GapMs, 3L, 1.0))    // > gap after previous
+    val e = Seq(SessionEvent(0L, 0L, Some(1.0)),
+      SessionEvent(10L, 1L, Some(1.0)),
+      SessionEvent(10L + GapMs, 2L, Some(1.0)),  // still within gap of 10
+      SessionEvent(11L + 2 * GapMs, 3L, Some(1.0))) // > gap after previous
     val s = StreamingSessions.split(e, GapMs)
     assert(s.map(_.map(_.event_id)) == Seq(Seq(0L, 1L, 2L), Seq(3L)))
     assert(StreamingSessions.split(Seq.empty, GapMs).isEmpty)
@@ -39,7 +40,7 @@ class StreamingSessionsSpec extends AnyFunSuite {
     val genEvents: Gen[List[SessionEvent]] = Gen.listOf(for {
       ts <- Gen.choose(0L, 40L * GapMs)
       id <- Gen.choose(0L, 1000L)
-      } yield SessionEvent(ts, id, 1.0))
+      } yield SessionEvent(ts, id, Some(1.0)))
     val prop = Prop.forAll(genEvents) { evs0 =>
       val evs = evs0.sortBy(e => (e.ts_ms, e.event_id))
       val ss = StreamingSessions.split(evs, GapMs)
@@ -100,10 +101,11 @@ class StreamingSessionsSpec extends AnyFunSuite {
     val ev = raw
       .select(col("user_id"), col("event_id"),
         timestamp_millis(Relational.eventTsMs(raw)).as("ts"), col("value"))
-    val rows = ev.as[(Long, Long, Timestamp, Double)].collect()
+    val rows = ev.as[(Option[Long], Long, Timestamp, Option[Double])]
+      .collect()
     val maxTs = rows.map(_._3.getTime).max
 
-    val source = MemoryStream[(Long, Long, Timestamp, Double)]
+    val source = MemoryStream[(Option[Long], Long, Timestamp, Option[Double])]
     val q = StreamingSessions.sessionize(
         source.toDF().toDF("user_id", "event_id", "ts", "value"),
         GapMs, watermarkDelay = "10 minutes")
@@ -127,12 +129,12 @@ class StreamingSessionsSpec extends AnyFunSuite {
     } finally q.stop()
 
     val streamed = spark.table("sessions_stream").as[ClosedSession].collect()
-      .filter(_.user_id != SentinelUser)
+      .filter(!_.user_id.contains(SentinelUser))
       .map(s => (s.user_id, s.session_start) -> s).toMap
     val batch = Relational.q39Sessionize(spark, sf)
       .select("user_id", "session_start", "session_end", "n_events",
         "sum_value")
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Option[Long], Long, Long, Long, Option[Double])].collect()
     assert(batch.nonEmpty && streamed.nonEmpty)
     assert(streamed.size == batch.length,
       s"session count: stream=${streamed.size} batch=${batch.length}")
@@ -141,7 +143,8 @@ class StreamingSessionsSpec extends AnyFunSuite {
         fail(s"batch session ($u, $start) missing from stream"))
       assert(s.session_end == end && s.n_events == n)
       // same addends, different fold order (batch rounds to 2 at the edge)
-      assert(math.abs(s.sum_value - sum) < 0.011,
+      assert(s.sum_value.isDefined == sum.isDefined)
+      assert(math.abs(s.sum_value.getOrElse(0.0) - sum.getOrElse(0.0)) < 0.011,
         s"sum mismatch for ($u, $start): ${s.sum_value} vs $sum")
     }
   }
@@ -193,19 +196,48 @@ class StreamingSessionsSpec extends AnyFunSuite {
       q2.processAllAvailable()
     } finally q2.stop()
     val out = spark.read.parquet(outDir).as[ClosedSession].collect()
-      .filter(_.user_id == 1L)
+      .filter(_.user_id.contains(1L))
     // state loss would surface as TWO sessions (or n_events < 3); the
     // restored open session must absorb the post-restart extension
     assert(out.toSeq == Seq(
-      ClosedSession(1L, base, base + GapMs, 3L, 3.0)),
+      ClosedSession(Some(1L), base, base + GapMs, 3L, Some(3.0))),
       s"expected one continued session, got ${out.toSeq}")
+  }
+
+  test("NULL user_id and NULL value ride the stream exactly like batch " +
+    "q39: a null user forms its own session group, null values vanish " +
+    "from the sum, an all-null session sums to NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 50L * GapMs
+    val source = MemoryStream[(Option[Long], Long, Timestamp, Option[Double])]
+    val q = StreamingSessions.sessionize(
+        source.toDF().toDF("user_id", "event_id", "ts", "value"),
+        GapMs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("null_stream").start()
+    try {
+      source.addData(
+        (None, 0L, new Timestamp(base), Some(2.0)),
+        (None, 1L, new Timestamp(base + 10), None), // sum ignores the null
+        (Some(9L), 2L, new Timestamp(base), None))  // all-null session
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 0L, base + 20 * GapMs, 0.0))
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 1L, base + 21 * GapMs, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("null_stream").as[ClosedSession].collect()
+      .filter(!_.user_id.contains(SentinelUser)).sortBy(_.user_id)
+    assert(out.toSeq == Seq(
+      ClosedSession(None, base, base + 10, 2L, Some(2.0)),
+      ClosedSession(Some(9L), base, base, 1L, None)),
+      s"null semantics diverged: ${out.toSeq}")
   }
 
   test("a late-but-admissible event fuses two apparent sessions (emission " +
     "waits for the watermark, not the raw gap)") {
     implicit val sqlCtx = spark.sqlContext
     val base = 100L * GapMs
-    val source = MemoryStream[(Long, Long, Timestamp, Double)]
+    val source = MemoryStream[(Option[Long], Long, Timestamp, Option[Double])]
     val q = StreamingSessions.sessionize(
         source.toDF().toDF("user_id", "event_id", "ts", "value"),
         GapMs, watermarkDelay = "2 hours")
@@ -223,9 +255,9 @@ class StreamingSessionsSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
     val out = spark.table("fuse_stream").as[ClosedSession].collect()
-      .filter(_.user_id == 7L)
+      .filter(_.user_id.contains(7L))
     assert(out.toSeq == Seq(
-      ClosedSession(7L, base, base + 2 * GapMs, 3L, 3.0)),
+      ClosedSession(Some(7L), base, base + 2 * GapMs, 3L, Some(3.0))),
       s"expected ONE fused session, got ${out.toSeq}")
   }
 }
