@@ -92,6 +92,72 @@ class StreamingSessionsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("model check: streaming == in-process split fold for RANDOM event " +
+    "sets under RANDOM chopping and arrival order (nothing inadmissibly " +
+    "late under a full-span watermark delay, so equivalence must hold for " +
+    "ANY replay schedule — the q74 oracle-validity argument, randomized)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    implicit val sqlCtx = spark.sqlContext
+    val genCase: Gen[(List[(Option[Long], Long, Long, Option[Double])], Int, Long)] =
+      for {
+        n <- Gen.choose(5, 18)
+        evs <- Gen.listOfN(n, for {
+          u <- Gen.oneOf(Some(1L), Some(2L), Option.empty[Long])
+          t <- Gen.choose(0L, 15L * GapMs)     // dense enough for ties/gaps
+          v <- Gen.frequency(
+            (1, Gen.const(Option.empty[Double])),
+            (3, Gen.choose(0, 50).map(x => Option(x / 4.0))))
+        } yield (u, t, v))
+        nBatches <- Gen.choose(1, 4)
+        seed <- Gen.choose(0L, Long.MaxValue)
+      } yield (evs.zipWithIndex.map { case ((u, t, vv), i) =>
+        (u, i.toLong, t, vv) }, nBatches, seed)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAll(genCase) { case (evs, nBatches, seed) =>
+        evs.isEmpty || {
+          // expected: per-key split fold (the spec's own pinned kernel)
+          val want = evs.groupBy(_._1).flatMap { case (u, rows) =>
+            val buf = rows.map(r => SessionEvent(r._3, r._2, r._4))
+              .sortBy(e => (e.ts_ms, e.event_id))
+            StreamingSessions.split(buf, GapMs).map { s =>
+              val vs = s.flatMap(_.value)
+              ClosedSession(u, s.head.ts_ms, s.last.ts_ms, s.size.toLong,
+                if (vs.isEmpty) None else Some(vs.sum))
+            }
+          }.toSet
+          // actual: a real streaming query over a random chop + shuffle;
+          // full-span watermark delay => no admissible-lateness drops
+          val rnd = new scala.util.Random(seed)
+          val shuffled = rnd.shuffle(evs)
+          val name = s"sess_model_${math.abs(seed)}"
+          val source =
+            MemoryStream[(Option[Long], Long, Timestamp, Option[Double])]
+          val q = StreamingSessions.sessionize(
+              source.toDF().toDF("user_id", "event_id", "ts", "value"),
+              GapMs, watermarkDelay = s"${40L * GapMs / 1000} seconds")
+            .writeStream.format("memory").queryName(name).start()
+          try {
+            shuffled.grouped(math.max(1, shuffled.size / nBatches))
+              .foreach { batch =>
+                source.addData(batch.map(r =>
+                  (r._1, r._2, new Timestamp(r._3), r._4)))
+                q.processAllAvailable()
+              }
+            val maxTs = evs.map(_._3).max
+            source.addData(row(SentinelUser, 0L, maxTs + 50 * GapMs, 0.0))
+            q.processAllAvailable()
+            source.addData(row(SentinelUser, 1L, maxTs + 51 * GapMs, 0.0))
+            q.processAllAvailable()
+          } finally q.stop()
+          val got = spark.table(name).as[ClosedSession].collect()
+            .filter(!_.user_id.contains(SentinelUser)).toSet
+          spark.catalog.dropTempView(name)
+          got == want
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("streaming sessions == batch q39 on the driver's events table") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
