@@ -59,6 +59,42 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks.values.forall(_ > 0))
   }
 
+  test("model check: pageRank == naive in-memory power iteration on " +
+    "random graphs (parallel edges, self-loops, dangling nodes, " +
+    "disconnected pieces all occur routinely)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges = for {
+      n <- Gen.choose(2, 8)
+      m <- Gen.choose(1, 20)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.choose(0, n - 1); d <- Gen.choose(0, n - 1)
+      } yield (s"<n$s>", s"<n$d>"))
+    } yield es
+    val (iters, damp) = (3, 0.85)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(genEdges) { es =>
+        val got = Graph.pageRank(es.toDF("src", "dst"), iters)
+          .as[(String, Double)].collect().toMap
+        // independent model: dense per-node fold, parallel edges counted
+        // with multiplicity (pageRank does not dedupe the edge list)
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+        val n = nodes.size.toDouble
+        val outDeg = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+        var rank = nodes.map(_ -> 1.0 / n).toMap
+        for (_ <- 1 to iters) {
+          val dangling = nodes.filterNot(outDeg.contains).map(rank).sum
+          val contrib = scala.collection.mutable.Map
+            .empty[String, Double].withDefaultValue(0.0)
+          es.foreach { case (s, t) => contrib(t) += rank(s) / outDeg(s) }
+          rank = nodes.map(v => v ->
+            ((1 - damp) / n + damp * (contrib(v) + dangling / n))).toMap
+        }
+        got.keySet == rank.keySet &&
+          nodes.forall(v => math.abs(got(v) - rank(v)) < 1e-9)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("pageRank on the store: region hubs outrank every order node") {
     val e = Graph.edges(spark, "/root/testdata/sf0.001")
     val ranks = Graph.pageRank(e, iters = 5)
