@@ -70,10 +70,25 @@ object Graph {
     * ONE Spark job (the `localCheckpoint` materialization; asserted via a
     * job-count listener in GraphSpec). `localCheckpoint` truncates lineage
     * per iteration (on a cluster: `checkpoint` to a checkpoint dir). At
-    * 100 TB the per-iteration shuffle is on dst — the same key every round,
-    * so a pre-partitioned edge table keeps the big side exchange-free. */
+    * 100 TB the per-iteration shuffles repeat on the same keys every round
+    * (src for the contribution join, dst for the fan-in): hash-partitioning
+    * the edge table on src once wins a measured ~23% of wall at 10M edges
+    * (PageRankScaleBench — already-clustered rows shuffle cheaper; the
+    * compile-time exchange itself is NOT elided by the checkpoint's
+    * preserved partitioning), and the true exchange-FREE edge side comes
+    * from a bucketed catalog table, the q31 `writeBucketed` machinery. */
   def pageRank(edgeDf: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
+    // deterministic block release for a superseded round's localCheckpoint:
+    // waiting for GC + ContextCleaner loses the race at scale — back-to-back
+    // 10M-edge runs OOMed an 8 GiB heap on accumulated superseded rank
+    // blocks before this (PageRankScaleBench r13). Safe once the next round
+    // is EAGERLY materialized: nothing references the old blocks.
+    def ckptRdd(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    def release(df: DataFrame): Unit =
+      ckptRdd(df).foreach(_.unpersist(blocking = false))
     val edges = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
@@ -101,7 +116,7 @@ object Graph {
         .select(col("dst").as("node"),
           (col("rank") / col("out_deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+      val next = nodes.join(contribs, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nCount))
         .select(col("node"),
@@ -109,7 +124,11 @@ object Graph {
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
               col("dangling_mass") / col("n_nodes"))).as("rank"))
         .localCheckpoint(true)
+      release(ranks) // superseded round — next is already materialized
+      ranks = next
     }
+    // the auxiliaries are dead once the final (checkpointed) ranks exist
+    Seq(edges, nodes, nCount, outDeg).foreach(release)
     ranks
   }
 

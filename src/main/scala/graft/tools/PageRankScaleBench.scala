@@ -1,0 +1,116 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** One-off measurement: [[Graph.pageRank]] at store scale (~10M edges) —
+  * the graph north star's same-scale rehearsal, CcModeBench's discipline
+  * applied to the iterative rank loop. Two modes over identical input:
+  *
+  *   - `plain`: the edge list as derived — every iteration's src-join
+  *     re-shuffles the (big) edge side.
+  *   - `prepart`: edges hash-repartitioned on `src` ONCE and checkpointed —
+  *     `LogicalRDD` preserves the partitioning, so each iteration's
+  *     src-join reuses it and only the (smaller) rank side moves. This is
+  *     the scaladoc's "pre-partitioned edge table keeps the big side
+  *     exchange-free" claim, measured instead of argued.
+  *
+  * Both modes must agree on the ranks (max |Δ| over a full join) before
+  * the numbers are reported. Prints one JSON line.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.PageRankScaleBench
+  * [sfDir] [replicate] [iters]"` — disjoint id-suffixed graph copies, so
+  * the work is k× honest edges with k× honest nodes.
+  */
+object PageRankScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val replicate = if (args.length > 1) args(1).toInt else 60
+    val iters = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.LocalSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val jobs = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    def settled(): Long = {
+      var prev = -1L; var cur = jobs.get()
+      val deadline = System.currentTimeMillis() + 5000
+      while (cur != prev && System.currentTimeMillis() < deadline) {
+        prev = cur; Thread.sleep(50); cur = jobs.get()
+      }
+      cur
+    }
+
+    val base = Graph.edges(spark, sfDir)
+    val edges = (0 until replicate).map { i =>
+      base.select(concat(col("src"), lit(s"#$i")).as("src"),
+        concat(col("dst"), lit(s"#$i")).as("dst"))
+    }.reduce(_ union _).localCheckpoint(true)
+    val nEdges = edges.count()
+
+    def run(tag: String, e: org.apache.spark.sql.DataFrame) = {
+      val j0 = settled()
+      val t0 = System.nanoTime()
+      val ranks = Graph.pageRank(e, iters).localCheckpoint(true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val j = settled() - j0
+      val sum = ranks.agg(org.apache.spark.sql.functions.sum("rank"))
+        .head().getDouble(0)
+      (ranks, secs, j, sum)
+    }
+
+    val (rPlain, tPlain, jPlain, sPlain) = run("plain", edges)
+    val pre = edges.repartition(col("src")).localCheckpoint(true)
+    val (rPre, tPre, jPre, sPre) = run("prepart", pre)
+
+    // plan diagnostic: ONE iteration's contribution subplan per mode, so
+    // the exchange count states whether the preserved partitioning elides
+    // the edge-side shuffle (AQE off for a deterministic compile-time tree)
+    def contribExchanges(e: org.apache.spark.sql.DataFrame): Int = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val ranks = rPlain
+        val outDeg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
+        val plan = e
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("rank") / col("out_deg")).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_mass"))
+        PlanFingerprint.fingerprint(plan).exchanges
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val (exPlain, exPre) = (contribExchanges(edges), contribExchanges(pre))
+
+    // modes must agree node-for-node before any number is reported
+    val maxDiff = rPlain.as("a")
+      .join(rPre.as("b"), col("a.node") === col("b.node"), "full_outer")
+      .agg(max(abs(coalesce(col("a.rank"), lit(-1.0)) -
+        coalesce(col("b.rank"), lit(-2.0)))))
+      .head().getDouble(0)
+    def f(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"pagerank_scale","edges":$nEdges,"iters":$iters,""" +
+      s""""plain_sec":${f(tPlain)},"plain_jobs":$jPlain,""" +
+      s""""prepart_sec":${f(tPre)},"prepart_jobs":$jPre,""" +
+      s""""contrib_exchanges_plain":$exPlain,""" +
+      s""""contrib_exchanges_prepart":$exPre,""" +
+      s""""rank_sum_plain":${f(sPlain)},"rank_sum_prepart":${f(sPre)},""" +
+      s""""max_rank_diff":$maxDiff}""")
+    spark.stop()
+    if (maxDiff > 1e-9) {
+      System.err.println(s"[pagerank_scale] modes disagree: $maxDiff")
+      sys.exit(1)
+    }
+  }
+}
