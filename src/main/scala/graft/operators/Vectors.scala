@@ -240,8 +240,15 @@ object Vectors {
     * the only shuffle is the per-vector `max_by` groupBy — the index build
     * is linear per iteration. */
   def ivfAssign(spark: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) =
+    ivfAssignVectors(table(spark, dir, "embeddings"), k, iters)
+
+  /** [[ivfAssign]] over an explicit `(vec_id, embedding)` frame — the same
+    * build for corpora that are not the sf dir's embeddings table (the
+    * scale rehearsal feeds 1M synthetic vectors through it). */
+  def ivfAssignVectors(vectors: DataFrame, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
-    val e = sphereNormalized(table(spark, dir, "embeddings"))
+    val e = sphereNormalized(vectors)
     var centroids = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
     def assign(cents: DataFrame): DataFrame = assignStep(e, cents)
