@@ -250,6 +250,12 @@ object SparkEntry {
     // rounded before hashing; oracle = the same iterations unrolled as
     // DuckDB CTEs (q66's determinism template for iterative algorithms).
     "q75_pagerank" -> (Graph.q75PageRank(_, _)),
+    // Stored-bloom incremental dedup: a two-epoch crawl ingest through a
+    // PERSISTENT bloom index (built once, appended per batch) — the
+    // steady-state shape DedupScaleBench showed a per-batch rebuild can't
+    // reach; the bloom only routes, so the oracle is pure NOT EXISTS.
+    "q76_bloom_index_dedup" ->
+      (graft.operators.BloomIndex.q76BloomIndexDedup(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -390,5 +396,6 @@ object SparkEntry {
     "q73_tsv_roundtrip"    -> TripleStore.Q73Sql,
     "q74_stream_sessions"  -> Relational.q39Sql,
     "q75_pagerank"         -> Graph.q75Sql,
+    "q76_bloom_index_dedup" -> graft.operators.BloomIndex.q76Sql,
   )
 }

@@ -1,0 +1,214 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.TripleStore.table
+
+/** The STORED-bloom incremental dedup — the steady-state shape of the
+  * daily-crawl admission path that DedupScaleBench (r13) showed a
+  * per-batch bloom REBUILD cannot reach: rebuilding ships
+  * P·numBits/8 bytes of partial blooms per batch (191 MB at 10M keys,
+  * P=32 — only ~3× under the plain anti-join), while a bloom maintained
+  * as STATE is built once and each batch pays only its own probe +
+  * append. This module is that state: a one-row parquet artifact
+  * `(bloom BINARY, expected, num_bits, n_appends)` holding the corpus
+  * bloom, plus the admit/append operations around it.
+  *
+  * Invariant (the correctness contract): the stored bloom is a SUPERSET
+  * filter of the corpus hash set — no false negatives, ever. [[build]]
+  * establishes it from the corpus; [[append]] preserves it by OR-ing in
+  * each admitted batch's hashes (a bloom of the same geometry, merged
+  * bit-wise). Under it, [[admit]] is EXACTLY q52's NOT-EXISTS relation:
+  * bloom-negative rows are definitely new (admitted with no join at
+  * all); bloom-positive rows are exact-checked against the corpus via
+  * the broadcast semi/anti pair, so false positives are restored, and
+  * the bloom only ever routes (BloomIndexSpec pins result-invariance
+  * under a deliberately poisoned bloom).
+  *
+  * Scale shape: admit's corpus side is map-only scans (never
+  * repartitioned); the per-batch exchange is the batch itself. append's
+  * bloom OR happens on the DRIVER over two numBits/8-byte blobs — an
+  * INDEX-maintenance step on a bounded artifact (12.5 MB at 10M keys,
+  * 10 bits/key), the same class as a z-order boundary sample, not a data
+  * path. Spark's own sketch format is used end-to-end: `bloom_build`
+  * (BloomFilterAggregate) serializes the very `BloomFilter` that
+  * `bloom_might_contain` and `BloomFilter.readFrom` consume, so the SQL
+  * aggregate builds it and the JVM merges it with no translation. */
+object BloomIndex {
+
+  /** Gate-scale geometry (q61's convention): ~10 bits/key at the corpus
+    * cardinality the driver tables carry. */
+  private[graft] val Expected = 100000L
+  private[graft] val NumBits = 1L << 20
+
+  private def bloomOf(hashes: DataFrame): DataFrame =
+    hashes.select(call_function("bloom_build",
+      xxhash64(col("content_hash")), lit(Expected), lit(NumBits)).as("bloom"))
+
+  /** The index is VERSIONED: every state is an immutable `v<N>` subdir
+    * and readers resolve the latest at plan-construction time. No file is
+    * ever replaced in place, so a session's shared file-listing cache can
+    * never serve a reader a deleted part file (the in-place-rename
+    * variant died exactly that way — `refreshByPath` refreshes cached
+    * PLANS, not the FileStatusCache), and an admit planned just before an
+    * append still reads a complete, corpus-superset snapshot. The
+    * snapshot-versioning shape every production table format uses. */
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v")) name.drop(1).toLongOption else None
+
+  private def latest(spark: SparkSession, path: String): (String, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = fs.listStatus(root).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map((s.getPath.toString, _)))
+    require(vs.nonEmpty, s"no bloom-index version under $path")
+    vs.maxBy(_._2)
+  }
+
+  /** Build version 0 of the index from the corpus hash column: one
+    * map-side partial-bloom aggregation (the only time the corpus pays a
+    * full pass), one tiny row written. */
+  def build(corpusHashes: DataFrame, path: String): Unit =
+    bloomOf(corpusHashes)
+      .select(col("bloom"), lit(Expected).as("expected"),
+        lit(NumBits).as("num_bits"), lit(0L).as("n_appends"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/v0")
+
+  /** The stored bloom as a LAZY scalar subquery (q61's convention: no
+    * eager driver job at plan-construction time, one tiny parquet read
+    * when the query runs, `ReuseSubquery` collapses repeats). The version
+    * is pinned when the plan is BUILT — a concurrent append does not move
+    * it mid-query. */
+  private def stored(spark: SparkSession, path: String): Column =
+    spark.read.parquet(latest(spark, path)._1).select(col("bloom")).scalar()
+
+  /** Admit a batch against the corpus using the STORED bloom: q52's exact
+    * relation through q61's routed plan, with the build step replaced by
+    * one tiny artifact read. `coalesce(probe, false)` keeps the
+    * empty/null edge exact (a null bloom admits everything, matching
+    * NOT EXISTS over an empty corpus). */
+  def admit(spark: SparkSession, path: String, batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val probed = batch.withColumn("maybe_dup",
+      coalesce(call_function("bloom_might_contain", stored(spark, path),
+        xxhash64(col("content_hash"))), lit(false)))
+    val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
+    val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
+    val hits = corpus
+      .join(broadcast(pos.select("content_hash").distinct()),
+        Seq("content_hash"), "left_semi")
+      .select("content_hash").distinct()
+    clean
+      .unionByName(pos.join(broadcast(hits), Seq("content_hash"), "left_anti"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .select("doc_id", "content_hash", "n_in_batch")
+  }
+
+  /** OR two serialized blooms of identical geometry — the index append's
+    * kernel, on the driver, over two bounded blobs. */
+  private[graft] def mergeBlobs(a: Array[Byte],
+      b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new ByteArrayInputStream(a))
+    fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new ByteArrayInputStream(b)))
+    val out = new ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Fold an admitted batch's hashes into the stored bloom (supersetness
+    * is preserved: OR can only add bits) by writing version N+1; versions
+    * older than the PREVIOUS one are then garbage-collected, so a reader
+    * that pinned the pre-append snapshot still completes. Idempotent on
+    * membership: OR-ing the same hashes twice is a no-op. */
+  def append(spark: SparkSession, path: String,
+      admittedHashes: DataFrame): Unit = {
+    val add = bloomOf(admittedHashes).head().getAs[Array[Byte]](0)
+    val (curPath, curV) = latest(spark, path)
+    val cur = spark.read.parquet(curPath)
+      .select("bloom", "expected", "num_bits", "n_appends").head()
+    val merged = mergeBlobs(cur.getAs[Array[Byte]](0), add)
+    import spark.implicits._
+    Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))
+      .toDF("bloom", "expected", "num_bits", "n_appends")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/v${curV + 1}")
+    // keep the latest two snapshots; GC the rest
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map((s.getPath, _)))
+      .filter(_._2 < curV)
+      .foreach { case (p, _) => fs.delete(p, true) }
+  }
+
+  // --- Q76: the two-epoch ingest gate entry ---------------------------------
+
+  private val ran =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Q76: a TWO-epoch crawl ingest through the stored index — build from
+    * the standing corpus (`doc_id % 10 < 8`), admit epoch 1
+    * (`% 10 == 8`), fold its hashes into the index AND the corpus, admit
+    * epoch 2 (`% 10 == 9`) against the grown state. Epoch 2's exclusion
+    * set is corpus₀ ∪ hashes(epoch 1) — every epoch-1 hash is either
+    * already standing or was admitted, so the oracle can state it
+    * directly. Memoized per sf dir (the ingest MUTATES the index;
+    * concurrent first calls block on ONE run — q67's pattern) with the
+    * result persisted and re-read on later calls. */
+  def q76BloomIndexDedup(spark: SparkSession, dir: String): DataFrame = {
+    val out = ran.computeIfAbsent(dir, { _ =>
+      val base = Files.createTempDirectory("graft_bloom_index").toString
+      val (idx, resultPath) = (s"$base/index", s"$base/result")
+      val hashed = table(spark, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      val corpus0 = hashed.filter(col("doc_id") % 10 < 8)
+      val epoch1 = hashed.filter(col("doc_id") % 10 === 8)
+      val epoch2 = hashed.filter(col("doc_id") % 10 === 9)
+      build(corpus0.select("content_hash"), idx)
+      val admitted1 = admit(spark, idx, epoch1, corpus0)
+        .localCheckpoint(true)
+      append(spark, idx, admitted1.select("content_hash"))
+      val corpus1 = corpus0.unionByName(
+        epoch1.select("doc_id", "content_hash"))
+      val admitted2 = admit(spark, idx, epoch2, corpus1)
+      admitted1.withColumn("epoch", lit(1L))
+        .unionByName(admitted2.withColumn("epoch", lit(2L)))
+        .select("epoch", "doc_id", "content_hash", "n_in_batch")
+        .coalesce(1).write.mode("overwrite").parquet(resultPath)
+      resultPath
+    })
+    spark.read.parquet(out).orderBy("epoch", "doc_id")
+  }
+
+  /** DuckDB oracle: both epochs as NOT-EXISTS relations — epoch 1 vs the
+    * standing corpus, epoch 2 vs corpus ∪ epoch-1 hashes. The bloom is
+    * invisible by construction (it only routes). */
+  val q76Sql: String =
+    """WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents),
+      |c0 AS (SELECT content_hash FROM h WHERE doc_id % 10 < 8),
+      |e1 AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 = 8),
+      |e2 AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 10 = 9),
+      |a1 AS (
+      |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash,
+      |         CAST(count(*) AS BIGINT) AS n_in_batch
+      |  FROM e1 b
+      |  WHERE NOT EXISTS (SELECT 1 FROM c0 WHERE c0.content_hash = b.content_hash)
+      |  GROUP BY content_hash),
+      |a2 AS (
+      |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_hash,
+      |         CAST(count(*) AS BIGINT) AS n_in_batch
+      |  FROM e2 b
+      |  WHERE NOT EXISTS (SELECT 1 FROM c0 WHERE c0.content_hash = b.content_hash)
+      |    AND NOT EXISTS (SELECT 1 FROM e1 WHERE e1.content_hash = b.content_hash)
+      |  GROUP BY content_hash)
+      |SELECT CAST(1 AS BIGINT) AS epoch, doc_id, content_hash, n_in_batch FROM a1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), doc_id, content_hash, n_in_batch FROM a2
+      |ORDER BY epoch, doc_id""".stripMargin
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BloomIndex
+
+/** Laws of the stored-bloom incremental dedup: the bloom must ROUTE and
+  * never decide — admit ≡ the plain anti-join relation whatever the bloom
+  * contains (as long as it is a corpus superset), appends preserve the
+  * superset invariant, and a poisoned (over-full) bloom changes cost, not
+  * results. */
+class BloomIndexSpec extends AnyFunSuite {
+
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hashed(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+
+  /** q52's NOT-EXISTS relation, the reference semantics. */
+  private def reference(batch: DataFrame, corpus: DataFrame): Set[(Long, String, Long)] =
+    batch.join(corpus.select("content_hash"), Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+      .select("doc_id", "content_hash", "n")
+      .as[(Long, String, Long)].collect().toSet
+
+  private def admitted(idx: String, batch: DataFrame,
+      corpus: DataFrame): Set[(Long, String, Long)] =
+    BloomIndex.admit(spark, idx, batch, corpus)
+      .as[(Long, String, Long)].collect().toSet
+
+  test("admit == the plain anti-join relation (dups, within-batch dups, " +
+    "all-new and all-dup batches)") {
+    val corpus = hashed((0L until 40L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus.select("content_hash"), idx)
+    // batch: 10 corpus dups, 2 within-batch dup groups, 8 fresh
+    val batch = hashed(
+      (100L until 110L).map(i => (i, s"doc ${i - 100}")) ++  // corpus dups
+        Seq((110L, "fresh a"), (111L, "fresh a"), (112L, "fresh b"),
+          (113L, "fresh b"), (114L, "fresh b")) ++
+        (115L until 123L).map(i => (i, s"fresh $i")))
+    assert(admitted(idx, batch, corpus) == reference(batch, corpus))
+    // degenerate batches
+    val allDup = hashed(Seq((200L, "doc 1"), (201L, "doc 2")))
+    assert(admitted(idx, allDup, corpus).isEmpty)
+    val allNew = hashed(Seq((300L, "x"), (301L, "y")))
+    assert(admitted(idx, allNew, corpus) == reference(allNew, corpus))
+  }
+
+  test("a poisoned bloom (foreign keys OR-ed in) changes routing, never " +
+    "results — false positives are restored by the exact check") {
+    val corpus = hashed((0L until 30L).map(i => (i, s"doc $i")))
+    val batch = hashed(
+      (50L until 60L).map(i => (i, s"new $i")) ++
+        Seq((60L, "doc 3"), (61L, "doc 7")))
+    val want = reference(batch, corpus)
+    val clean = Files.createTempDirectory("graft_bloomidx").toString + "/c"
+    BloomIndex.build(corpus.select("content_hash"), clean)
+    assert(admitted(clean, batch, corpus) == want)
+    // poison: fold EVERY batch hash into the index too — now every row is
+    // bloom-positive (maximal false-positive routing for the new rows)
+    val poisoned = Files.createTempDirectory("graft_bloomidx").toString + "/p"
+    BloomIndex.build(corpus.select("content_hash"), poisoned)
+    BloomIndex.append(spark, poisoned, batch.select("content_hash"))
+    assert(admitted(poisoned, batch, corpus) == want,
+      "a superset bloom must not change the admitted set")
+  }
+
+  test("append preserves the no-false-negative invariant: previously " +
+    "admitted hashes are rejected by the grown index") {
+    val corpus0 = hashed((0L until 20L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus0.select("content_hash"), idx)
+    val epoch1 = hashed(Seq((100L, "e1 a"), (101L, "e1 b"), (102L, "doc 5")))
+    val a1 = BloomIndex.admit(spark, idx, epoch1, corpus0)
+    assert(a1.count() == 2)
+    BloomIndex.append(spark, idx, a1.select("content_hash"))
+    val corpus1 = corpus0.unionByName(epoch1.select("doc_id", "content_hash"))
+    // epoch 2 replays epoch-1 content plus one fresh row
+    val epoch2 = hashed(Seq((200L, "e1 a"), (201L, "e1 b"), (202L, "fresh")))
+    val a2 = admitted(idx, epoch2, corpus1)
+    assert(a2.map(_._2) ==
+      hashed(Seq((0L, "fresh"))).select("content_hash")
+        .as[String].collect().toSet,
+      s"grown index must reject replayed epoch-1 content: $a2")
+    // idempotence: appending the same hashes again changes nothing
+    BloomIndex.append(spark, idx, a1.select("content_hash"))
+    assert(admitted(idx, epoch2, corpus1) == a2)
+  }
+
+  test("mergeBlobs is a membership union of same-geometry blooms") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val a = BloomFilter.create(100, 4096)
+    val b = BloomFilter.create(100, 4096)
+    (1L to 50L).foreach(a.putLong)
+    (51L to 100L).foreach(b.putLong)
+    def ser(f: BloomFilter): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); f.writeTo(o); o.toByteArray
+    }
+    val m = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        BloomIndex.mergeBlobs(ser(a), ser(b))))
+    assert((1L to 100L).forall(m.mightContainLong),
+      "merged bloom lost a member — false negative")
+  }
+}

@@ -44,9 +44,11 @@ class ConcurrencySpec extends AnyFunSuite {
     // export (concurrent first reads must block on ONE writeTsv)
     "q72_salted_join", "q73_tsv_roundtrip",
     // round-13: the once-per-session streaming sessionization replay
-    // (concurrent first calls must block on ONE readStream run) and
-    // PageRank's per-iteration localCheckpoints under parallel execution
-    "q74_stream_sessions", "q75_pagerank")
+    // (concurrent first calls must block on ONE readStream run),
+    // PageRank's per-iteration localCheckpoints under parallel execution,
+    // and the memoized bloom-index ingest (the index MUTATES — concurrent
+    // first calls must block on ONE build+append run)
+    "q74_stream_sessions", "q75_pagerank", "q76_bloom_index_dedup")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
