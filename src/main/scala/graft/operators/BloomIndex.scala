@@ -45,9 +45,10 @@ object BloomIndex {
   private[graft] val Expected = 100000L
   private[graft] val NumBits = 1L << 20
 
-  private def bloomOf(hashes: DataFrame): DataFrame =
+  private def bloomOf(hashes: DataFrame, expected: Long,
+      numBits: Long): DataFrame =
     hashes.select(call_function("bloom_build",
-      xxhash64(col("content_hash")), lit(Expected), lit(NumBits)).as("bloom"))
+      xxhash64(col("content_hash")), lit(expected), lit(numBits)).as("bloom"))
 
   /** The index is VERSIONED: every state is an immutable `v<N>` subdir
     * and readers resolve the latest at plan-construction time. No file is
@@ -71,11 +72,16 @@ object BloomIndex {
 
   /** Build version 0 of the index from the corpus hash column: one
     * map-side partial-bloom aggregation (the only time the corpus pays a
-    * full pass), one tiny row written. */
+    * full pass), one tiny row written. Gate geometry; [[buildSized]] for
+    * corpora at other cardinalities (~10 bits/key). */
   def build(corpusHashes: DataFrame, path: String): Unit =
-    bloomOf(corpusHashes)
-      .select(col("bloom"), lit(Expected).as("expected"),
-        lit(NumBits).as("num_bits"), lit(0L).as("n_appends"))
+    buildSized(corpusHashes, path, Expected, NumBits)
+
+  def buildSized(corpusHashes: DataFrame, path: String, expected: Long,
+      numBits: Long): Unit =
+    bloomOf(corpusHashes, expected, numBits)
+      .select(col("bloom"), lit(expected).as("expected"),
+        lit(numBits).as("num_bits"), lit(0L).as("n_appends"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/v0")
 
   /** The stored bloom as a LAZY scalar subquery (q61's convention: no
@@ -129,10 +135,13 @@ object BloomIndex {
     * membership: OR-ing the same hashes twice is a no-op. */
   def append(spark: SparkSession, path: String,
       admittedHashes: DataFrame): Unit = {
-    val add = bloomOf(admittedHashes).head().getAs[Array[Byte]](0)
     val (curPath, curV) = latest(spark, path)
     val cur = spark.read.parquet(curPath)
       .select("bloom", "expected", "num_bits", "n_appends").head()
+    // the add-bloom MUST use the artifact's own geometry — a differently
+    // sized filter cannot be bit-OR-ed (mergeInPlace rejects it)
+    val add = bloomOf(admittedHashes, cur.getLong(1), cur.getLong(2))
+      .head().getAs[Array[Byte]](0)
     val merged = mergeBlobs(cur.getAs[Array[Byte]](0), add)
     import spark.implicits._
     Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))

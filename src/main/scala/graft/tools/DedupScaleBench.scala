@@ -149,7 +149,23 @@ object DedupScaleBench {
     val dAnti = run("q52_anti_join", () => antiJoinPlan())
     val dBloom = run("q61_bloom_route", () => bloomPlan(None))
     val dBloom4 = run("q61_bloom_build4", () => bloomPlan(Some(4)))
-    val agree = dAnti == dBloom && dBloom == dBloom4
+    // q76 shape: the bloom as STORED state — build once OUTSIDE the timed
+    // admit (the amortized steady-state), admit probes the artifact. The
+    // gate geometry is corpus-sized here: ~10 bits/key like the inline
+    // variants, so the routing fp rate is comparable.
+    val idxPath = s"$tmp/graft_dedupscale_index"
+    val (_, tBuildIdx) = {
+      val t0 = System.nanoTime()
+      graft.operators.BloomIndex.buildSized(
+        corpus.select("content_hash"), idxPath, corpusRows, corpusRows * 10)
+      ((), (System.nanoTime() - t0) / 1e9)
+    }
+    println(s"""{"plan":"q76_index_build_once","secs":${
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(tBuildIdx))}}""")
+    val dStored = run("q76_stored_bloom_admit", () =>
+      graft.operators.BloomIndex.admit(spark, idxPath, batch, corpus)
+        .select("doc_id", "content_hash", "n_in_batch"))
+    val agree = dAnti == dBloom && dBloom == dBloom4 && dBloom == dStored
     println(s"""{"dedup_scale":"done","plans_agree":$agree}""")
     spark.stop()
     if (!agree) sys.exit(1)
