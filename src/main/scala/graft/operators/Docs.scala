@@ -941,8 +941,10 @@ object Docs {
     *      648 MB corpus shuffle, and coalescing the build scan (P=4) cuts
     *      it to 42 MB at a parallelism cost. The true 100 TB shape does
     *      not rebuild at all: the bloom is STATE, built once and updated
-    *      with each batch's admitted hashes (q70's incremental-store
-    *      pattern), so the steady-state per-batch exchange is the batch.
+    *      with each batch's admitted hashes — SHIPPED as
+    *      [[graft.operators.BloomIndex]] (gate q76): the stored-index
+    *      admit ships 8.5 MB per batch at the same 10M-key shape, 22×
+    *      under this rebuild and 76× under the anti-join.
     *   2. The few bloom-positive rows (true dups + the fp rate) have their
     *      hashes broadcast; a semi-join extracts the matching corpus hashes
     *      from another map-only corpus scan — the corpus side of the exact

@@ -95,6 +95,30 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(admitted(idx, epoch2, corpus1) == a2)
   }
 
+  test("model check: admit == the anti-join relation on RANDOM corpora " +
+    "and batches (overlaps, within-batch dups, NULL-text hashes)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a small text domain forces heavy hash collisions across the split;
+    // null text yields a NULL hash (never equal to anything — its batch
+    // rows group to one admitted row, the q52/adversarial semantics)
+    val genCase = for {
+      n <- Gen.choose(4, 30)
+      texts <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.choose(0, 9).map(i => s"t$i")),
+        (1, Gen.const(null: String))))
+      cut <- Gen.choose(1, math.max(1, n - 1))
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cut)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(genCase) { case (docs, cut) =>
+        val corpus = hashed(docs.take(cut))
+        val batch = hashed(docs.drop(cut))
+        val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+        BloomIndex.build(corpus.select("content_hash"), idx)
+        admitted(idx, batch, corpus) == reference(batch, corpus)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergeBlobs is a membership union of same-geometry blooms") {
     import org.apache.spark.util.sketch.BloomFilter
     val a = BloomFilter.create(100, 4096)
