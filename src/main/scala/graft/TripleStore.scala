@@ -317,8 +317,12 @@ object TripleStore {
       try {
         val blocks = rd.getFooter.getBlocks.asScala
         val nRows = blocks.map(_.getRowCount).sum
+        // keep only stats that actually CARRY a value: parquet-mr omits
+        // min/max for an all-null chunk or drops oversized binary stats,
+        // and genericGetMin on such a Statistics object returns null
         val subjStats = blocks.flatMap(_.getColumns.asScala
           .find(_.getPath.toDotString == "subject").map(_.getStatistics))
+          .filter(s => s != null && s.hasNonNullValue)
         def bin(b: Any): String = new String(
           b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes, "UTF-8")
         // combine per-block stats under CODE-POINT order — the unsigned

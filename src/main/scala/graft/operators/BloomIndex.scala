@@ -139,17 +139,32 @@ object BloomIndex {
     val cur = spark.read.parquet(curPath)
       .select("bloom", "expected", "num_bits", "n_appends").head()
     // the add-bloom MUST use the artifact's own geometry — a differently
-    // sized filter cannot be bit-OR-ed (mergeInPlace rejects it)
+    // sized filter cannot be bit-OR-ed (mergeInPlace rejects it).
+    // BloomFilterAggregate over ZERO rows evaluates to NULL — and an
+    // all-duplicates batch (admitted = ∅) is the commonest steady state,
+    // so a null on either side short-circuits instead of reaching the
+    // blob merge: nothing to add is a clean no-op (no new version), and
+    // an empty-corpus bloom is simply replaced by the addition.
     val add = bloomOf(admittedHashes, cur.getLong(1), cur.getLong(2))
       .head().getAs[Array[Byte]](0)
-    val merged = mergeBlobs(cur.getAs[Array[Byte]](0), add)
+    if (add == null) return
+    val curBlob = cur.getAs[Array[Byte]](0)
+    val merged = if (curBlob == null) add else mergeBlobs(curBlob, add)
     import spark.implicits._
+    // write-to-temp-then-RENAME into the version name: Spark creates the
+    // target directory (listable by latest()) before any part file is
+    // committed, so a direct write would let a concurrent admit pin an
+    // empty v<N+1>; the rename makes the snapshot appear atomically
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val staging = s"$path/.staging_v${curV + 1}"
     Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))
       .toDF("bloom", "expected", "num_bits", "n_appends")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/v${curV + 1}")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(s"$path/v${curV + 1}"))
     // keep the latest two snapshots; GC the rest
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(root).toSeq
       .flatMap(s => versionOf(s.getPath.getName).map((s.getPath, _)))
       .filter(_._2 < curV)

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
-import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -103,13 +102,7 @@ object StreamingGate {
     spark.read.parquet(store).orderBy("content_hash")
   }
 
-  /** Watermark-driver sentinel identity for [[q74StreamSessions]]: a user id
-    * outside the events table's domain whose two far-future events advance
-    * the watermark past every real session's `end + gap` (first sentinel
-    * batch) and then give the engine a batch in which the resulting
-    * event-time timeouts fire (second) — the same closing handshake
-    * StreamingSessionsSpec uses. Filtered from the gate result. */
-  private val SentinelUser = -1L
+  private val SentinelUser = SessionReplay.SentinelUser
 
   /** Q74: gap-sessionization driven through an ACTUAL streaming query — the
     * q67/q70 replay pattern applied to
@@ -137,7 +130,6 @@ object StreamingGate {
     val store = replayOnce(ranSessions, dir, "graft_stream_sessions") {
       (src, storePath, ckpt) =>
         import spark.implicits._
-        Files.createDirectories(Paths.get(src))
         val gap = Relational.SessionGapMs
         val raw = TripleStore.table(spark, dir, "events")
         val ev = raw.select(col("user_id"), col("event_id"),
@@ -145,15 +137,7 @@ object StreamingGate {
         val (loTs, hiTs) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
           .as[(Long, Long)].head()
         val span = hiTs - loTs + 1
-        // strictly ascending mtimes, spaced far beyond fs granularity; in
-        // the past so no file looks newer than the query's start
-        var mtime = System.currentTimeMillis() - 3600L * 1000
-        def place(name: String, lines: Seq[String]): Unit = {
-          val f = Paths.get(src, name)
-          Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
-          Files.setLastModifiedTime(f, FileTime.fromMillis(mtime))
-          mtime += 2000
-        }
+        val placer = new SessionReplay.Placer(src)
         (0 until NumBatches).foreach { i =>
           val (lo, hi) = (loTs + span * i / NumBatches,
             loTs + span * (i + 1) / NumBatches)
@@ -166,30 +150,16 @@ object StreamingGate {
           // them by default — allowNonNumericNumbers)
           val rows = ev.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
             .as[(Option[Long], Long, Long, Option[Double])].collect()
-          place(f"part$i%02d.json", rows.toSeq.map { case (u, e, ts, v) =>
-            s"""{"user_id":${u.map(_.toString).getOrElse("null")},""" +
-              s""""event_id":$e,"ts_ms":$ts,""" +
-              s""""value":${v.map(_.toString).getOrElse("null")}}"""
-          })
+          placer.placeLines(f"part$i%02d.json",
+            rows.toSeq.map { case (u, e, ts, v) =>
+              s"""{"user_id":${u.map(_.toString).getOrElse("null")},""" +
+                s""""event_id":$e,"ts_ms":$ts,""" +
+                s""""value":${v.map(_.toString).getOrElse("null")}}"""
+            })
         }
-        place("sentinel0.json", Seq(
-          s"""{"user_id":$SentinelUser,"event_id":0,"ts_ms":${hiTs + 10 * gap},"value":0.0}"""))
-        place("sentinel1.json", Seq(
-          s"""{"user_id":$SentinelUser,"event_id":1,"ts_ms":${hiTs + 11 * gap},"value":0.0}"""))
-        val stream = spark.readStream
-          .schema("user_id LONG, event_id LONG, ts_ms LONG, value DOUBLE")
-          .option("maxFilesPerTrigger", 1)
-          .option("mode", "FAILFAST")
-          .json(src)
-          .withColumn("ts", timestamp_millis(col("ts_ms")))
-        StreamingSessions.sessionize(stream, gap, watermarkDelay = "10 minutes")
-          .toDF()
-          .writeStream.format("parquet")
-          .option("path", storePath)
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+        SessionReplay.placeSentinels(placer, hiTs, gap)
+        SessionReplay.run(spark, src, gap, watermarkDelay = "10 minutes",
+          storePath, ckpt)
     }
     val w = Window.partitionBy("user_id").orderBy("session_start")
     spark.read.parquet(store)

@@ -1,14 +1,13 @@
 package graft.tools
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 import graft.{LocalSession, TripleStore}
 import graft.operators.Relational
-import graft.streaming.StreamingSessions
+import graft.streaming.SessionReplay
 
 /** Streaming sessionization at the reference's row scale — the third
   * streaming operator's same-scale rehearsal (LWW sinks have ScaleBench's
@@ -49,10 +48,14 @@ object SessionScaleBench {
       Relational.eventTsMs(raw).as("ts_ms"), col("value"))
     // distinct user population per rep (offsets far above real ids), same
     // time domain — so the watermark closes every rep's sessions in step
+    // materialized ONCE: each of the per-slice exports below would
+    // otherwise recompute the full crossJoin from scratch (~11 redundant
+    // materializations inflating export_sec)
     val big = ev.crossJoin(spark.range(reps).select(col("id").as("rep")))
       .select((col("user_id") + col("rep") * 10000000L).as("user_id"),
         (col("event_id") + col("rep") * 1000000000L).as("event_id"),
         col("ts_ms"), col("value"))
+      .localCheckpoint(true)
     val nEvents = big.count()
     val (loTs, hiTs) = ev.agg(min(col("ts_ms")), max(col("ts_ms")))
       .as[(Long, Long)].head()
@@ -60,12 +63,11 @@ object SessionScaleBench {
 
     val base = Files.createTempDirectory("graft_sess_scale").toString
     val (src, storePath, ckpt) = (s"$base/in", s"$base/store", s"$base/ckpt")
-    Files.createDirectories(Paths.get(src))
-    // one coalesced JSONL file per time slice: a slice must be ONE file so
-    // no intra-slice file ordering can strand early events behind the
-    // watermark (q74 writes slices from the driver; at 10M rows the export
-    // itself goes through Spark)
-    var mtime = System.currentTimeMillis() - 3600L * 1000
+    // the gate's replay protocol (graft.streaming.SessionReplay), with the
+    // export going through Spark at this row count: one COALESCED JSONL
+    // file per time slice, so no intra-slice file ordering can strand
+    // early events behind the watermark
+    val placer = new SessionReplay.Placer(src)
     val tEx0 = System.nanoTime()
     (0 until NumSlices).foreach { i =>
       val (lo, hi) =
@@ -78,17 +80,9 @@ object SessionScaleBench {
       require(part.length == 1, s"expected 1 part file in $tmp")
       val dst = Paths.get(src, f"slice$i%02d.json")
       Files.move(Paths.get(part.head), dst, StandardCopyOption.ATOMIC_MOVE)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-      mtime += 2000
+      placer.stamp(dst)
     }
-    def sentinel(i: Int, ts: Long): Unit = {
-      val f = Paths.get(src, s"zsentinel$i.json")
-      Files.write(f,
-        s"""{"user_id":-1,"event_id":$i,"ts_ms":$ts,"value":0.0}""".getBytes)
-      Files.setLastModifiedTime(f, FileTime.fromMillis(mtime)); mtime += 2000
-    }
-    sentinel(0, hiTs + 10 * gap)
-    sentinel(1, hiTs + 11 * gap)
+    SessionReplay.placeSentinels(placer, hiTs, gap)
     val tExport = (System.nanoTime() - tEx0) / 1e9
 
     // per-batch state-store size from the progress stream
@@ -111,25 +105,13 @@ object SessionScaleBench {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
 
-    val stream = spark.readStream
-      .schema("user_id LONG, event_id LONG, ts_ms LONG, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .option("mode", "FAILFAST")
-      .json(src)
-      .withColumn("ts", timestamp_millis(col("ts_ms")))
     val t0 = System.nanoTime()
-    StreamingSessions.sessionize(stream, gap, watermarkDelay = "10 minutes")
-      .toDF()
-      .writeStream.format("parquet")
-      .option("path", storePath)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    SessionReplay.run(spark, src, gap, watermarkDelay = "10 minutes",
+      storePath, ckpt)
     val tStream = (System.nanoTime() - t0) / 1e9
 
     val closed = spark.read.parquet(storePath)
-      .filter(!(col("user_id") <=> lit(-1L)))
+      .filter(!(col("user_id") <=> lit(SessionReplay.SentinelUser)))
     val nSessions = closed.count()
     val nUsers = closed.select("user_id").distinct().count()
     def f(v: Double) =
