@@ -119,6 +119,21 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("append of an EMPTY admitted set is a clean no-op — the commonest " +
+    "steady state (all-duplicates batch); bloom_build over zero rows is " +
+    "NULL and must not reach the blob merge") {
+    val corpus = hashed((0L until 10L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus.select("content_hash"), idx)
+    val allDup = hashed(Seq((50L, "doc 1"), (51L, "doc 2")))
+    val a = BloomIndex.admit(spark, idx, allDup, corpus)
+    assert(a.count() == 0)
+    BloomIndex.append(spark, idx, a.select("content_hash")) // must not throw
+    // the index still works after the no-op
+    val fresh = hashed(Seq((60L, "fresh"), (61L, "doc 3")))
+    assert(admitted(idx, fresh, corpus) == reference(fresh, corpus))
+  }
+
   test("mergeBlobs is a membership union of same-geometry blooms") {
     import org.apache.spark.util.sketch.BloomFilter
     val a = BloomFilter.create(100, 4096)
