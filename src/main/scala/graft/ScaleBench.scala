@@ -35,12 +35,14 @@ object ScaleBench {
     // 0.19-0.33 / 0.68-1.10 / 0.84-1.54 s on identical plans). One-shot
     // sections (ETL writes, compaction, streaming) stay single-run: they
     // either mutate state or are throughput paths the judge reads as such.
-    // Returns (result, cold, median): run 1 is the only sample whose cache
-    // regime is comparable to a single-shot baseline (runs 2-3 are
-    // page-cache/JIT warm), so BOTH land in the JSON line — `<key>` is the
-    // median (the steady-state serving number), `<key>_cold` is run 1
-    // (ADVICE r12: reporting only the warm median against a likely
-    // single-shot baseline compares different cache regimes).
+    // Returns (result, cold, median): BOTH regimes land in the JSON line —
+    // `<key>` is the median (the steady-state serving number), `<key>_cold`
+    // is the FIRST TIMED RUN. Honest label (ADVICE r13): by the time a
+    // headline's run 1 fires, earlier sections and the warm-up probe have
+    // already scanned the store, so run 1 is JVM/page-cache PARTIALLY warm
+    // — closer to a single-shot baseline than the median, but not a true
+    // cold start. (ADVICE r12 origin: reporting only the warm median
+    // against a likely single-shot baseline compares different regimes.)
     def timedMedian3[A](f: => A): (A, Double, Double) = {
       val (a1, t1) = timed(f)
       val (_, t2) = timed(f)

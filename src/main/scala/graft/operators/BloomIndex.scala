@@ -130,9 +130,23 @@ object BloomIndex {
 
   /** Fold an admitted batch's hashes into the stored bloom (supersetness
     * is preserved: OR can only add bits) by writing version N+1; versions
-    * older than the PREVIOUS one are then garbage-collected, so a reader
-    * that pinned the pre-append snapshot still completes. Idempotent on
-    * membership: OR-ing the same hashes twice is a no-op. */
+    * more than two generations behind are then garbage-collected, so a
+    * reader that pinned a snapshot up to TWO appends back still completes.
+    * Idempotent on membership: OR-ing the same hashes twice is a no-op.
+    *
+    * CONCURRENCY CONTRACT — single WRITER, many readers. [[admit]] is safe
+    * under a concurrent append (its version is pinned at plan construction
+    * and retained snapshots cover the two-appends-back window), but append
+    * itself must not race another append: two appends from the same base
+    * would both target `v<N+1>` and one batch's hashes would be lost —
+    * the false-negative leak this module's whole contract forbids. The
+    * version slot is therefore CAS-guarded (require `v<N+1>` absent before
+    * staging, then a rename whose result is CHECKED — Hadoop's
+    * `FileSystem.rename` reports an occupied destination as `false`, not
+    * an exception) so a lost race dies loudly instead of silently
+    * dropping hashes; the loser's caller retries from the new latest.
+    * Serialize appends (one ingest driver, or an external lock) as the
+    * steady-state discipline — the guard is the tripwire, not a lock. */
   def append(spark: SparkSession, path: String,
       admittedHashes: DataFrame): Unit = {
     val (curPath, curV) = latest(spark, path)
@@ -157,18 +171,40 @@ object BloomIndex {
     // empty v<N+1>; the rename makes the snapshot appear atomically
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(s"$path/v${curV + 1}")
     val staging = s"$path/.staging_v${curV + 1}"
     Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))
       .toDF("bloom", "expected", "num_bits", "n_appends")
       .coalesce(1).write.mode("overwrite").parquet(staging)
-    fs.rename(new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(s"$path/v${curV + 1}"))
-    // keep the latest two snapshots; GC the rest
+    commitSlot(fs, new org.apache.hadoop.fs.Path(staging), target)
+    // keep the latest THREE snapshots (this one + two back); GC the rest
     val root = new org.apache.hadoop.fs.Path(path)
     fs.listStatus(root).toSeq
       .flatMap(s => versionOf(s.getPath.getName).map((s.getPath, _)))
-      .filter(_._2 < curV)
+      .filter(_._2 < curV - 1)
       .foreach { case (p, _) => fs.delete(p, true) }
+  }
+
+  /** The version-slot commit: publish a staged snapshot under its version
+    * name, failing LOUDLY on a lost race. The slot must be free (a
+    * concurrent append from the same base already committed it — this
+    * merge is stale; recompute from the new latest), and the rename RESULT
+    * is load-bearing: Hadoop reports failure (occupied destination won by
+    * a racer in the check-to-rename window, cross-FS move, permission
+    * refusal) as `false`, not an exception, and swallowing it would
+    * silently drop the batch's hashes from the index — later duplicates
+    * of those docs would probe bloom-negative and be re-admitted WITHOUT
+    * the exact check. */
+  private[graft] def commitSlot(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    require(!fs.exists(target),
+      s"BloomIndex.append: version slot $target already occupied — a " +
+        "concurrent append won the slot; re-read the latest version and " +
+        "retry")
+    require(fs.rename(staging, target),
+      s"BloomIndex.append: rename $staging -> $target failed — admitted " +
+        "hashes NOT folded into the index; retry from the latest version")
   }
 
   // --- Q76: the two-epoch ingest gate entry ---------------------------------

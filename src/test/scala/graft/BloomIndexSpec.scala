@@ -134,6 +134,46 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(admitted(idx, fresh, corpus) == reference(fresh, corpus))
   }
 
+  test("commitSlot into an OCCUPIED version slot fails loudly (single-" +
+    "writer CAS guard) — a lost append race can never silently drop " +
+    "admitted hashes") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_bloomidx").toString
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/.staging_v1"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/v1")) // racer won
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.commitSlot(fs,
+        new Path(s"$base/.staging_v1"), new Path(s"$base/v1"))
+    }
+    assert(e.getMessage.contains("already occupied"),
+      s"expected the CAS-guard message, got: ${e.getMessage}")
+    // the staged snapshot was NOT consumed (no nesting move-into-dest)
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/.staging_v1")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/v1/.staging_v1")),
+      "a failed commit must not nest the staging dir inside the target")
+    // and the happy path still publishes atomically
+    BloomIndex.commitSlot(fs,
+      new Path(s"$base/.staging_v1"), new Path(s"$base/v2"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/v2")))
+  }
+
+  test("append retains the latest three snapshots — a reader pinned two " +
+    "appends back still completes") {
+    val corpus = hashed((0L until 10L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus.select("content_hash"), idx)
+    (1 to 3).foreach { i =>
+      BloomIndex.append(spark, idx,
+        hashed(Seq((100L + i, s"epoch $i"))).select("content_hash"))
+    }
+    val kept = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(kept == Seq("v1", "v2", "v3"),
+      s"expected the latest three versions retained, got $kept")
+  }
+
   test("mergeBlobs is a membership union of same-geometry blooms") {
     import org.apache.spark.util.sketch.BloomFilter
     val a = BloomFilter.create(100, 4096)
