@@ -256,6 +256,11 @@ object SparkEntry {
     // reach; the bloom only routes, so the oracle is pure NOT EXISTS.
     "q76_bloom_index_dedup" ->
       (graft.operators.BloomIndex.q76BloomIndexDedup(_, _)),
+    // The REAL media header-decode path driver-gated (q23 covers the
+    // SQL-expressible metadata slice; this runs the typed mapPartitions
+    // pipeline on actual PNG/JPEG/GIF container bytes planted per doc_id,
+    // q59's pattern — the oracle re-derives the dims from the formula).
+    "q77_media_dims" -> (Multimodal.q77MediaDims(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -397,5 +402,6 @@ object SparkEntry {
     "q74_stream_sessions"  -> Relational.q39Sql,
     "q75_pagerank"         -> Graph.q75Sql,
     "q76_bloom_index_dedup" -> graft.operators.BloomIndex.q76Sql,
+    "q77_media_dims"        -> Multimodal.q77Sql,
   )
 }

@@ -244,4 +244,105 @@ object Multimodal {
       |       CAST(strlen(text) AS BIGINT) AS n_bytes,
       |       substr(md5(text), 1, 16) AS content_sig
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- Q77: the REAL header-decode path, driver-gated -----------------------
+
+  /** q77's deterministic dimension derivation — shared by the payload
+    * builder and (re-stated literally) by [[q77Sql]]: width/height are
+    * modular functions of `doc_id`, small enough for GIF's u16 fields.
+    * `doc_id` is non-negative in every driver corpus (adversarial
+    * included), so `%` agrees between engines without sign gymnastics. */
+  private def q77Dims(id: Long): (Int, Int) =
+    ((id % 509 + 1).toInt, (id % 389 + 1).toInt)
+
+  /** Deterministic container bytes for q77 (the q59 plant-the-payload
+    * pattern): each doc_id yields a REAL image container whose header
+    * encodes [[q77Dims]] — rotating PNG (8-byte signature + IHDR chunk
+    * with big-endian u32 dims, PNG spec §11.2.2), JPEG (SOI, a skipped
+    * APP0 segment, then SOF0 with u16 height/width — ITU T.81 §B.2.2, the
+    * marker WALK is exercised, not just the magic), GIF89a (little-endian
+    * u16 logical-screen dims), and a deliberately NON-image payload that
+    * must take [[imageDims]]' `None` degradation. The doc_id's decimal
+    * digits are appended to every payload so `n_bytes` varies per row and
+    * the decoder demonstrably reads HEADERS, not payload length. */
+  private[graft] def syntheticContainer(id: Long): (Array[Byte], String) = {
+    val (w, h) = q77Dims(id)
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    val digits = id.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    (id % 4) match {
+      case 0 => // PNG: signature + IHDR length/tag + be32 dims (24 bytes)
+        (Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+          0, 0, 0, 13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ digits,
+          "png")
+      case 1 => // JPEG: SOI, APP0 (len 4, skipped by the walk), SOF0
+        (Array[Byte](0xff.toByte, 0xd8.toByte,
+          0xff.toByte, 0xe0.toByte, 0x00, 0x04, 'J', 'F',
+          0xff.toByte, 0xc0.toByte, 0x00, 0x0b, 0x08) ++
+          be16(h) ++ be16(w) ++ Array[Byte](0x01, 0x01, 0x11, 0x00) ++
+          digits, "jpeg")
+      case 2 => // GIF89a: logical-screen descriptor, le16 dims (10 bytes)
+        ("GIF89a".getBytes ++ le16(w) ++ le16(h) ++ digits, "gif")
+      case _ => // not an image — MUST degrade to the fallback dims
+        ("NOTANIMAGE".getBytes ++ digits, "raw")
+    }
+  }
+
+  /** Q77: the production media pipeline DRIVER-GATED end-to-end — the one
+    * pillar whose gate entry previously bypassed its real path (q23 reads
+    * `documents.text`; the header decode ran only in PipelineSpec). Every
+    * `documents` row becomes a typed [[MediaRow]] carrying REAL container
+    * bytes ([[syntheticContainer]]), flows through the per-partition batch
+    * pipeline [[extractImageFeatures]] → [[headerDecode]] →
+    * [[imageDims]], and the decoded dimensions are hashed by the driver.
+    * The oracle re-derives the dims from the doc_id formula alone, so a
+    * broken parser (or a silent fall-through to [[fakeDecode]]'s synthetic
+    * dims on image rows) hash-mismatches: png/jpeg/gif widths would become
+    * `n_bytes % 640`, which never equals `doc_id % 509 + 1` here since
+    * every payload is < 60 bytes. Map-only at any scale — the per-row cost
+    * is the decode itself, the 100 TB shape of a media-metadata backfill. */
+  def q77MediaDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val (bytes, fmt) = syntheticContainer(id)
+        MediaRow(id, bytes, fmt, bytes.length.toLong)
+      }
+    extractImageFeatures(media).toDF()
+      .select(col("doc_id"),
+        // container label re-derived from the same doc_id formula (the
+        // typed MediaFeatures row deliberately drops format — re-deriving
+        // beats a join that exists only to carry a constant-per-residue
+        // label through the decode)
+        element_at(
+          array(lit("png"), lit("jpeg"), lit("gif"), lit("raw")),
+          (col("doc_id") % 4 + 1).cast("int")).as("container"),
+        col("n_bytes"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: [[syntheticContainer]]'s derivation formulas stated in
+    * SQL — header sizes (24/21/10/10) + decimal-digit count give n_bytes;
+    * image rows carry the modular dims, the non-image row the
+    * `n_bytes`-derived fallback ([[fakeDecode]]'s formula). */
+  val q77Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 4 AS INT)
+      |           WHEN 0 THEN 24 WHEN 1 THEN 21 ELSE 10 END
+      |           + strlen(CAST(doc_id AS VARCHAR)) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |            WHEN 2 THEN 'gif' ELSE 'raw' END AS container,
+      |       CAST(n_bytes AS BIGINT) AS n_bytes,
+      |       CAST(CASE WHEN doc_id % 4 = 3 THEN n_bytes % 640
+      |                 ELSE doc_id % 509 + 1 END AS BIGINT) AS width,
+      |       CAST(CASE WHEN doc_id % 4 = 3 THEN n_bytes % 480
+      |                 ELSE doc_id % 389 + 1 END AS BIGINT) AS height
+      |FROM m ORDER BY doc_id""".stripMargin
 }

@@ -763,6 +763,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats(1L).features.sameElements(pngStub.features))
   }
 
+  test("multimodal: q77's synthetic containers decode to the formula dims " +
+    "through the REAL header parser, and the raw residue takes the None " +
+    "degradation — the gate entry's derivation, pinned at the unit level") {
+    (0L to 40L).foreach { id =>
+      val (bytes, fmt) = Multimodal.syntheticContainer(id)
+      val decoded = Multimodal.imageDims(bytes)
+      if (fmt == "raw") assert(decoded.isEmpty,
+        s"id $id: non-image payload must not parse as an image")
+      else assert(decoded == Some(((id % 509 + 1).toInt, (id % 389 + 1).toInt)),
+        s"id $id ($fmt): header decode diverged from the derivation formula")
+      // headerDecode (the gate's per-partition kernel) agrees
+      val f = Multimodal.headerDecode(
+        Multimodal.MediaRow(id, bytes, fmt, bytes.length.toLong))
+      val expected = decoded.getOrElse(
+        ((bytes.length % 640), (bytes.length % 480)))
+      assert((f.width, f.height) == expected, s"id $id headerDecode dims")
+    }
+  }
+
   test("multimodal: a non-conforming file name fails loudly with its path, " +
     "not as an opaque null-encoder error downstream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_bad")
