@@ -261,6 +261,11 @@ object SparkEntry {
     // pipeline on actual PNG/JPEG/GIF container bytes planted per doc_id,
     // q59's pattern — the oracle re-derives the dims from the formula).
     "q77_media_dims" -> (Multimodal.q77MediaDims(_, _)),
+    // Incremental IVF ingest: index built on the standing corpus, a crawl
+    // epoch appended through the REAL ivfAppendBatch path (its redelivery
+    // replay suppressed in-run by the marker guard), the grown layout
+    // probed — the ANN twin of q76's two-epoch dedup shape.
+    "q78_ivf_ingest" -> (Vectors.q78IvfIngest(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -403,5 +408,6 @@ object SparkEntry {
     "q75_pagerank"         -> Graph.q75Sql,
     "q76_bloom_index_dedup" -> graft.operators.BloomIndex.q76Sql,
     "q77_media_dims"        -> Multimodal.q77Sql,
+    "q78_ivf_ingest"        -> Vectors.q78Sql,
   )
 }
