@@ -266,6 +266,12 @@ object SparkEntry {
     // replay suppressed in-run by the marker guard), the grown layout
     // probed — the ANN twin of q76's two-epoch dedup shape.
     "q78_ivf_ingest" -> (Vectors.q78IvfIngest(_, _)),
+    // The partitioned streaming sink through a REAL readStream: q67's
+    // replay into mergeIntoStorePartitioned (per-shard pruned I/O +
+    // atomic swap); same merge relation/oracle as q3, and the gate run
+    // asserts the changelog-free shards stayed byte-untouched.
+    "q79_stream_merge_part" ->
+      (graft.streaming.StreamingGate.q79StreamMergePart(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -409,5 +415,6 @@ object SparkEntry {
     "q76_bloom_index_dedup" -> graft.operators.BloomIndex.q76Sql,
     "q77_media_dims"        -> Multimodal.q77Sql,
     "q78_ivf_ingest"        -> Vectors.q78Sql,
+    "q79_stream_merge_part" -> MergeOracleSql,
   )
 }

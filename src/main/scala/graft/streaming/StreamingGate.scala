@@ -102,6 +102,71 @@ object StreamingGate {
     spark.read.parquet(store).orderBy("content_hash")
   }
 
+  private val ranPart =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q79's shard cut points over the triple store's subject domain
+    * (`<cust_…>` < `<nation_…>` < `<order_…>` in UTF-8 order): customers
+    * and nations land in shards 0/1, which the remote changelog — always
+    * `<order_…>` subjects ([[TripleStore.remoteChangelog]]) — can NEVER
+    * touch, so the replay has shards that must come out byte-identical. */
+  private val PartBoundaries =
+    Seq("<nation_", "<order_", "<order_3", "<order_6")
+
+  /** Q79: the PARTITIONED streaming sink driver-gated — q67's JSONL replay
+    * driven into [[StreamingLww.mergeIntoStorePartitioned]] (per-batch I/O
+    * pruned to the shards the batch touches, per-shard atomic swap)
+    * instead of the monolithic whole-store rewrite. Same relation, same
+    * oracle as q3/q67 (chunked LWW merge ≡ one-shot; the store layout is
+    * physical, not semantic). The gate run itself asserts the scale claim:
+    * the cust/nation shards receive no changelog keys and their part files
+    * must be BYTE-UNTOUCHED after the replay (file listing + sizes equal),
+    * while at least one order shard was rewritten — a silent fall-back to
+    * whole-store rewriting fails the gate loudly. */
+  def q79StreamMergePart(spark: SparkSession, dir: String): DataFrame = {
+    val store = replayOnce(ranPart, dir, "graft_stream_part") {
+      (src, storePath, ckpt) =>
+        // seed: the local store, laid out shard-partitioned with the SAME
+        // boundaries the sink routes on. COMPACTED first (q31's invariant):
+        // a materialized store holds at most one row per logical key. The
+        // monolithic q67 sink masks a duplicated-key seed because every
+        // batch re-merges the WHOLE store; the partitioned sink correctly
+        // never rewrites an untouched shard, so raw duplicate keys there
+        // would survive to the final read (the adversarial corpus catches
+        // exactly this — same class as the uncompacted q31 bucketed store)
+        TripleStore.triples(spark, dir)
+          .transform(graft.operators.Lww.compact)
+          .withColumn("shard",
+            graft.plans.RangeBucket.shardId(col("subject"), PartBoundaries))
+          .write.partitionBy("shard").parquet(storePath)
+        def listing(): Map[String, Set[(String, Long)]] = {
+          val root = new java.io.File(storePath)
+          Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+            .map(d => d.getName ->
+              d.listFiles().map(f => (f.getName, f.length())).toSet)
+            .toMap
+        }
+        val before = listing()
+        TripleStore.writeJsonl(
+          TripleStore.remoteChangelog(spark, dir).repartition(NumBatches), src)
+        StreamingLww.mergeIntoStorePartitioned(
+            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            storePath, ckpt, PartBoundaries, Trigger.AvailableNow())
+          .awaitTermination()
+        val after = listing()
+        val untouched = before.keySet.filter(k => after.get(k) == before.get(k))
+        require((after.keySet -- untouched).nonEmpty,
+          "q79 replay rewrote no shard — the merge never ran")
+        require(untouched.nonEmpty,
+          "q79 replay rewrote EVERY shard — per-batch I/O was not pruned " +
+            s"to the touched shards (before=${before.keySet.toSeq.sorted})")
+    }
+    spark.read.parquet(store)
+      .select("subject", "predicate", "object", "ts_ms")
+      .orderBy("subject", "predicate")
+  }
+
   private val SentinelUser = SessionReplay.SentinelUser
 
   /** Q74: gap-sessionization driven through an ACTUAL streaming query — the
