@@ -75,21 +75,66 @@ object Graph {
     * the edge table on src once wins a measured ~23% of wall at 10M edges
     * (PageRankScaleBench — already-clustered rows shuffle cheaper; the
     * compile-time exchange itself is NOT elided by the checkpoint's
-    * preserved partitioning), and the true exchange-FREE edge side comes
-    * from a bucketed catalog table, the q31 `writeBucketed` machinery. */
+    * preserved partitioning), and the true exchange-FREE edge side is
+    * [[pageRankBucketed]] over a bucketed catalog table (r14: shipped,
+    * plan-asserted, measured — see BENCH_NOTES). */
   def pageRank(edgeDf: DataFrame, iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    pageRankLoop(
+      edgeDf.select(col("src"), col("dst")).localCheckpoint(true),
+      iters, damping)
+
+  /** [[pageRank]] over a BUCKETED catalog edge table ([[writeBucketedEdges]])
+    * — the 100× plan win PageRankScaleBench identified but pre-partitioning
+    * could NOT deliver (a checkpoint's preserved partitioning still plans
+    * the compile-time Exchange; measured +23% wall from cheaper shuffling
+    * of clustered rows, exchange count unchanged). A table bucketed on
+    * `src` carries `HashPartitioning(src)` out of the SCAN, so every
+    * iteration's contribution join AND the out-degree build read the
+    * multi-TB edge relation with NO Exchange — per-iteration movement
+    * drops to the |V|-row rank side plus the dst fan-in (GraphSpec asserts
+    * the elision in the executed plan; PageRankScaleBench measures it at
+    * 10M edges). The edge table needs no checkpoint: it is already a
+    * materialized artifact, the same ETL class as q31's bucketed store.
+    *
+    * [[ccStar]] is deliberately NOT wired to a bucketed table: its edge
+    * set CONTRACTS every round (each round rewrites the relation), so a
+    * static bucketed layout would serve only round 1 — the bucketing win
+    * belongs to loops whose big side is static, which PageRank's is. */
+  def pageRankBucketed(spark: SparkSession, edgeTable: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame =
+    pageRankLoop(spark.table(edgeTable).select(col("src"), col("dst")),
+      iters, damping)
+
+  /** Bucketed edge layout for [[pageRankBucketed]]: bucketBy(src) +
+    * in-bucket sort, the [[graft.TripleStore.writeBucketed]] machinery on
+    * the graph's join key. */
+  def writeBucketedEdges(edges: DataFrame, tableName: String,
+      numBuckets: Int): Unit = {
+    graft.TripleStore.dropTableAndLocation(edges.sparkSession, tableName)
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "src").sortBy("src")
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** The shared iteration loop: `edges` must be MATERIALIZED (an eager
+    * localCheckpoint or an on-disk table) — it is re-read once per
+    * iteration plus twice at build time, never recomputed from lineage. */
+  private def pageRankLoop(edges: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     // deterministic block release for a superseded round's localCheckpoint:
     // waiting for GC + ContextCleaner loses the race at scale — back-to-back
     // 10M-edge runs OOMed an 8 GiB heap on accumulated superseded rank
     // blocks before this (PageRankScaleBench r13). Safe once the next round
-    // is EAGERLY materialized: nothing references the old blocks.
+    // is EAGERLY materialized: nothing references the old blocks. (For a
+    // bucketed-table edge side, ckptRdd finds no LogicalRDD — a no-op.)
     def ckptRdd(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
     def release(df: DataFrame): Unit =
       ckptRdd(df).foreach(_.unpersist(blocking = false))
-    val edges = edgeDf.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)

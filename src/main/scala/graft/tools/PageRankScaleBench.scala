@@ -17,9 +17,17 @@ import graft.operators.Graph
   *     `LogicalRDD` preserves the partitioning, so each iteration's
   *     src-join reuses it and only the (smaller) rank side moves. This is
   *     the scaladoc's "pre-partitioned edge table keeps the big side
-  *     exchange-free" claim, measured instead of argued.
+  *     exchange-free" claim, measured instead of argued. (r13 result: the
+  *     compile-time Exchange is NOT elided — the win is cheaper shuffling
+  *     of clustered rows, ~23% wall.)
+  *   - `bucketed` (r14): edges written ONCE as a bucketBy(src) catalog
+  *     table ([[Graph.writeBucketedEdges]]) and the loop run through
+  *     [[Graph.pageRankBucketed]] — the scan itself carries
+  *     HashPartitioning(src), so the edge-side Exchange is GONE from the
+  *     compile-time tree (asserted via the contribution-subplan exchange
+  *     count below), the identified-but-unshipped 100× plan win.
   *
-  * Both modes must agree on the ranks (max |Δ| over a full join) before
+  * All modes must agree on the ranks (max |Δ| over a full join) before
   * the numbers are reported. Prints one JSON line.
   *
   * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.PageRankScaleBench
@@ -71,12 +79,39 @@ object PageRankScaleBench {
     val pre = edges.repartition(col("src")).localCheckpoint(true)
     val (rPre, tPre, jPre, sPre) = run("prepart", pre)
 
+    // bucketed mode: one-off layout write (reported separately — it is the
+    // ETL cost, paid once per corpus version like q31's bucketed store),
+    // then the loop through the catalog table
+    val edgeTable = "graft_prbench_edges_bkt"
+    val tLayout = {
+      val t0 = System.nanoTime()
+      Graph.writeBucketedEdges(edges, edgeTable,
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (rBkt, tBkt, jBkt, sBkt) = {
+      val j0 = settled()
+      val t0 = System.nanoTime()
+      val ranks = Graph.pageRankBucketed(spark, edgeTable, iters)
+        .localCheckpoint(true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val j = settled() - j0
+      val sum = ranks.agg(org.apache.spark.sql.functions.sum("rank"))
+        .head().getDouble(0)
+      (ranks, secs, j, sum)
+    }
+
     // plan diagnostic: ONE iteration's contribution subplan per mode, so
     // the exchange count states whether the preserved partitioning elides
     // the edge-side shuffle (AQE off for a deterministic compile-time tree)
     def contribExchanges(e: org.apache.spark.sql.DataFrame): Int = {
       val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // broadcast off: at a replicate-scale corpus nothing here broadcasts
+      // anyway, and at smoke scale a broadcast plan would hide the very
+      // exchange this diagnostic counts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val ranks = rPlain
         val outDeg = e.groupBy(col("src").as("node"))
@@ -88,28 +123,42 @@ object PageRankScaleBench {
             (col("rank") / col("out_deg")).as("c"))
           .groupBy("node").agg(sum(col("c")).as("in_mass"))
         PlanFingerprint.fingerprint(plan).exchanges
-      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      }
     }
-    val (exPlain, exPre) = (contribExchanges(edges), contribExchanges(pre))
+    val (exPlain, exPre, exBkt) = (contribExchanges(edges),
+      contribExchanges(pre), contribExchanges(spark.table(edgeTable)))
 
     // modes must agree node-for-node before any number is reported
-    val maxDiff = rPlain.as("a")
-      .join(rPre.as("b"), col("a.node") === col("b.node"), "full_outer")
+    def diffTo(other: org.apache.spark.sql.DataFrame): Double = rPlain.as("a")
+      .join(other.as("b"), col("a.node") === col("b.node"), "full_outer")
       .agg(max(abs(coalesce(col("a.rank"), lit(-1.0)) -
         coalesce(col("b.rank"), lit(-2.0)))))
       .head().getDouble(0)
+    val maxDiff = math.max(diffTo(rPre), diffTo(rBkt))
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(s"""{"metric":"pagerank_scale","edges":$nEdges,"iters":$iters,""" +
       s""""plain_sec":${f(tPlain)},"plain_jobs":$jPlain,""" +
       s""""prepart_sec":${f(tPre)},"prepart_jobs":$jPre,""" +
+      s""""bucketed_sec":${f(tBkt)},"bucketed_jobs":$jBkt,""" +
+      s""""bucketed_layout_sec":${f(tLayout)},""" +
       s""""contrib_exchanges_plain":$exPlain,""" +
       s""""contrib_exchanges_prepart":$exPre,""" +
+      s""""contrib_exchanges_bucketed":$exBkt,""" +
       s""""rank_sum_plain":${f(sPlain)},"rank_sum_prepart":${f(sPre)},""" +
+      s""""rank_sum_bucketed":${f(sBkt)},""" +
       s""""max_rank_diff":$maxDiff}""")
     spark.stop()
     if (maxDiff > 1e-9) {
       System.err.println(s"[pagerank_scale] modes disagree: $maxDiff")
+      sys.exit(1)
+    }
+    if (exBkt >= exPlain) {
+      System.err.println(s"[pagerank_scale] bucketed mode elided no " +
+        s"Exchange: bucketed=$exBkt plain=$exPlain")
       sys.exit(1)
     }
   }

@@ -255,6 +255,69 @@ class GraphSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set("<c_01>"))
   }
 
+  test("pageRankBucketed: a bucketBy(src) edge table elides the edge-side " +
+    "Exchange in the contribution join (the 100x static-side win " +
+    "pre-partitioning could not deliver) and agrees with the plain loop") {
+    import org.apache.spark.sql.DataFrame
+    // graph with hubs, dangling nodes, parallel edges
+    val es = (0 until 300).map(i =>
+      (s"<n${i % 23}>", s"<n${(i * 7 + 1) % 29}>")).toDF("src", "dst")
+    Graph.writeBucketedEdges(es, "graft_pr_edges_bkt", 4)
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft_pr_plain").toString + "/e"
+    es.write.parquet(plainDir)
+    // value equivalence: same arithmetic, different physical distribution —
+    // only aggregate summation order may differ (sub-ulp)
+    val want = Graph.pageRank(es, iters = 4).as[(String, Double)]
+      .collect().toMap
+    val got = Graph.pageRankBucketed(spark, "graft_pr_edges_bkt", iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    assert(want.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 },
+      "bucketed ranks diverged from the plain loop")
+    // plan: iteration-1 contribution subplan over each edge source, SMJ
+    // forced (at test scale the planner would broadcast the tiny sides —
+    // at 100 TB nothing here is broadcastable except the scalars) and AQE
+    // off for a deterministic compile-time tree
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def contribPlan(e: DataFrame): String = {
+        val ranks = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .withColumn("rank", lit(1.0)).localCheckpoint(true)
+        val outDeg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
+        e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            (col("rank") / col("out_deg")).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("in_mass"))
+          .queryExecution.executedPlan.toString
+      }
+      def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+      val bkt = contribPlan(spark.table("graft_pr_edges_bkt"))
+      val plain = contribPlan(spark.read.parquet(plainDir))
+      // the bucketed scan itself must satisfy the join's distribution: no
+      // Exchange whose child scans the edge table (textually: the plan has
+      // strictly fewer exchanges AND the scan advertises bucket selection)
+      assert(bkt.contains("SelectedBucketsCount"),
+        s"edge scan is not bucket-aware:\n$bkt")
+      assert(exchanges(bkt) < exchanges(plain),
+        s"bucketing elided no Exchange: bucketed=${exchanges(bkt)} " +
+          s"plain=${exchanges(plain)}\n--- bucketed\n$bkt\n--- plain\n$plain")
+      // absolute shape: the plain tree shuffles the edge relation for the
+      // src-join; the bucketed tree must not (only the checkpointed rank /
+      // out-degree sides and the dst fan-in may move)
+      assert(exchanges(plain) - exchanges(bkt) >= 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("pageRank fuses the dangling-mass scalar into the iteration plan — " +
     "no per-iteration driver action") {
     import org.apache.spark.sql.execution.QueryExecution
