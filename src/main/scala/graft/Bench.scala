@@ -136,9 +136,27 @@ object Bench {
         Double.box(v)))
       .find(_.length <= 5)
       .getOrElse(String.format(java.util.Locale.ROOT, "%.0f", Double.box(v)))
-  private def errsJson(results: Seq[Result]) = results
-    .collect { case (k, _, _, _, Some(e)) => s"${js(k)}:${js(e)}" }
+  private def errsJson(results: Seq[Result],
+      key: String => String = identity) = results
+    .collect { case (k, _, _, _, Some(e)) => s"${js(key(k))}:${js(e)}" }
     .mkString("{", ",", "}")
+
+  /** Stdout-line query keys: the `qN` prefix of each gate name (the
+    * driver contract's own example spells the line `{"q1":sec,…}`), full
+    * name kept only where the bare prefix collides (the q5/q8 families).
+    * At 81 entries the full names alone are ~1,600 chars — past the
+    * harness tail budget at ANY value precision (r14) — while the detail
+    * file ([[renderDetail]]) keeps full names for round-over-round
+    * job/stage diffing. Injectivity is pinned in BenchFormatSpec: a
+    * collision silently merging two queries' timings would be worse than
+    * a long line. */
+  private[graft] def lineKeys(names: Seq[String]): Map[String, String] = {
+    val byPrefix = names.groupBy(_.takeWhile(_ != '_'))
+    names.map { n =>
+      val p = n.takeWhile(_ != '_')
+      n -> (if (byPrefix(p).sizeIs == 1) p else n)
+    }.toMap
+  }
 
   /** The stdout contract: ONE parseable JSON line, and the harness that
     * reads it keeps only a 2,000-char tail of the run's output (with sbt's
@@ -146,17 +164,22 @@ object Bench {
     * jobs/stages maps, overflowed that window, and the round lost its bench
     * numbers to a parse failure — and inspection showed every round's line
     * back to r5 had already overflowed it. So the line stays compact —
-    * 2-decimal seconds, errors only when any — and the full tally is
-    * [[renderDetail]]'s file instead (BENCH_METHOD.md rules 7–8).
-    * BenchFormatSpec pins the budget against the REAL gate roster. */
+    * 2-decimal seconds, [[lineKeys]] short query keys (r14: the 81-entry
+    * roster's full names alone no longer fit), errors only when any — and
+    * the full tally is [[renderDetail]]'s file instead (BENCH_METHOD.md
+    * rules 7–8). BenchFormatSpec pins the budget against the REAL gate
+    * roster. */
   private[graft] def renderLine(results: Seq[Result], sfDir: String): String = {
-    val qsLine = results.map { case (k, v, _, _, _) => s"${js(k)}:${sec2(v)}" }
-      .mkString("{", ",", "}")
+    val keys = lineKeys(results.map(_._1))
+    val qsLine = results.map { case (k, v, _, _, _) =>
+      s"${js(keys(k))}:${sec2(v)}"
+    }.mkString("{", ",", "}")
     val ok = results.count(_._5.isEmpty)
     // errors only when present: the empty map would spend line budget on
     // the healthy case, and its absence IS the healthy signal (n_err 0)
     val errsLine =
-      if (ok == results.size) "" else s""","errors":${errsJson(results)}"""
+      if (ok == results.size) ""
+      else s""","errors":${errsJson(results, keys)}"""
     // total = sum of the per-query values AS PRINTED, so a consumer
     // cross-checking sum(queries) against value sees an exact match
     // instead of up-to-±0.005·n rounding skew (ADVICE r11). The total

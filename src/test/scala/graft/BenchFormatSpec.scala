@@ -44,6 +44,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(n == SparkEntry.queries.size)
   }
 
+  test("line keys are INJECTIVE over the real roster (a collision would " +
+    "silently merge two queries' timings) and abbreviate only unique " +
+    "prefixes — colliding families keep their full names") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val keys = Bench.lineKeys(names)
+    assert(keys.values.toSet.size == names.size,
+      s"line-key collision: ${keys.groupBy(_._2).filter(_._2.size > 1)}")
+    // unique-prefix names shorten to the prefix; the q5/q8 families (the
+    // known prefix collisions) must keep their full names
+    assert(keys("q77_media_dims") == "q77")
+    assert(keys("q5_join_agg") == "q5_join_agg")
+    assert(keys("q8_topk_group") == "q8_topk_group")
+    // full names remain recoverable from the detail record, which never
+    // abbreviates
+    val detail = JsonMethods.parse(Bench.renderDetail(healthy, "/sf"))
+    val detailKeys = (detail \ "queries")
+      .asInstanceOf[org.json4s.JObject].obj.map(_._1).toSet
+    assert(detailKeys == names.toSet)
+  }
+
   test("a failed query surfaces in the line's errors map and is excluded " +
     "from the total") {
     val mixed = Seq[Bench.Result](
