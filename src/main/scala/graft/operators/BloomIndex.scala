@@ -173,12 +173,18 @@ object BloomIndex {
       spark.sessionState.newHadoopConf())
     val target = new org.apache.hadoop.fs.Path(s"$path/v${curV + 1}")
     val staging = s"$path/.staging_v${curV + 1}"
+    val root = new org.apache.hadoop.fs.Path(path)
+    // clear stale staging leftovers (a crashed or lost-race append's
+    // orphan — each holds a full bloom blob and versionOf-based GC never
+    // matches dot-prefixed names); safe under the single-writer contract
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".staging_v"))
+      .foreach(s => fs.delete(s.getPath, true))
     Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))
       .toDF("bloom", "expected", "num_bits", "n_appends")
       .coalesce(1).write.mode("overwrite").parquet(staging)
     commitSlot(fs, new org.apache.hadoop.fs.Path(staging), target)
     // keep the latest THREE snapshots (this one + two back); GC the rest
-    val root = new org.apache.hadoop.fs.Path(path)
     fs.listStatus(root).toSeq
       .flatMap(s => versionOf(s.getPath.getName).map((s.getPath, _)))
       .filter(_._2 < curV - 1)
@@ -205,6 +211,29 @@ object BloomIndex {
     require(fs.rename(staging, target),
       s"BloomIndex.append: rename $staging -> $target failed — admitted " +
         "hashes NOT folded into the index; retry from the latest version")
+    verifyWonSlot(fs, staging, target)
+  }
+
+  /** The rename's TRUE return is still not proof of winning the slot: a
+    * racer committing `target` inside the check-to-rename window makes
+    * Hadoop rename-onto-an-existing-DIRECTORY move the source INTO it and
+    * report success (HDFS semantics; RawLocalFileSystem's copy fallback
+    * lands the same nested shape) — the loser's snapshot would sit
+    * invisibly (dot-prefixed) inside the winner's version and its hashes
+    * would never be folded in. Detect the nested shape, remove it, and
+    * fail as a lost race. */
+  private[graft] def verifyWonSlot(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val nested = new org.apache.hadoop.fs.Path(target, staging.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new IllegalStateException(
+        s"BloomIndex.append: lost the $target slot race (rename nested " +
+          "the staged snapshot inside the winner's version) — this " +
+          "batch's hashes were NOT folded in; retry from the latest " +
+          "version")
+    }
   }
 
   // --- Q76: the two-epoch ingest gate entry ---------------------------------
@@ -224,6 +253,12 @@ object BloomIndex {
   def q76BloomIndexDedup(spark: SparkSession, dir: String): DataFrame = {
     val out = ran.computeIfAbsent(dir, { _ =>
       val base = Files.createTempDirectory("graft_bloom_index").toString
+      // ivfIndexPath's discipline: without this every JVM strands one
+      // index + result copy in tmp
+      sys.addShutdownHook {
+        graft.streaming.StreamingLww.deleteRecursively(
+          new java.io.File(base))
+      }
       val (idx, resultPath) = (s"$base/index", s"$base/result")
       val hashed = table(spark, dir, "documents")
         .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))

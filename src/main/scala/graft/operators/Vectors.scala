@@ -537,6 +537,12 @@ object Vectors {
     val out = ranIngest.computeIfAbsent(dir, { _ =>
       val base = java.nio.file.Files
         .createTempDirectory("graft_ivf_ingest").toString
+      // ivfIndexPath's discipline: without this every JVM strands one
+      // ingest layout copy in tmp
+      sys.addShutdownHook {
+        graft.streaming.StreamingLww.deleteRecursively(
+          new java.io.File(base))
+      }
       val (idx, resultPath) = (s"$base/index", s"$base/result")
       val (corpus0, epoch1) = ingestSplit(table(spark, dir, "embeddings"))
       val (assigned, centroids) =

@@ -51,6 +51,11 @@ object StreamingGate {
       run: (String, String, String) => Unit): String =
     map.computeIfAbsent(dir, { _ =>
       val base = Files.createTempDirectory(prefix).toString
+      // ivfIndexPath's discipline: without this every JVM strands one
+      // replay store (+ wire files + checkpoint) per gate row in tmp
+      sys.addShutdownHook {
+        StreamingLww.deleteRecursively(new java.io.File(base))
+      }
       val storePath = s"$base/store"
       run(s"$base/in", storePath, s"$base/ckpt")
       assert(Files.exists(Paths.get(storePath)), s"$prefix replay left no store")

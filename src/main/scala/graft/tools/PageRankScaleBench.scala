@@ -64,10 +64,13 @@ object PageRankScaleBench {
     }.reduce(_ union _).localCheckpoint(true)
     val nEdges = edges.count()
 
-    def run(tag: String, e: org.apache.spark.sql.DataFrame) = {
+    // by-name rank producer so every mode shares ONE owner of the
+    // measurement discipline (settled-counter window, eager checkpoint,
+    // sum derivation)
+    def run(mk: => org.apache.spark.sql.DataFrame) = {
       val j0 = settled()
       val t0 = System.nanoTime()
-      val ranks = Graph.pageRank(e, iters).localCheckpoint(true)
+      val ranks = mk.localCheckpoint(true)
       val secs = (System.nanoTime() - t0) / 1e9
       val j = settled() - j0
       val sum = ranks.agg(org.apache.spark.sql.functions.sum("rank"))
@@ -75,9 +78,9 @@ object PageRankScaleBench {
       (ranks, secs, j, sum)
     }
 
-    val (rPlain, tPlain, jPlain, sPlain) = run("plain", edges)
+    val (rPlain, tPlain, jPlain, sPlain) = run(Graph.pageRank(edges, iters))
     val pre = edges.repartition(col("src")).localCheckpoint(true)
-    val (rPre, tPre, jPre, sPre) = run("prepart", pre)
+    val (rPre, tPre, jPre, sPre) = run(Graph.pageRank(pre, iters))
 
     // bucketed mode: one-off layout write (reported separately — it is the
     // ETL cost, paid once per corpus version like q31's bucketed store),
@@ -89,17 +92,8 @@ object PageRankScaleBench {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       (System.nanoTime() - t0) / 1e9
     }
-    val (rBkt, tBkt, jBkt, sBkt) = {
-      val j0 = settled()
-      val t0 = System.nanoTime()
-      val ranks = Graph.pageRankBucketed(spark, edgeTable, iters)
-        .localCheckpoint(true)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val j = settled() - j0
-      val sum = ranks.agg(org.apache.spark.sql.functions.sum("rank"))
-        .head().getDouble(0)
-      (ranks, secs, j, sum)
-    }
+    val (rBkt, tBkt, jBkt, sBkt) =
+      run(Graph.pageRankBucketed(spark, edgeTable, iters))
 
     // plan diagnostic: ONE iteration's contribution subplan per mode, so
     // the exchange count states whether the preserved partitioning elides
@@ -114,8 +108,12 @@ object PageRankScaleBench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val ranks = rPlain
+        // LAZY checkpoint: the plan is fingerprinted, never executed — an
+        // eager one would materialize an extra |V|-row block per call on
+        // top of the three retained rank checkpoints (the accumulation
+        // pattern the r13 OOM notes warn about)
         val outDeg = e.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
+          .agg(count(lit(1)).as("out_deg")).localCheckpoint(false)
         val plan = e
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))

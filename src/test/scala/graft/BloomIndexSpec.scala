@@ -159,6 +159,47 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(s"$base/v2")))
   }
 
+  test("a rename that lands INSIDE an occupied slot (Hadoop nests into an " +
+    "existing directory and reports success) is detected as a lost race " +
+    "and the nested orphan is removed — rename()==true is not proof of " +
+    "winning") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_bloomidx").toString
+    val fs = new Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // the racer committed v1 inside the check-to-rename window; our rename
+    // then either returns false OR nests the staging dir into v1 —
+    // reproduce whichever this FS does and assert the combined guard
+    // (checked rename + verifyWonSlot) catches it
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/.staging_v1"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$base/.staging_v1/part-0"), "blob")
+    // the racer's committed snapshot is NON-empty (a real version dir
+    // holds parquet part files — POSIX rename would silently REPLACE an
+    // empty one, a shape no committed snapshot ever has)
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/v1"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$base/v1/part-0"), "winner")
+    val renamed = fs.rename(
+      new Path(s"$base/.staging_v1"), new Path(s"$base/v1"))
+    if (renamed) {
+      // nested shape: v1/.staging_v1 — verifyWonSlot must throw and clean
+      assert(Files.exists(
+        java.nio.file.Paths.get(s"$base/v1/.staging_v1")),
+        "rename returned true without nesting — FS semantics changed; " +
+          "re-derive this spec")
+      val e = intercept[IllegalStateException] {
+        BloomIndex.verifyWonSlot(fs,
+          new Path(s"$base/.staging_v1"), new Path(s"$base/v1"))
+      }
+      assert(e.getMessage.contains("lost the"))
+      assert(!Files.exists(
+        java.nio.file.Paths.get(s"$base/v1/.staging_v1")),
+        "the nested orphan must be removed (it is invisible to readers " +
+          "and would otherwise leak a full bloom blob per lost race)")
+    } // else: rename reported false — commitSlot's checked require catches it
+  }
+
   test("append retains the latest three snapshots — a reader pinned two " +
     "appends back still completes") {
     val corpus = hashed((0L until 10L).map(i => (i, s"doc $i")))
