@@ -215,6 +215,43 @@ class BloomIndexSpec extends AnyFunSuite {
       s"expected the latest three versions retained, got $kept")
   }
 
+  test("model check: a random MULTI-EPOCH ingest (admit → append per " +
+    "epoch) tracks the NOT-EXISTS relation against the evolving corpus " +
+    "at every step, and retention never exceeds three versions") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // epochs draw from a small text domain so cross-epoch replays and
+    // within-epoch duplicates occur routinely — the steady-state shapes
+    // (all-dup epochs, all-new epochs, partial overlap) all arise
+    val genEpochs = for {
+      k <- Gen.choose(2, 5)
+      epochs <- Gen.listOfN(k, Gen.nonEmptyListOf(
+        Gen.choose(0, 11).map(i => s"t$i")))
+    } yield epochs
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(genEpochs) { epochs =>
+        val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+        var nextId = 0L
+        def frame(texts: Seq[String]): DataFrame = {
+          val rows = texts.map { t => nextId += 1; (nextId, t) }
+          hashed(rows)
+        }
+        var corpus = frame(epochs.head)
+        BloomIndex.build(corpus.select("content_hash"), idx)
+        val stepsOk = epochs.tail.forall { texts =>
+          val batch = frame(texts)
+          val ok = admitted(idx, batch, corpus) == reference(batch, corpus)
+          val a = BloomIndex.admit(spark, idx, batch, corpus)
+          BloomIndex.append(spark, idx, a.select("content_hash"))
+          corpus = corpus.unionByName(batch.select("doc_id", "content_hash"))
+          ok
+        }
+        val versions = new java.io.File(idx).listFiles()
+          .map(_.getName).count(_.startsWith("v"))
+        stepsOk && versions <= 3
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergeBlobs is a membership union of same-geometry blooms") {
     import org.apache.spark.util.sketch.BloomFilter
     val a = BloomFilter.create(100, 4096)
