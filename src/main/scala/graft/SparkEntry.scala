@@ -272,6 +272,13 @@ object SparkEntry {
     // asserts the changelog-free shards stayed byte-untouched.
     "q79_stream_merge_part" ->
       (graft.streaming.StreamingGate.q79StreamMergePart(_, _)),
+    // TTL state eviction through a REAL readStream: winnersWithTtl over a
+    // time-sliced replay with held-back late arrivals; values oracled by
+    // the eviction-invariant cumulative-argmax relation (a re-hydrated
+    // winner is provably newer than the evicted one), eviction itself
+    // asserted in-run from the state-store metrics.
+    "q80_stream_ttl" ->
+      (graft.streaming.StreamingGate.q80StreamTtl(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -416,5 +423,6 @@ object SparkEntry {
     "q77_media_dims"        -> Multimodal.q77Sql,
     "q78_ivf_ingest"        -> Vectors.q78Sql,
     "q79_stream_merge_part" -> MergeOracleSql,
+    "q80_stream_ttl"        -> graft.streaming.StreamingGate.q80Sql,
   )
 }

@@ -172,6 +172,170 @@ object StreamingGate {
       .orderBy("subject", "predicate")
   }
 
+  private val ranTtl =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q80's watermark-driver sentinel key: a subject outside every corpus
+    * domain (derived subjects are `<order_…>`), filtered from the result.
+    * Its two far-future rows advance the watermark past every real key's
+    * TTL timeout (first sentinel batch) and then give the engine a batch
+    * in which the resulting evictions fire (second) — SessionReplay's
+    * two-sentinel handshake applied to the LWW TTL operator. */
+  private[streaming] val TtlSentinelSubject = "<__wm_sentinel__>"
+
+  /** Q80: TTL state eviction ([[StreamingLww.winnersWithTtl]]) through an
+    * ACTUAL streaming query — the last streaming capability whose
+    * distributed execution was spec-only. The changelog (updates ∪ remote)
+    * is split into four time-range JSONL files (mtime-pinned, q74's
+    * replay protocol), with a deterministic subset of keys HELD BACK one
+    * batch so the replay exercises late-but-admissible arrivals AND
+    * behind-watermark drops (the upper/lower half of each slice land on
+    * opposite sides of the next batch's watermark by construction); the
+    * emitted winner log — one row per (key, batch with admitted data),
+    * tagged with its micro-batch id — is the gate relation.
+    *
+    * ORACLE VALIDITY (why TTL eviction is hash-invisible and the oracle
+    * is the plain cumulative argmax): eviction requires
+    * `winner_ts + ttl < watermark`, and any subsequently ADMITTED row
+    * carries `ts ≥ watermark`, so a re-hydrated winner is strictly newer
+    * than everything the evicted state held — the per-batch emission for
+    * a key is ALWAYS the (ts_ms, object-UTF-8) argmax over all its
+    * admitted rows so far, evicted or not (the winnersWithTtl scaladoc
+    * law, here load-bearing for the oracle). The oracle therefore only
+    * models Spark's ADMISSION semantics exactly: the watermark FILTERING
+    * batch N is derived from the event-time maxima of batches ≤ N-2
+    * minus the delay (the offset-log lag, MEASURED against this engine
+    * and pinned by this very gate: batch N's filter uses the watermark
+    * recorded at batch construction, one batch behind the stats fold —
+    * the lag-1 model left 50 held-back rows admitted that it predicted
+    * dropped), floored at the 0 initial watermark — which also drops the
+    * adversarial corpus's negative pre-1970 timestamps, as Spark does;
+    * rows strictly older than the watermark drop. Because of that
+    * two-batch lag the held-back subset is shifted TWO batches (a
+    * one-batch shift can never land behind the watermark), which puts
+    * each held slice's lower range behind the filter and its upper range
+    * inside it — both the late-drop and late-admissible paths execute.
+    * The delay is pinned ≡ 500 (mod 1000) while every corpus timestamp
+    * is ≡ 0 (mod 1000), so a row can never tie the watermark and the
+    * kept-iff-not-strictly-older boundary cannot flip the hash.
+    * Eviction itself is asserted IN the gate run from the state-store
+    * metrics: peak state > 1 key, total `numRowsRemoved` > 0, and the
+    * final batches leave exactly the one sentinel key. */
+  def q80StreamTtl(spark: SparkSession, dir: String): DataFrame = {
+    val store = replayOnce(ranTtl, dir, "graft_stream_ttl") {
+      (src, storePath, ckpt) =>
+        import spark.implicits._
+        // gate-scale export (q74's documented driver-built pattern): the
+        // changelog rows, batched by event-time slice + held-back rule
+        val rows = TripleStore.updates(spark, dir)
+          .unionByName(TripleStore.remoteChangelog(spark, dir))
+          .as[graft.Triple].collect().toSeq
+        val mn = rows.map(_.ts_ms).min
+        val span = rows.map(_.ts_ms).max - mn + 1
+        val d = span / 32 - (span / 32 % 1000) + 500
+        val ttl = span / 4
+        def digitsMod5(s: String): Long =
+          "[0-9]+".r.findFirstIn(s).map(BigInt(_).mod(BigInt(5)).toLong)
+            .getOrElse(0L)
+        def batchOf(t: graft.Triple): Long = {
+          val s = math.min(3L, (t.ts_ms - mn) * 4 / span)
+          if (digitsMod5(t.subject) == 0 && s < 2) s + 2 else s
+        }
+        def js(s: String): String = "\"" + s.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        def line(t: graft.Triple): String =
+          s"""{"subject":${js(t.subject)},"predicate":${js(t.predicate)},""" +
+            s""""object":${js(t.`object`)},"ts_ms":${t.ts_ms}}"""
+        val placer = new SessionReplay.Placer(src)
+        (0L to 3L).foreach { i =>
+          placer.placeLines(f"part$i%02d.json",
+            rows.filter(batchOf(_) == i).map(line))
+        }
+        val sent0 = rows.map(_.ts_ms).max + ttl + d + span
+        placer.placeLines("sentinel0.json", Seq(line(
+          graft.Triple(TtlSentinelSubject, "<p>", "s0", sent0))))
+        placer.placeLines("sentinel1.json", Seq(line(
+          graft.Triple(TtlSentinelSubject, "<p>", "s1", sent0 + span))))
+        val q = StreamingLww.winnersWithTtl(
+            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            s"$d milliseconds", ttl)
+          .writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.Triple],
+              id: Long) =>
+            batch.toDF().withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(storePath)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // the eviction claim, asserted from the run's own state metrics
+        val states = q.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
+        require(states.nonEmpty, "q80 replay reported no state metrics")
+        require(states.map(_.numRowsTotal).max > 1,
+          "q80 replay never built multi-key state")
+        require(states.map(_.numRowsRemoved).sum > 0,
+          "q80 replay evicted nothing — the TTL path did not execute")
+        require(states.last.numRowsTotal == 1,
+          s"final state should hold exactly the sentinel key, got " +
+            s"${states.last.numRowsTotal} — eviction incomplete")
+    }
+    spark.read.parquet(store)
+      .filter(col("subject") =!= TtlSentinelSubject)
+      .select(col("batch_id"), col("subject"), col("predicate"),
+        col("object"), col("ts_ms"))
+      .orderBy("batch_id", "subject", "predicate")
+  }
+
+  /** DuckDB oracle for q80: the batching/admission model stated in SQL —
+    * slice + held-back-two batch assignment, per-batch prefix-max
+    * watermark with the MEASURED two-batch offset-log lag
+    * (`bmax.batch < bi - 1`: batch N filters with stats through N-2),
+    * 0-floored, strict-older drop, then the cumulative (ts, object)
+    * argmax per (key, batch-with-admitted-data). Integer arithmetic uses
+    * `//` (DuckDB's `/` on BIGINT returns DOUBLE). */
+  val q80Sql: String =
+    s"""WITH ${TripleStore.UpdatesCte}, ${TripleStore.RemoteCte},
+       |src AS (SELECT subject, predicate, object, ts_ms FROM updates
+       |        UNION ALL SELECT subject, predicate, object, ts_ms FROM remote),
+       |conf AS (
+       |  SELECT mn, span, (span // 32) - ((span // 32) % 1000) + 500 AS d
+       |  FROM (SELECT min(ts_ms) AS mn, max(ts_ms) - min(ts_ms) + 1 AS span
+       |        FROM src)),
+       |b AS (
+       |  SELECT *, CASE WHEN CAST(regexp_extract(subject, '([0-9]+)', 1)
+       |                       AS BIGINT) % 5 = 0 AND slice < 2
+       |                 THEN slice + 2 ELSE slice END AS batch
+       |  FROM (SELECT s.*, LEAST(3, (s.ts_ms - c.mn) * 4 // c.span) AS slice
+       |        FROM src s, conf c)),
+       |bmax AS (SELECT batch, max(ts_ms) AS bm FROM b GROUP BY 1),
+       |wm AS (
+       |  SELECT t.bi AS batch,
+       |         COALESCE(GREATEST(0,
+       |           (SELECT max(bm) FROM bmax WHERE bmax.batch < t.bi - 1)
+       |             - (SELECT d FROM conf)), 0) AS w
+       |  FROM (VALUES (0), (1), (2), (3)) t(bi)),
+       |adm AS (SELECT b.* FROM b JOIN wm USING (batch)
+       |        WHERE NOT (b.ts_ms < wm.w)),
+       |kb AS (SELECT DISTINCT subject, predicate, batch FROM adm),
+       |cum AS (
+       |  SELECT k.batch, k.subject, k.predicate, a.object, a.ts_ms,
+       |         row_number() OVER (PARTITION BY k.subject, k.predicate, k.batch
+       |                            ORDER BY a.ts_ms DESC, a.object DESC) AS rn
+       |  FROM kb k JOIN adm a ON a.subject = k.subject
+       |                      AND a.predicate = k.predicate
+       |                      AND a.batch <= k.batch)
+       |SELECT CAST(batch AS BIGINT) AS batch_id, subject, predicate, object,
+       |       ts_ms
+       |FROM cum WHERE rn = 1
+       |ORDER BY batch_id, subject, predicate""".stripMargin
+
   private val SentinelUser = SessionReplay.SentinelUser
 
   /** Q74: gap-sessionization driven through an ACTUAL streaming query — the
