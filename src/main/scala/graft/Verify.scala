@@ -1,14 +1,23 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Optional extra
+  * args name a subset of entries to dump (the builder's targeted
+  * iteration loop: `runMain graft.Verify <sfDir> <outDir> q80_stream_ttl`
+  * then `check.py <outDir> <sfDir> q80_stream_ttl`); the driver passes
+  * none and gets the full gate. oracle_sql.json is always complete. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalSession.create(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    only.diff(SparkEntry.queries.keySet).foreach { n =>
+      sys.error(s"unknown gate entry '$n'") }
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

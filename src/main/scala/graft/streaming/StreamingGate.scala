@@ -187,8 +187,8 @@ object StreamingGate {
     * ACTUAL streaming query — the last streaming capability whose
     * distributed execution was spec-only. The changelog (updates ∪ remote)
     * is split into four time-range JSONL files (mtime-pinned, q74's
-    * replay protocol), with a deterministic subset of keys HELD BACK one
-    * batch so the replay exercises late-but-admissible arrivals AND
+    * replay protocol), with a deterministic subset of keys HELD BACK two
+    * batches so the replay exercises late-but-admissible arrivals AND
     * behind-watermark drops (the upper/lower half of each slice land on
     * opposite sides of the next batch's watermark by construction); the
     * emitted winner log — one row per (key, batch with admitted data),
@@ -234,8 +234,13 @@ object StreamingGate {
         val span = rows.map(_.ts_ms).max - mn + 1
         val d = span / 32 - (span / 32 % 1000) + 500
         val ttl = span / 4
+        // n mod 5 depends only on n's last decimal digit (10 ≡ 0 mod 5),
+        // so the rule reads ONE character of the first digit run: no
+        // numeric parse to overflow past int64 in either engine, and a
+        // digitless subject defaults to 0 here exactly as the oracle's
+        // COALESCE(TRY_CAST(...), 0) does.
         def digitsMod5(s: String): Long =
-          "[0-9]+".r.findFirstIn(s).map(BigInt(_).mod(BigInt(5)).toLong)
+          "[0-9]+".r.findFirstIn(s).map(r => (r.last - '0').toLong % 5)
             .getOrElse(0L)
         def batchOf(t: graft.Triple): Long = {
           val s = math.min(3L, (t.ts_ms - mn) * 4 / span)
@@ -309,8 +314,9 @@ object StreamingGate {
        |  FROM (SELECT min(ts_ms) AS mn, max(ts_ms) - min(ts_ms) + 1 AS span
        |        FROM src)),
        |b AS (
-       |  SELECT *, CASE WHEN CAST(regexp_extract(subject, '([0-9]+)', 1)
-       |                       AS BIGINT) % 5 = 0 AND slice < 2
+       |  SELECT *, CASE WHEN COALESCE(TRY_CAST(
+       |                         right(regexp_extract(subject, '([0-9]+)', 1),
+       |                               1) AS BIGINT), 0) % 5 = 0 AND slice < 2
        |                 THEN slice + 2 ELSE slice END AS batch
        |  FROM (SELECT s.*, LEAST(3, (s.ts_ms - c.mn) * 4 // c.span) AS slice
        |        FROM src s, conf c)),

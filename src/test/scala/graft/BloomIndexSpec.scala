@@ -239,9 +239,12 @@ class BloomIndexSpec extends AnyFunSuite {
         BloomIndex.build(corpus.select("content_hash"), idx)
         val stepsOk = epochs.tail.forall { texts =>
           val batch = frame(texts)
-          val ok = admitted(idx, batch, corpus) == reference(batch, corpus)
-          val a = BloomIndex.admit(spark, idx, batch, corpus)
-          BloomIndex.append(spark, idx, a.select("content_hash"))
+          // one admit per epoch: the collected set serves BOTH the
+          // comparison and (via its hashes) the append input
+          val got = admitted(idx, batch, corpus)
+          val ok = got == reference(batch, corpus)
+          BloomIndex.append(spark, idx,
+            got.map(_._2).toSeq.toDF("content_hash"))
           corpus = corpus.unionByName(batch.select("doc_id", "content_hash"))
           ok
         }
