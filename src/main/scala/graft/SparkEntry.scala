@@ -279,6 +279,10 @@ object SparkEntry {
     // asserted in-run from the state-store metrics.
     "q80_stream_ttl" ->
       (graft.streaming.StreamingGate.q80StreamTtl(_, _)),
+    // PageRank over the BUCKETED catalog edge table: same values and
+    // oracle as q75, exchange-free edge scans (the q31-vs-q3 discipline
+    // applied to the graph loop; GraphSpec pins the plan claim).
+    "q81_pagerank_bucketed" -> (Graph.q81PageRankBucketed(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -424,5 +428,6 @@ object SparkEntry {
     "q78_ivf_ingest"        -> Vectors.q78Sql,
     "q79_stream_merge_part" -> MergeOracleSql,
     "q80_stream_ttl"        -> graft.streaming.StreamingGate.q80Sql,
+    "q81_pagerank_bucketed" -> Graph.q75Sql,
   )
 }

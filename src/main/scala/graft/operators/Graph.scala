@@ -205,6 +205,48 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Once-per-session bucketed edge-table materialization for q81 —
+    * [[TripleStore.bucketedMergeTables]]'s memo discipline (injective
+    * name tag, per-key blocking compute) applied to [[writeBucketedEdges]]. */
+  private val bucketedEdges =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  def bucketedEdgeTable(spark: SparkSession, dir: String,
+      numBuckets: Int = 4): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(dir.hashCode) + s"_$numBuckets"
+    val name = s"graft_edges_bkt$tag"
+    bucketedEdges.computeIfAbsent((dir, numBuckets), { _ =>
+      writeBucketedEdges(edges(spark, dir), name, numBuckets)
+      name
+    })
+  }
+
+  /** Q81: [[pageRankBucketed]] driver-gated — the exchange-free edge side's
+    * DISTRIBUTED execution carrying its own CORRECTNESS row, the
+    * q31-vs-q3 discipline applied to the graph loop: same iteration count,
+    * same n-scaling and 6-decimal rounding as [[q75PageRank]], q75's
+    * oracle verbatim, but the loop reads the `bucketBy(src)` catalog table
+    * ([[bucketedEdgeTable]]) so every iteration's contribution join and
+    * the out-degree build scan the edge relation with NO Exchange.
+    * GraphSpec pins the plan claim (bucket-aware scan, strictly fewer
+    * exchanges than the plain loop); this entry lets the driver check the
+    * values. The only arithmetic divergence vs q75 is aggregate summation
+    * order off a differently-partitioned edge scan — the same ~1e-13
+    * wobble already eight orders inside the rounding half-ulp. */
+  def q81PageRankBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val table = bucketedEdgeTable(spark, dir)
+    val e = spark.table(table)
+    val nCount = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .agg(count(lit(1)).cast("double").as("n_nodes"))
+    pageRankBucketed(spark, table, iters = PageRankIters)
+      .crossJoin(broadcast(nCount))
+      .select(col("node"),
+        round(col("rank") * col("n_nodes"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** DuckDB oracle for q75: [[PageRankIters]] iterations unrolled as CTEs,
     * each the literal transcription of [[pageRank]]'s update — dangling
     * mass as a scalar subquery, contributions as a grouped sum, the same

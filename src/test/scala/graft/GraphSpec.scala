@@ -318,6 +318,21 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("q81 gate entry: bucketed PageRank reproduces q75's relation " +
+    "exactly on the driver corpus, and the edge table is memoized") {
+    val dir = "/root/testdata/sf0.001"
+    // identical arithmetic + 6-decimal rounding + total order ⇒ the gate
+    // relations must be EQUAL as sequences, not merely close
+    val want = Graph.q75PageRank(spark, dir)
+      .as[(String, Double)].collect().toSeq
+    val got = Graph.q81PageRankBucketed(spark, dir)
+      .as[(String, Double)].collect().toSeq
+    assert(got == want, "q81 diverged from q75 after rounding")
+    val t1 = Graph.bucketedEdgeTable(spark, dir)
+    val t2 = Graph.bucketedEdgeTable(spark, dir)
+    assert(t1 == t2, "edge-table memoization returned distinct tables")
+  }
+
   test("pageRank fuses the dangling-mass scalar into the iteration plan — " +
     "no per-iteration driver action") {
     import org.apache.spark.sql.execution.QueryExecution
