@@ -10,11 +10,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    // validate the filter BEFORE paying the session startup: a typo'd
+    // entry name should fail in milliseconds, not after a JVM spin-up
+    only.diff(SparkEntry.queries.keySet).foreach { n =>
+      sys.error(s"unknown gate entry '$n'") }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalSession.create(cpus)
     new java.io.File(outDir).mkdirs()
-    only.diff(SparkEntry.queries.keySet).foreach { n =>
-      sys.error(s"unknown gate entry '$n'") }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

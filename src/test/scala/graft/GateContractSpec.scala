@@ -27,6 +27,14 @@ class GateContractSpec extends AnyFunSuite {
     }
   }
 
+  test("Verify rejects an unknown entry-name filter before any Spark work") {
+    val ex = intercept[RuntimeException] {
+      Verify.main(Array("/nonexistent", "/tmp/graft_never", "q999_nope"))
+    }
+    assert(ex.getMessage.contains("unknown gate entry 'q999_nope'"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("gate names follow the stable q<N>_<slug> convention") {
     // the driver keys CORRECTNESS/BENCH artifacts by these names; a
     // rename breaks round-over-round comparability, so make one loud
