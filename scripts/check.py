@@ -23,6 +23,12 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return hashlib.md5(df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
 
+# a typo'd filter name must fail loudly, not skip every entry and exit 0
+# (the Verify side fails fast the same way — the targeted loop's twin guard)
+unknown = only - set(oracle)
+if unknown:
+    sys.exit(f"unknown gate entries: {sorted(unknown)}")
+
 fails = 0
 for name in sorted(oracle):
     if only and name not in only:

@@ -195,11 +195,17 @@ object Graph {
     * rounding half-ulp. */
   def q75PageRank(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
+    nScaledRanks(e, pageRank(e, iters = PageRankIters))
+  }
+
+  /** Shared q75/q81 gate emission: n-scaled (`rank * n_nodes`, mean 1.0)
+    * scores rounded to 6 decimals in node order — ONE copy of the
+    * arithmetic both entries must keep in lockstep with [[q75Sql]]. */
+  private def nScaledRanks(e: DataFrame, ranks: DataFrame): DataFrame = {
     val nCount = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .agg(count(lit(1)).cast("double").as("n_nodes"))
-    pageRank(e, iters = PageRankIters)
-      .crossJoin(broadcast(nCount))
+    ranks.crossJoin(broadcast(nCount))
       .select(col("node"),
         round(col("rank") * col("n_nodes"), 6).as("rank"))
       .orderBy("node")
@@ -236,15 +242,8 @@ object Graph {
     * wobble already eight orders inside the rounding half-ulp. */
   def q81PageRankBucketed(spark: SparkSession, dir: String): DataFrame = {
     val table = bucketedEdgeTable(spark, dir)
-    val e = spark.table(table)
-    val nCount = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .agg(count(lit(1)).cast("double").as("n_nodes"))
-    pageRankBucketed(spark, table, iters = PageRankIters)
-      .crossJoin(broadcast(nCount))
-      .select(col("node"),
-        round(col("rank") * col("n_nodes"), 6).as("rank"))
-      .orderBy("node")
+    nScaledRanks(spark.table(table),
+      pageRankBucketed(spark, table, iters = PageRankIters))
   }
 
   /** DuckDB oracle for q75: [[PageRankIters]] iterations unrolled as CTEs,

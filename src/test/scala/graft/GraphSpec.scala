@@ -322,15 +322,33 @@ class GraphSpec extends AnyFunSuite {
     "exactly on the driver corpus, and the edge table is memoized") {
     val dir = "/root/testdata/sf0.001"
     // identical arithmetic + 6-decimal rounding + total order ⇒ the gate
-    // relations must be EQUAL as sequences, not merely close
+    // relations must be EQUAL as sequences, not merely close. Exact
+    // equality is deliberate, not flaky: both entries hash against the
+    // SAME oracle on every corpus, so a summation-order wobble flipping a
+    // rounding boundary would already fail the gate itself — this test is
+    // exactly as stable as the driver's hash compare (the q75 scaladoc's
+    // boundary-distance argument: ~1e-13 wobble, 0.5e-6 half-ulp).
     val want = Graph.q75PageRank(spark, dir)
       .as[(String, Double)].collect().toSeq
     val got = Graph.q81PageRankBucketed(spark, dir)
       .as[(String, Double)].collect().toSeq
     assert(got == want, "q81 diverged from q75 after rounding")
+    // memoization: a second call must not REWRITE the table — compare the
+    // physical files+mtimes, not the returned name (which is a pure
+    // function of the inputs and would match even with the memo broken)
+    def tableSig(t: String): Set[(String, Long)] = {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val files = new java.io.File(wh, t.toLowerCase).listFiles()
+      assert(files != null && files.nonEmpty, s"no files under table $t")
+      files.map(f => (f.getName, f.lastModified)).toSet
+    }
     val t1 = Graph.bucketedEdgeTable(spark, dir)
+    val s1 = tableSig(t1)
     val t2 = Graph.bucketedEdgeTable(spark, dir)
     assert(t1 == t2, "edge-table memoization returned distinct tables")
+    assert(tableSig(t2) == s1,
+      "second call rewrote the bucketed edge table — memo broken")
   }
 
   test("pageRank fuses the dangling-mass scalar into the iteration plan — " +
