@@ -266,6 +266,13 @@ object Multimodal {
     * digits are appended to every payload so `n_bytes` varies per row and
     * the decoder demonstrably reads HEADERS, not payload length. */
   private[graft] def syntheticContainer(id: Long): (Array[Byte], String) = {
+    // the non-negativity invariant ENFORCED, not just stated (ADVICE r14):
+    // a negative id would make the Scala `%` formulas, the element_at
+    // container label, and the oracle's CASE arms silently diverge — a
+    // future corpus with negative doc_ids must fail here, loudly, naming
+    // the id, instead of hash-mismatching three different ways
+    require(id >= 0, s"syntheticContainer: negative doc_id $id — the q77 " +
+      "dims/container formulas assume non-negative ids")
     val (w, h) = q77Dims(id)
     def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
       (v >>> 8).toByte, v.toByte)

@@ -176,9 +176,19 @@ object BloomIndex {
     val root = new org.apache.hadoop.fs.Path(path)
     // clear stale staging leftovers (a crashed or lost-race append's
     // orphan — each holds a full bloom blob and versionOf-based GC never
-    // matches dot-prefixed names); safe under the single-writer contract
+    // matches dot-prefixed names). Scoped to versions ≤ curV (ADVICE r14):
+    // those slots are committed or abandoned, so their staging dirs are
+    // stale BY CONSTRUCTION; `.staging_v${curV+1}` is left alone — if a
+    // racer from the same base is mid-write there, deleting it would fail
+    // them with an opaque parquet FileNotFound instead of the purpose-built
+    // lost-race message commitSlot raises (this append's own overwrite of
+    // that name is exactly the race the CAS guard exists to catch loudly)
     fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.startsWith(".staging_v"))
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith(".staging_v") &&
+          n.stripPrefix(".staging_v").toLongOption.exists(_ <= curV)
+      }
       .foreach(s => fs.delete(s.getPath, true))
     Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))
       .toDF("bloom", "expected", "num_bits", "n_appends")

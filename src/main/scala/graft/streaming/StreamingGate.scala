@@ -144,12 +144,23 @@ object StreamingGate {
           .withColumn("shard",
             graft.plans.RangeBucket.shardId(col("subject"), PartBoundaries))
           .write.partitionBy("shard").parquet(storePath)
-        def listing(): Map[String, Set[(String, Long)]] = {
+        // the per-file signature includes a CONTENT hash (ADVICE r14): a
+        // (name, length) pair alone would let a sink regression that
+        // rewrote a cust/nation shard with same-named, same-length part
+        // files pass the "byte-untouched" assertion — md5 of the bytes
+        // makes "untouched" mean not rewritten, not merely same-sized
+        // (gate-scale shards; the hash pass is bounded by the seed size)
+        def listing(): Map[String, Set[(String, Long, String)]] = {
           val root = new java.io.File(storePath)
+          def md5(f: java.io.File): String = {
+            val d = java.security.MessageDigest.getInstance("MD5")
+            d.digest(Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+          }
           Option(root.listFiles()).getOrElse(Array.empty)
             .filter(d => d.isDirectory && d.getName.startsWith("shard="))
             .map(d => d.getName ->
-              d.listFiles().map(f => (f.getName, f.length())).toSet)
+              d.listFiles().map(f => (f.getName, f.length(), md5(f))).toSet)
             .toMap
         }
         val before = listing()
