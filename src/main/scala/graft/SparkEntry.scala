@@ -283,6 +283,11 @@ object SparkEntry {
     // oracle as q75, exchange-free edge scans (the q31-vs-q3 discipline
     // applied to the graph loop; GraphSpec pins the plan claim).
     "q81_pagerank_bucketed" -> (Graph.q81PageRankBucketed(_, _)),
+    // The production binaryFile media SOURCE driver-gated: q77's containers
+    // written as real <id>.<ext> files, loaded via mediaFromFiles (path-id
+    // FAILFAST parse, length-column n_bytes), decoded by the same batch
+    // path — q77's oracle verbatim, different ingest path (q31-vs-q3).
+    "q82_media_files" -> (Multimodal.q82MediaFiles(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -429,5 +434,6 @@ object SparkEntry {
     "q79_stream_merge_part" -> MergeOracleSql,
     "q80_stream_ttl"        -> graft.streaming.StreamingGate.q80Sql,
     "q81_pagerank_bucketed" -> Graph.q75Sql,
+    "q82_media_files"       -> Multimodal.q77Sql,
   )
 }

@@ -332,10 +332,73 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --- Q82: the production binaryFile media SOURCE, driver-gated ------------
+
+  private val mediaFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Once-per-session materialization of q77's synthetic containers as REAL
+    * `<doc_id>.<ext>` files in a tmp directory — the fixture that lets the
+    * production [[mediaFromFiles]] source execute in the driver gate. The
+    * writer is driver-side by design (q80's documented gate-scale-export
+    * pattern: a bounded fixture generator, not the operator under test; a
+    * real media lake already exists as files), memoized per sf dir with the
+    * replay scaffolds' shutdown-hook cleanup discipline. */
+  def mediaFilesPath(spark: SparkSession, dir: String): String =
+    mediaFiles.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_media_files").toString
+      sys.addShutdownHook {
+        graft.streaming.StreamingLww.deleteRecursively(new java.io.File(out))
+      }
+      import spark.implicits._
+      table(spark, dir, "documents").select(col("doc_id")).as[Long]
+        .collect().foreach { id =>
+          val (bytes, ext) = syntheticContainer(id)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"$id.$ext"), bytes)
+          ()
+        }
+      out
+    })
+
+  /** Q82: the production media SOURCE driver-gated end-to-end — the one
+    * media path q77 still bypassed (it synthesizes container bytes in a
+    * typed map; the path a real media lake enters through is files). The
+    * same synthetic containers land as real `<doc_id>.<ext>` files
+    * ([[mediaFilesPath]]), are loaded through [[mediaFromFiles]] — Spark's
+    * `binaryFile` source, id parsed from the path under the FAILFAST
+    * policy, `n_bytes` from the source's `length` column — decoded by the
+    * production [[extractImageFeatures]] batch path, and re-joined with the
+    * source's parsed `format` column so the extension parse is itself part
+    * of the hashed relation (a label the q77 shape re-derives from the id
+    * formula instead). Oracle: [[q77Sql]] VERBATIM — file length equals
+    * container length, the parsed extension equals the formula's container
+    * label, and the decoded dims must match the formula or the hash breaks.
+    * Reference anchor: O15's file-shaped ingest (`MongoDBConnector.py:243`
+    * reads the corpus from a data file; the brief's multimodal pillar).
+    * Scale shape: the source lists/splits/schedules files like any other
+    * table (bound files-per-task with `spark.sql.files.maxPartitionBytes`);
+    * decode is map-only; the format join is a co-keyed self-derived join
+    * the optimizer broadcasts at gate scale. */
+  def q82MediaFiles(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromFiles(spark, mediaFilesPath(spark, dir))
+    extractImageFeatures(media).toDF()
+      .join(media.toDF().select(col("doc_id"), col("format").as("container")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("container"), col("n_bytes"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB oracle: [[syntheticContainer]]'s derivation formulas stated in
     * SQL — header sizes (24/21/10/10) + decimal-digit count give n_bytes;
     * image rows carry the modular dims, the non-image row the
-    * `n_bytes`-derived fallback ([[fakeDecode]]'s formula). */
+    * `n_bytes`-derived fallback ([[fakeDecode]]'s formula). Shared verbatim
+    * by q77 (typed-map container path) and q82 (binaryFile source path):
+    * the two entries must produce the SAME relation through different
+    * ingest paths — the q31-vs-q3 discipline applied to media ingest. */
   val q77Sql: String =
     """WITH m AS (
       |  SELECT doc_id,

@@ -782,6 +782,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: q82 serves the q77 relation through the REAL binaryFile " +
+    "source — the executed plan carries the binaryFile scan and the values " +
+    "match the typed-map ingest path row for row") {
+    val q82 = graft.functions.Multimodal.q82MediaFiles(spark, sf)
+    val plan = q82.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("binaryfile"),
+      s"q82's plan lost the binaryFile scan:\n$plan")
+    val fromFiles = q82.collect().map(_.toSeq).toSeq
+    val fromMap = graft.functions.Multimodal.q77MediaDims(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(fromFiles == fromMap,
+      "binaryFile ingest diverged from the typed-map ingest")
+  }
+
   test("multimodal: a non-conforming file name fails loudly with its path, " +
     "not as an opaque null-encoder error downstream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_bad")
