@@ -288,6 +288,12 @@ object SparkEntry {
     // FAILFAST parse, length-column n_bytes), decoded by the same batch
     // path — q77's oracle verbatim, different ingest path (q31-vs-q3).
     "q82_media_files" -> (Multimodal.q82MediaFiles(_, _)),
+    // Streaming checkpoint-RESTART recovery: q67's replay split across two
+    // query incarnations over ONE checkpoint (the second resumes from it,
+    // processing exactly the post-restart extension — asserted in-run from
+    // numInputRows); same merge relation and oracle as q3/q67.
+    "q83_stream_restart" ->
+      (graft.streaming.StreamingGate.q83StreamRestart(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -435,5 +441,6 @@ object SparkEntry {
     "q80_stream_ttl"        -> graft.streaming.StreamingGate.q80Sql,
     "q81_pagerank_bucketed" -> Graph.q75Sql,
     "q82_media_files"       -> Multimodal.q77Sql,
+    "q83_stream_restart"    -> MergeOracleSql,
   )
 }

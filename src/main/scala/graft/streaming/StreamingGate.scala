@@ -183,6 +183,74 @@ object StreamingGate {
       .orderBy("subject", "predicate")
   }
 
+  private val ranRestart =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Q83: streaming checkpoint-RESTART recovery driver-gated — the restart
+    * contract `StreamingLwwSpec` pins in-process (a NEW query incarnation
+    * on the SAME checkpoint absorbs a post-restart extension without
+    * reprocessing what the first incarnation committed) finally executing
+    * in the driver gate. q67's JSONL replay is split across TWO
+    * `readStream` incarnations over ONE checkpoint into
+    * [[StreamingLww.mergeIntoStore]]: the wire export is staged whole, half
+    * the files are released and incarnation 1 runs to termination
+    * (`Trigger.AvailableNow` — it stops exactly like a killed query: offsets
+    * committed, store swapped, JVM-side query object gone), then the
+    * remaining files land and incarnation 2 starts FROM THE CHECKPOINT.
+    * Same relation and oracle as q3/q67 (chunked LWW merge ≡ one-shot).
+    *
+    * The recovery claim is asserted IN the gate run, not just implied by
+    * the final hash (the strict-`>` merge is idempotent, so values alone
+    * cannot distinguish resume from replay): each incarnation's
+    * `numInputRows` total must equal EXACTLY its phase's wire line count —
+    * incarnation 2 reprocessing phase 1 (offsets not restored) or missing
+    * part of phase 2 fails loudly here. Reference anchor: O13's recovery
+    * semantics — a recovered node is fed exactly the pending updates it
+    * missed, not the full history (`MasterServer.py:186-205`). */
+  def q83StreamRestart(spark: SparkSession, dir: String): DataFrame = {
+    val store = replayOnce(ranRestart, dir, "graft_stream_restart") {
+      (src, storePath, ckpt) =>
+        TripleStore.triples(spark, dir).write.parquet(storePath)
+        // the full wire export, staged OUTSIDE the watched source dir and
+        // released into it in two phases (the staging dir sits under the
+        // same replay base, so the shared shutdown hook cleans it up)
+        val stage = s"$src.stage"
+        TripleStore.writeJsonl(
+          TripleStore.remoteChangelog(spark, dir).repartition(NumBatches),
+          stage)
+        val parts = new java.io.File(stage).listFiles()
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+        require(parts.length >= 2,
+          s"q83 replay needs >= 2 wire files to split, got ${parts.length}")
+        Files.createDirectories(Paths.get(src))
+        def release(fs: Seq[java.io.File]): Long = fs.map { f =>
+          val dst = Paths.get(src, f.getName)
+          Files.move(f.toPath, dst)
+          val s = scala.io.Source.fromFile(dst.toFile, "UTF-8")
+          try s.getLines().count(_.nonEmpty).toLong finally s.close()
+        }.sum
+        def runIncarnation(expectRows: Long, label: String): Unit = {
+          val q = StreamingLww.mergeIntoStore(
+            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            storePath, ckpt, Trigger.AvailableNow())
+          q.awaitTermination()
+          val got = q.recentProgress.toSeq.map(_.numInputRows).sum
+          require(got == expectRows,
+            s"q83 $label incarnation processed $got input rows, expected " +
+              s"exactly $expectRows — the checkpoint did not scope it to " +
+              "its own phase of the wire")
+        }
+        val (phase1, phase2) = parts.splitAt(parts.length / 2)
+        val n1 = release(phase1)
+        require(n1 > 0, "q83 phase 1 carried no rows")
+        runIncarnation(n1, "first")
+        val n2 = release(phase2)
+        require(n2 > 0, "q83 phase 2 carried no rows")
+        runIncarnation(n2, "second (restarted)")
+    }
+    spark.read.parquet(store).orderBy("subject", "predicate")
+  }
+
   private val ranTtl =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
