@@ -294,6 +294,10 @@ object SparkEntry {
     // numInputRows); same merge relation and oracle as q3/q67.
     "q83_stream_restart" ->
       (graft.streaming.StreamingGate.q83StreamRestart(_, _)),
+    // O22's live analog: the footer-derived PHYSICAL shard map over the
+    // sharded store AND its reshard (the boundaries q15's static declared
+    // map cannot see); footer-vs-data exactness asserted in-run per file.
+    "q84_layout_describe" -> (TripleStore.q84LayoutDescribe(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -442,5 +446,6 @@ object SparkEntry {
     "q81_pagerank_bucketed" -> Graph.q75Sql,
     "q82_media_files"       -> Multimodal.q77Sql,
     "q83_stream_restart"    -> MergeOracleSql,
+    "q84_layout_describe"   -> TripleStore.Q84Sql,
   )
 }

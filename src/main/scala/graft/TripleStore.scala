@@ -330,13 +330,80 @@ object TripleStore {
         val cpo = graft.plans.RangeBucket.codePointOrdering
         (i.toLong, nRows,
           subjStats.map(s => bin(s.genericGetMin)).minOption(cpo).orNull,
-          subjStats.map(s => bin(s.genericGetMax)).maxOption(cpo).orNull)
+          subjStats.map(s => bin(s.genericGetMax)).maxOption(cpo).orNull,
+          f.getPath.getName)
       } finally rd.close()
     }
     spark.createDataFrame(rows.toSeq)
-      .toDF("shard_id", "n_rows", "min_subject", "max_subject")
+      .toDF("shard_id", "n_rows", "min_subject", "max_subject", "file")
       .orderBy("shard_id")
   }
+
+  /** Q84: [[describeShardsFromLayout]] driver-gated — the footer-derived
+    * PHYSICAL shard map (O22's live analog of the reference's `SHARDING`
+    * dump, `MasterServer.py:435-463`) finally executing in the gate, over
+    * BOTH serving layouts: the 3-shard store and its 5-shard reshard
+    * (proving the describe sees the NEW boundaries q15's static declared
+    * map cannot). Two claims, split across the two check layers:
+    *
+    *  - EXACTNESS of the footer map is asserted in-run: the per-file
+    *    (rows, min/max subject) from the parquet FOOTERS must equal a
+    *    distributed recomputation from the DATA pages
+    *    (`groupBy(input_file_name())`), keyed by file name — truncated or
+    *    dropped statistics, a miscounted block, or code-unit/-point order
+    *    divergence fails loudly here (the driver-side compare is over
+    *    O(#shards) rows, the describe surface's own bound);
+    *  - the HASHED relation is the per-layout roll-up of the footer map
+    *    (shard count, total rows, global subject bounds — aggregated from
+    *    the footers, NOT from the data), which the DuckDB twin re-derives
+    *    from the triples relation. The physical split boundaries
+    *    themselves are `repartitionByRange`'s sampled choice and so have
+    *    no corpus-derivable oracle — they are exactly what the in-run
+    *    equality pins instead. Shard counts are pinned to the layouts'
+    *    configured 3/5 (an empty range partition writes no file and would
+    *    break this — loudly, which is the right behavior for a describe
+    *    surface that feeds routing). */
+  def q84LayoutDescribe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cpo = graft.plans.RangeBucket.codePointOrdering
+    val rows = Seq(
+      ("sharded3", shardedPath(spark, dir), 3),
+      ("resharded5", reshardedPath(spark, dir), 5)).map {
+      case (label, path, nExpect) =>
+        val footer = describeShardsFromLayout(spark, path)
+          .select("file", "n_rows", "min_subject", "max_subject")
+          .as[(String, Long, String, String)].collect().sortBy(_._1).toSeq
+        val actual = spark.read.parquet(path)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"), min(col("subject")).as("mn"),
+            max(col("subject")).as("mx"))
+          .as[(String, Long, String, String)].collect()
+          .map { case (f, n, mn, mx) => (f.split('/').last, n, mn, mx) }
+          .sortBy(_._1).toSeq
+        require(footer == actual,
+          s"q84 $label: footer-derived map diverged from the data:\n" +
+            s"  footers: $footer\n  data:    $actual")
+        require(footer.size == nExpect,
+          s"q84 $label: expected $nExpect shard files, found " +
+            s"${footer.size} — an empty range partition wrote no file")
+        (label, footer.size.toLong, footer.map(_._2).sum,
+          footer.map(_._3).min(cpo), footer.map(_._4).max(cpo))
+    }
+    rows.toDF("layout", "n_shards", "n_rows", "min_subject", "max_subject")
+      .orderBy("layout")
+  }
+
+  lazy val Q84Sql: String =
+    s"""WITH $TriplesCte,
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |             min(subject) AS min_subject, max(subject) AS max_subject
+       |      FROM triples)
+       |SELECT 'resharded5' AS layout, CAST(5 AS BIGINT) AS n_shards,
+       |       n_rows, min_subject, max_subject FROM t
+       |UNION ALL
+       |SELECT 'sharded3', CAST(3 AS BIGINT), n_rows, min_subject,
+       |       max_subject FROM t
+       |ORDER BY layout""".stripMargin
 
   /** Bucketed layout on the logical key: `bucketBy(subject, predicate)` +
     * in-bucket sort. Two tables bucketed the same way join/aggregate on the

@@ -56,6 +56,7 @@ class TripleStoreSpec extends AnyFunSuite {
     "data, after a reshard reports the NEW boundaries") {
     val path5 = TripleStore.reshardedPath(spark, sf, toShards = 5)
     val desc = TripleStore.describeShardsFromLayout(spark, path5)
+      .select("shard_id", "n_rows", "min_subject", "max_subject")
       .as[(Long, Long, String, String)].collect().toSeq
     val store = spark.read.parquet(path5)
     // counts: per-shard rows sum to the store
