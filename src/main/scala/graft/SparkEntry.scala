@@ -298,6 +298,10 @@ object SparkEntry {
     // sharded store AND its reshard (the boundaries q15's static declared
     // map cannot see); footer-vs-data exactness asserted in-run per file.
     "q84_layout_describe" -> (TripleStore.q84LayoutDescribe(_, _)),
+    // The int8 SERVING row: top-k cosine computed from the quantized
+    // vectors (q58's codec) — integer dot/norms, so the approximate codec's
+    // query form still has an exact oracle; recall rides in q71.
+    "q85_quantized_topk" -> (Vectors.q85QuantizedTopk(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -447,5 +451,6 @@ object SparkEntry {
     "q82_media_files"       -> Multimodal.q77Sql,
     "q83_stream_restart"    -> MergeOracleSql,
     "q84_layout_describe"   -> TripleStore.Q84Sql,
+    "q85_quantized_topk"    -> Vectors.q85Sql,
   )
 }

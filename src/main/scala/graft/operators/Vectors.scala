@@ -833,12 +833,21 @@ object Vectors {
     val lshHits = hitsVs(q68LshTopk(spark, dir)
       .filter(col("rank") <= IvfGateTopK)
       .select("query_id", "neighbor_id"), "n_hits_lsh")
+    // the int8 serving row's recall vs the float baseline (r15): brute
+    // force over QUANTIZED vectors, so its misses measure pure codec
+    // ranking error, not index selectivity — unfloored like LSH (the IVF
+    // floor already gates index health), visible every round
+    val int8Hits = hitsVs(q85QuantizedTopk(spark, dir)
+      .filter(col("rank") <= IvfGateTopK)
+      .select("query_id", "neighbor_id"), "n_hits_int8")
     val perq = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(ivfHits, Seq("query_id"), "left_outer")
       .join(lshHits, Seq("query_id"), "left_outer")
+      .join(int8Hits, Seq("query_id"), "left_outer")
       .select(col("query_id"), col("n_exact"),
         coalesce(col("n_hits_ivf"), lit(0L)).as("n_hits_ivf"),
-        coalesce(col("n_hits_lsh"), lit(0L)).as("n_hits_lsh"))
+        coalesce(col("n_hits_lsh"), lit(0L)).as("n_hits_lsh"),
+        coalesce(col("n_hits_int8"), lit(0L)).as("n_hits_int8"))
     // corpus-wide totals as a broadcast 1-ROW AGGREGATE crossJoined back in
     // (the pageRank nCount convention) — NOT a Window.partitionBy(): the
     // empty-frame window is equally bounded here (k·q rows) but logs a
@@ -859,7 +868,8 @@ object Vectors {
       .orderBy("query_id")
   }
 
-  val q71Sql: String =
+  // lazy: references q85Sql, declared later in this object body
+  lazy val q71Sql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |         CASE WHEN $hasNullElemSql THEN NULL
@@ -883,17 +893,22 @@ object Vectors {
        |ivf AS (SELECT query_id, neighbor_id FROM ($q66Sql)),
        |lsh AS (SELECT query_id, neighbor_id FROM ($q68Sql)
        |        WHERE rank <= $IvfGateTopK),
+       |int8 AS (SELECT query_id, neighbor_id FROM ($q85Sql)
+       |         WHERE rank <= $IvfGateTopK),
        |perq AS (
        |  SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_exact,
        |         CAST(count(i.query_id) AS BIGINT) AS n_hits_ivf,
-       |         CAST(count(l.query_id) AS BIGINT) AS n_hits_lsh
+       |         CAST(count(l.query_id) AS BIGINT) AS n_hits_lsh,
+       |         CAST(count(v.query_id) AS BIGINT) AS n_hits_int8
        |  FROM exact x
        |  LEFT JOIN ivf i ON x.query_id = i.query_id
        |                 AND x.neighbor_id = i.neighbor_id
        |  LEFT JOIN lsh l ON x.query_id = l.query_id
        |                 AND x.neighbor_id = l.neighbor_id
+       |  LEFT JOIN int8 v ON x.query_id = v.query_id
+       |                  AND x.neighbor_id = v.neighbor_id
        |  GROUP BY x.query_id)
-       |SELECT query_id, n_exact, n_hits_ivf, n_hits_lsh,
+       |SELECT query_id, n_exact, n_hits_ivf, n_hits_lsh, n_hits_int8,
        |       (sum(n_hits_ivf) OVER () * 100 >= sum(n_exact) OVER () * $RecallFloorPct)
        |         AS floor_ok
        |FROM perq ORDER BY query_id""".stripMargin
@@ -931,7 +946,19 @@ object Vectors {
     * Scale shape: map-only row-local array arithmetic — one scan, one
     * projection, no shuffle but the presentation sort. */
   def q58Quantize(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings")
+    quantizedInts(table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("max_abs_micro"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q8_csv"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q8_sum"))
+      .orderBy("vec_id")
+
+  /** The int8 codec's SHARED projection — `(vec_id, mx, max_abs_micro, q)`
+    * with [[q58Quantize]]'s exact arithmetic (explicit `floor(v + 0.5)`
+    * tie rule, micro-unit integer scale, −1 sentinel for every degenerate
+    * class) — one owner so the storage row (q58) and the serving probe
+    * (q85) cannot drift. */
+  private def quantizedInts(vectors: DataFrame): DataFrame =
+    vectors
       .select(col("vec_id"), col("embedding"),
         // a NULL ELEMENT forces mx to NULL so the vector takes the -1
         // sentinel: without this, Spark's array_max would SKIP the null
@@ -944,17 +971,89 @@ object Vectors {
                 |END""".stripMargin).as("mx"))
       .select(col("vec_id"), col("mx"),
         expr("""CASE WHEN mx >= 0.000001D AND mx <= 1000000000000.0D
+                |THEN CAST(floor(mx * 1000000.0D + 0.5D) AS BIGINT)
+                |ELSE -1L END""".stripMargin).as("max_abs_micro"),
+        expr("""CASE WHEN mx >= 0.000001D AND mx <= 1000000000000.0D
                 |THEN transform(embedding, v ->
                 |  CAST(floor(CAST(v AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT))
                 |ELSE transform(embedding, v -> 0L)
                 |END""".stripMargin).as("q"))
-      .select(col("vec_id"),
-        expr("""CASE WHEN mx >= 0.000001D AND mx <= 1000000000000.0D
-                |THEN CAST(floor(mx * 1000000.0D + 0.5D) AS BIGINT)
-                |ELSE -1L END""".stripMargin).as("max_abs_micro"),
-        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q8_csv"),
-        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q8_sum"))
-      .orderBy("vec_id")
+
+  // --- Q85: top-k served FROM the quantized vectors -------------------------
+
+  /** Q85: the int8 SERVING row — top-k cosine computed from the QUANTIZED
+    * vectors (q58 proves the codec; this is the query that runs against
+    * the 4×-smaller store, the bandwidth shape a 100 TB embedding corpus
+    * serves ANN from). The cosine needs no dequantization at all: a valid
+    * vector dequantizes to `q · s` for one positive scalar
+    * `s = max_abs_micro / (1e6 · 127)`, and scalars cancel in cosine — so
+    * the probe is an INTEGER dot product and two integer norms (|q_i| ≤
+    * 127, 64 dims ⇒ every sum fits a long exactly), with floats appearing
+    * only in the final division. Both engines therefore compute from
+    * IDENTICAL integer inputs and the result is bit-exact before the
+    * 4-decimal round — the approximate-codec query form with an EXACT
+    * oracle, q66's discipline. Sentinel vectors (scale −1: zero, null
+    * element, non-finite, out-of-regime — [[q58Quantize]]'s classes) have
+    * no serving representation and are excluded from both sides; a valid
+    * vector's max element quantizes to ±127, so its integer norm is never
+    * zero and the division is safe under ANSI.
+    *
+    * Scale shape: the [[NumQueries]] query rows BROADCAST; the quantized
+    * corpus is scanned map-only (one integer fold per row, validity filter
+    * pushed into the scan), and the `row_number ≤ k` rank filter triggers
+    * Spark's partial `WindowGroupLimit` BEFORE the exchange — each scan
+    * partition forwards at most k·n_queries candidate rows, so the one
+    * shuffle carries top-k survivors, never the corpus
+    * (PipelineSpec pins both plan claims). Recall vs the exact float
+    * baseline rides in q71's artifact (`n_hits_int8`) every round. */
+  def q85QuantizedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val qv = quantizedInts(table(spark, dir, "embeddings"))
+      .filter(col("max_abs_micro") > 0)
+      .select(col("vec_id"), col("q"),
+        expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))
+    val queries = qv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    qv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(
+          expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+            .cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
+          4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val q85Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         CASE WHEN $hasNullElemSql THEN NULL
+       |         ELSE list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) END AS mx
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, v ->
+       |           CAST(floor(CAST(v AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS q
+       |  FROM e WHERE mx >= 0.000001 AND mx <= 1000000000000.0),
+       |n AS (SELECT vec_id, q,
+       |             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+       |      FROM qz)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM (SELECT qn.vec_id AS query_id, en.vec_id AS neighbor_id,
+       |               round(CAST(list_sum(list_transform(range(len(qn.q)),
+       |                   i -> qn.q[i+1] * en.q[i+1])) AS DOUBLE)
+       |                 / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))), 4)
+       |                 AS cos_sim
+       |        FROM n qn JOIN n en ON en.vec_id <> qn.vec_id
+       |        WHERE qn.vec_id < $NumQueries))
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   val q58Sql: String =
     s"""WITH e AS (

@@ -782,6 +782,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q85: the int8 serving probe's plan is the scale shape — queries " +
+    "broadcast (corpus never shuffles whole) and the rank filter becomes a " +
+    "partial WindowGroupLimit BEFORE the exchange, so the one shuffle " +
+    "carries per-partition top-k survivors only") {
+    val df = graft.operators.Vectors.q85QuantizedTopk(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"no partial WindowGroupLimit ahead of the top-k exchange:\n$plan")
+  }
+
   test("multimodal: q82 serves the q77 relation through the REAL binaryFile " +
     "source — the executed plan carries the binaryFile scan and the values " +
     "match the typed-map ingest path row for row") {
