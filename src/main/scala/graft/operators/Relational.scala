@@ -378,7 +378,27 @@ object Relational {
       .agg(min(col("ts_ms")).as("session_start"),
         max(col("ts_ms")).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        // the session sum's FOLD ORDER IS PINNED (ADVICE r13 → r15): a
+        // plain `sum(value)` folds in aggregation order, which differs
+        // between engines and from the streaming twin's ts-sorted state
+        // buffer — a sum landing within a float ulp of a .xx5 half-ulp
+        // could then flip the 2-decimal rounding per engine. The pinned
+        // definition all three implementations share: non-null values,
+        // 0.0-initialized SEQUENTIAL left fold in (ts_ms, event_id) order
+        // (DuckDB: list_sum over an ORDER BY'd list — a measured
+        // sequential fold that also 0-normalizes -0.0; stream:
+        // the ts-sorted buffer's .sum). Per-session memory becomes
+        // O(session events) — the bound the streaming state buffer
+        // already carries, bounded by gap × event rate, not history.
+        expr("array_sort(collect_list(struct(ts_ms, event_id, value)))")
+          .as("_evs"))
+      .withColumn("sum_value", round(expr(
+        """CASE WHEN size(filter(_evs, e -> e.value IS NOT NULL)) = 0
+          |THEN CAST(NULL AS DOUBLE)
+          |ELSE aggregate(filter(_evs, e -> e.value IS NOT NULL),
+          |  CAST(0 AS DOUBLE), (a, e) -> a + e.value) END""".stripMargin), 2))
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_id")
   }
 
@@ -408,7 +428,8 @@ object Relational {
        |       CAST(min(ts_ms) AS BIGINT) AS session_start,
        |       CAST(max(ts_ms) AS BIGINT) AS session_end,
        |       CAST(count(*) AS BIGINT) AS n_events,
-       |       round(sum(value), 2) AS sum_value
+       |       round(list_sum(list(value ORDER BY ts_ms, event_id)), 2)
+       |         AS sum_value
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id NULLS FIRST, session_id""".stripMargin
 

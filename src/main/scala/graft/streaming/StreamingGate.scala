@@ -488,16 +488,14 @@ object StreamingGate {
       .withColumn("session_id", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_id"), col("session_start"),
         col("session_end"), col("n_events"),
-        // LATENT BOUNDARY RISK (ADVICE r13): the streamed per-session sum
-        // folds addends in the state buffer's ts-sorted order while the
-        // batch/DuckDB twin folds in aggregation order, so the pre-round
-        // values can differ by ~1 ulp (StreamingSessionsSpec measures
-        // ≤1e-11 wobble on the driver corpus). A session sum landing
-        // within that wobble of an exact .xx5 half-ulp could flip the
-        // 2-decimal rounding on a FUTURE fixture and fail the hash gate
-        // non-deterministically — if that ever fires, pin the fold order
-        // in the state buffer (sort before summing in BOTH engines) rather
-        // than widening the round.
+        // the session-sum fold order is PINNED across all three engines
+        // (r15, closing ADVICE r13's boundary risk): stream state buffer,
+        // batch kernel and DuckDB oracle each fold the non-null values
+        // sequentially in (ts_ms, event_id) order from 0.0, so the
+        // pre-round value is the same BITS everywhere and the 2-decimal
+        // round can never flip between engines on any corpus
+        // (StreamingSessionsSpec asserts bit-exactness on a fixture whose
+        // fold orders genuinely differ).
         round(col("sum_value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }

@@ -55,7 +55,14 @@ object StreamingSessions {
 
   private def close(userId: Option[Long],
       s: Seq[SessionEvent]): ClosedSession = {
-    // SQL-sum semantics: NULL addends ignored; all-NULL group sums to NULL
+    // SQL-sum semantics: NULL addends ignored; all-NULL group sums to NULL.
+    // `vs.sum` is the PINNED session-sum fold (r15): a 0.0-initialized
+    // sequential left fold over the non-null values in (ts_ms, event_id)
+    // order — the buffer is sorted before splitting, and the batch kernel
+    // (Relational.sessionize) and the DuckDB oracle (q39Sql's ordered
+    // list_sum) state the identical fold, so all three engines produce the
+    // same BITS, not merely the same 2-decimal rounding
+    // (StreamingSessionsSpec asserts the bit-exact equivalence).
     val vs = s.flatMap(_.value)
     ClosedSession(userId, s.head.ts_ms, s.last.ts_ms, s.size.toLong,
       if (vs.isEmpty) None else Some(vs.sum))

@@ -208,11 +208,61 @@ class StreamingSessionsSpec extends AnyFunSuite {
       val s = streamed.getOrElse((u, start),
         fail(s"batch session ($u, $start) missing from stream"))
       assert(s.session_end == end && s.n_events == n)
-      // same addends, different fold order (batch rounds to 2 at the edge)
-      assert(s.sum_value.isDefined == sum.isDefined)
-      assert(math.abs(s.sum_value.getOrElse(0.0) - sum.getOrElse(0.0)) < 0.011,
-        s"sum mismatch for ($u, $start): ${s.sum_value} vs $sum")
+      // the fold order is PINNED (r15): stream and batch sum the same
+      // addends in the same (ts_ms, event_id) order from 0.0, so after
+      // applying batch's 2-decimal round the values must be IDENTICAL
+      // bits — not merely within a wobble tolerance
+      (s.sum_value.map(round2), sum) match {
+        case (None, None) =>
+        case (Some(a), Some(b)) =>
+          assert(a == b, s"sum mismatch for ($u, $start): $a vs $b")
+        case (a, b) => fail(s"sum definedness mismatch ($u, $start): $a vs $b")
+      }
     }
+  }
+
+  /** Spark's `round(x, 2)`: HALF_UP at scale 2 via BigDecimal. */
+  private def round2(d: Double): Double =
+    new java.math.BigDecimal(d)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("session sum fold order is pinned: a fold-order-SENSITIVE fixture " +
+    "(1.0 + 1e16 - 1e16, where any other fold order yields 1.0, not 0.0) " +
+    "sums identically in batch and in a disordered stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1000L * GapMs
+    val rows = Seq(
+      (Option(1L), 1L, new Timestamp(base), Option(1.0)),
+      (Option(1L), 2L, new Timestamp(base + 1000), Option(1e16)),
+      (Option(1L), 3L, new Timestamp(base + 2000), Option(-1e16)))
+    // ts-order fold: (1.0 + 1e16) absorbs the 1.0, then -1e16 -> 0.0;
+    // reversed (arrival) order would fold to 1.0 — a full unit apart, so
+    // an engine that stops honoring the pinned order fails LOUDLY here,
+    // not within an ulp of a rounding boundary
+    val batch = Relational.sessionize(
+      rows.toDF("user_id", "event_id", "ts", "value")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value")),
+      GapMs).select("sum_value").as[Option[Double]].collect().toSeq
+    assert(batch == Seq(Some(0.0)),
+      s"batch fold is not the pinned ts-order sequential fold: $batch")
+    val source = MemoryStream[(Option[Long], Long, Timestamp, Option[Double])]
+    val q = StreamingSessions.sessionize(
+        source.toDF().toDF("user_id", "event_id", "ts", "value"),
+        GapMs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_foldpin").start()
+    try {
+      source.addData(rows.reverse) // arrival order ≠ event-time order
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 0L, base + 100 * GapMs, 0.0))
+      q.processAllAvailable()
+      source.addData(row(SentinelUser, 1L, base + 101 * GapMs, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessions_foldpin").as[ClosedSession].collect()
+      .filter(!_.user_id.contains(SentinelUser)).toSeq
+    assert(streamed.map(_.sum_value) == Seq(Some(0.0)),
+      s"stream state buffer did not fold in pinned ts order: $streamed")
   }
 
   test("session state survives a checkpoint restart: an open session " +
