@@ -196,5 +196,37 @@ for r in "${RESULTS[@]}"; do
   echo "$r" | tee -a "$LOGS/SUMMARY.txt"
   case "$r" in FAIL*) fails=$((fails+1)) ;; esac
 done
+
+# Artifact commit (VERDICT r13/r14 recurrence): a recorded close must be
+# reproducible from HEAD, so the refreshed/driver-written round artifacts
+# are committed AS the close's last step instead of being left in the
+# working tree. Only on an all-PASS run — a failed close must stay loudly
+# dirty for investigation, never be enshrined at HEAD.
+if [ "$fails" -eq 0 ]; then
+  git add -A -- BENCH_DETAIL_*.json PLAN_r*.json PLAN_SF0.01_r*.json \
+    LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json BENCH_NOTES.md \
+    COPYCHECK.json PROGRESS.jsonl 2>/dev/null
+  if ! git diff --cached --quiet; then
+    git commit -q -m "Record round-close artifacts" \
+      && echo "PASS  artifact commit ($(git rev-parse --short HEAD))" \
+        | tee -a "$LOGS/SUMMARY.txt" \
+      || { echo "FAIL  artifact commit" | tee -a "$LOGS/SUMMARY.txt"; \
+           fails=$((fails+1)); }
+  else
+    echo "PASS  artifact commit (nothing to record)" \
+      | tee -a "$LOGS/SUMMARY.txt"
+  fi
+  # the close's own artifacts must now be clean at HEAD
+  if [ -n "$(git status --porcelain -- BENCH_DETAIL_*.json PLAN_r*.json \
+      PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
+      BENCH_NOTES.md COPYCHECK.json 2>/dev/null)" ]; then
+    echo "FAIL  artifacts still dirty after commit" \
+      | tee -a "$LOGS/SUMMARY.txt"
+    fails=$((fails+1))
+  fi
+else
+  echo "SKIP  artifact commit (close has failures)" \
+    | tee -a "$LOGS/SUMMARY.txt"
+fi
 echo "logs: $LOGS/" | tee -a "$LOGS/SUMMARY.txt"
 exit $(( fails > 0 ))
