@@ -31,14 +31,19 @@ import graft.operators.Graph
   * the numbers are reported. Prints one JSON line.
   *
   * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.PageRankScaleBench
-  * [sfDir] [replicate] [iters]"` — disjoint id-suffixed graph copies, so
-  * the work is k× honest edges with k× honest nodes.
-  */
+  * [sfDir] [replicate] [iters] [modes]"` — disjoint id-suffixed graph
+  * copies, so the work is k× honest edges with k× honest nodes. `modes`
+  * (default `plain,prepart,bucketed`) selects the comparison modes to run
+  * alongside the always-run plain baseline — the 100M-edge rehearsal
+  * (r15) runs `plain,bucketed` only, prepart's conclusion being already
+  * on record at 10M (r13: +23% wall, no exchange elision). */
 object PageRankScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val replicate = if (args.length > 1) args(1).toInt else 60
     val iters = if (args.length > 2) args(2).toInt else 10
+    val modes = (if (args.length > 3) args(3) else "plain,prepart,bucketed")
+      .split(",").map(_.trim).toSet
     val spark = graft.LocalSession.create(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
@@ -79,21 +84,22 @@ object PageRankScaleBench {
     }
 
     val (rPlain, tPlain, jPlain, sPlain) = run(Graph.pageRank(edges, iters))
-    val pre = edges.repartition(col("src")).localCheckpoint(true)
-    val (rPre, tPre, jPre, sPre) = run(Graph.pageRank(pre, iters))
+    val preOpt = if (!modes("prepart")) None else {
+      val pre = edges.repartition(col("src")).localCheckpoint(true)
+      Some((pre, run(Graph.pageRank(pre, iters))))
+    }
 
     // bucketed mode: one-off layout write (reported separately — it is the
     // ETL cost, paid once per corpus version like q31's bucketed store),
     // then the loop through the catalog table
     val edgeTable = "graft_prbench_edges_bkt"
-    val tLayout = {
+    val bktOpt = if (!modes("bucketed")) None else {
       val t0 = System.nanoTime()
       Graph.writeBucketedEdges(edges, edgeTable,
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-      (System.nanoTime() - t0) / 1e9
+      val tLayout = (System.nanoTime() - t0) / 1e9
+      Some((tLayout, run(Graph.pageRankBucketed(spark, edgeTable, iters))))
     }
-    val (rBkt, tBkt, jBkt, sBkt) =
-      run(Graph.pageRankBucketed(spark, edgeTable, iters))
 
     // plan diagnostic: ONE iteration's contribution subplan per mode, so
     // the exchange count states whether the preserved partitioning elides
@@ -126,8 +132,9 @@ object PageRankScaleBench {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       }
     }
-    val (exPlain, exPre, exBkt) = (contribExchanges(edges),
-      contribExchanges(pre), contribExchanges(spark.table(edgeTable)))
+    val exPlain = contribExchanges(edges)
+    val exPre = preOpt.map { case (pre, _) => contribExchanges(pre) }
+    val exBkt = bktOpt.map(_ => contribExchanges(spark.table(edgeTable)))
 
     // modes must agree node-for-node before any number is reported
     def diffTo(other: org.apache.spark.sql.DataFrame): Double = rPlain.as("a")
@@ -135,28 +142,35 @@ object PageRankScaleBench {
       .agg(max(abs(coalesce(col("a.rank"), lit(-1.0)) -
         coalesce(col("b.rank"), lit(-2.0)))))
       .head().getDouble(0)
-    val maxDiff = math.max(diffTo(rPre), diffTo(rBkt))
+    val maxDiff = (preOpt.map(p => diffTo(p._2._1)).toSeq ++
+      bktOpt.map(b => diffTo(b._2._1)).toSeq).foldLeft(0.0)(math.max)
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val preJson = preOpt.map { case (_, (_, tPre, jPre, sPre)) =>
+      s""""prepart_sec":${f(tPre)},"prepart_jobs":$jPre,""" +
+        s""""contrib_exchanges_prepart":${exPre.get},""" +
+        s""""rank_sum_prepart":${f(sPre)},"""
+    }.getOrElse("")
+    val bktJson = bktOpt.map { case (tLayout, (_, tBkt, jBkt, sBkt)) =>
+      s""""bucketed_sec":${f(tBkt)},"bucketed_jobs":$jBkt,""" +
+        s""""bucketed_layout_sec":${f(tLayout)},""" +
+        s""""contrib_exchanges_bucketed":${exBkt.get},""" +
+        s""""rank_sum_bucketed":${f(sBkt)},"""
+    }.getOrElse("")
     println(s"""{"metric":"pagerank_scale","edges":$nEdges,"iters":$iters,""" +
       s""""plain_sec":${f(tPlain)},"plain_jobs":$jPlain,""" +
-      s""""prepart_sec":${f(tPre)},"prepart_jobs":$jPre,""" +
-      s""""bucketed_sec":${f(tBkt)},"bucketed_jobs":$jBkt,""" +
-      s""""bucketed_layout_sec":${f(tLayout)},""" +
+      preJson + bktJson +
       s""""contrib_exchanges_plain":$exPlain,""" +
-      s""""contrib_exchanges_prepart":$exPre,""" +
-      s""""contrib_exchanges_bucketed":$exBkt,""" +
-      s""""rank_sum_plain":${f(sPlain)},"rank_sum_prepart":${f(sPre)},""" +
-      s""""rank_sum_bucketed":${f(sBkt)},""" +
+      s""""rank_sum_plain":${f(sPlain)},""" +
       s""""max_rank_diff":$maxDiff}""")
     spark.stop()
     if (maxDiff > 1e-9) {
       System.err.println(s"[pagerank_scale] modes disagree: $maxDiff")
       sys.exit(1)
     }
-    if (exBkt >= exPlain) {
+    exBkt.filter(_ >= exPlain).foreach { e =>
       System.err.println(s"[pagerank_scale] bucketed mode elided no " +
-        s"Exchange: bucketed=$exBkt plain=$exPlain")
+        s"Exchange: bucketed=$e plain=$exPlain")
       sys.exit(1)
     }
   }
