@@ -103,8 +103,20 @@ object Graph {
     * belongs to loops whose big side is static, which PageRank's is. */
   def pageRankBucketed(spark: SparkSession, edgeTable: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame =
-    pageRankLoop(spark.table(edgeTable).select(col("src"), col("dst")),
-      iters, damping)
+    pageRankMaterialized(spark.table(edgeTable), iters, damping)
+
+  /** [[pageRank]] over an edge relation that is ALREADY materialized on
+    * disk (a catalog table or a parquet directory) but not necessarily
+    * bucketed: skips [[pageRank]]'s defensive memory-pinning checkpoint and
+    * lets every iteration re-scan the store. This is the only loop shape
+    * that survives the target scale — a 100 TB edge relation cannot be
+    * memory-resident, and the r15 100M-edge rehearsal proved the pinned
+    * variant doesn't survive even 10×: two eager localCheckpoint copies of
+    * a 99M-edge frame (the caller's + [[pageRank]]'s internal one) OOM'd a
+    * 48 GiB heap mid-loop (PageRankScaleBench, BENCH_NOTES r15). */
+  def pageRankMaterialized(edgeDf: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame =
+    pageRankLoop(edgeDf.select(col("src"), col("dst")), iters, damping)
 
   /** Bucketed edge layout for [[pageRankBucketed]]: bucketBy(src) +
     * in-bucket sort, the [[graft.TripleStore.writeBucketed]] machinery on

@@ -31,12 +31,24 @@ import graft.operators.Graph
   * the numbers are reported. Prints one JSON line.
   *
   * Usage: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.PageRankScaleBench
-  * [sfDir] [replicate] [iters] [modes]"` — disjoint id-suffixed graph
-  * copies, so the work is k× honest edges with k× honest nodes. `modes`
-  * (default `plain,prepart,bucketed`) selects the comparison modes to run
-  * alongside the always-run plain baseline — the 100M-edge rehearsal
-  * (r15) runs `plain,bucketed` only, prepart's conclusion being already
-  * on record at 10M (r13: +23% wall, no exchange elision). */
+  * [sfDir] [replicate] [iters] [modes] [input]"` — disjoint id-suffixed
+  * graph copies, so the work is k× honest edges with k× honest nodes.
+  * `modes` (default `plain,prepart,bucketed`) selects the comparison modes
+  * to run alongside the always-run plain baseline — the 100M-edge
+  * rehearsal (r15) runs `plain,bucketed` only, prepart's conclusion being
+  * already on record at 10M (r13: +23% wall, no exchange elision).
+  *
+  * `input` (default `mem`) picks the plain baseline's edge residency:
+  *   - `mem`: eager localCheckpoint, the ≤10M shape (memory-resident
+  *     blocks out-serve a parquet re-scan when the relation fits in RAM).
+  *   - `disk`: the replicated union written ONCE to a plain parquet dir
+  *     and re-scanned per iteration via [[Graph.pageRankMaterialized]].
+  *     Mandatory at 100M: the mem shape's TWO pinned 99M-edge copies
+  *     (this harness's checkpoint + pageRank's internal one) OOM'd a
+  *     48 GiB heap mid-loop (r15) — and disk is the honest target-scale
+  *     baseline anyway, since a 100 TB edge relation is never
+  *     memory-resident. `prepart` (a checkpoint-shaped mode by
+  *     definition) is rejected under `disk`. */
 object PageRankScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -44,6 +56,10 @@ object PageRankScaleBench {
     val iters = if (args.length > 2) args(2).toInt else 10
     val modes = (if (args.length > 3) args(3) else "plain,prepart,bucketed")
       .split(",").map(_.trim).toSet
+    val input = if (args.length > 4) args(4) else "mem"
+    require(Set("mem", "disk")(input), s"input must be mem|disk, got $input")
+    require(input == "mem" || !modes("prepart"),
+      "prepart is a memory-checkpoint mode; run it with input=mem")
     val spark = graft.LocalSession.create(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
@@ -63,10 +79,17 @@ object PageRankScaleBench {
     }
 
     val base = Graph.edges(spark, sfDir)
-    val edges = (0 until replicate).map { i =>
+    val unioned = (0 until replicate).map { i =>
       base.select(concat(col("src"), lit(s"#$i")).as("src"),
         concat(col("dst"), lit(s"#$i")).as("dst"))
-    }.reduce(_ union _).localCheckpoint(true)
+    }.reduce(_ union _)
+    val edges = input match {
+      case "mem" => unioned.localCheckpoint(true)
+      case "disk" =>
+        val path = sys.props("java.io.tmpdir") + "/graft_prbench_edges_plain"
+        unioned.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
     val nEdges = edges.count()
 
     // by-name rank producer so every mode shares ONE owner of the
@@ -83,7 +106,9 @@ object PageRankScaleBench {
       (ranks, secs, j, sum)
     }
 
-    val (rPlain, tPlain, jPlain, sPlain) = run(Graph.pageRank(edges, iters))
+    val (rPlain, tPlain, jPlain, sPlain) = run(
+      if (input == "disk") Graph.pageRankMaterialized(edges, iters)
+      else Graph.pageRank(edges, iters))
     val preOpt = if (!modes("prepart")) None else {
       val pre = edges.repartition(col("src")).localCheckpoint(true)
       Some((pre, run(Graph.pageRank(pre, iters))))
@@ -158,6 +183,7 @@ object PageRankScaleBench {
         s""""rank_sum_bucketed":${f(sBkt)},"""
     }.getOrElse("")
     println(s"""{"metric":"pagerank_scale","edges":$nEdges,"iters":$iters,""" +
+      s""""input":"$input",""" +
       s""""plain_sec":${f(tPlain)},"plain_jobs":$jPlain,""" +
       preJson + bktJson +
       s""""contrib_exchanges_plain":$exPlain,""" +
