@@ -81,8 +81,22 @@ object Graph {
   def pageRank(edgeDf: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame =
     pageRankLoop(
-      edgeDf.select(col("src"), col("dst")).localCheckpoint(true),
+      ckptSer(edgeDf.select(col("src"), col("dst"))),
       iters, damping)
+
+  /** Eager localCheckpoint with SERIALIZED block storage for the graph
+    * loop's O(|V|)/O(|E|) frames. The deserialized default
+    * (MEMORY_AND_DISK) inflates each row to a boxed object graph (~3× the
+    * UnsafeRow bytes) and re-inflates every disk-evicted block back into
+    * the memory store on read (`maybeCacheDiskValuesInMemory`) — at 99M
+    * nodes the retained rank/node/out-degree frames OOM'd an 80 GiB heap
+    * exactly there (r15 100M-edge rehearsal stack:
+    * `DeserializedValuesHolder.getBuilder`). Serialized blocks stay
+    * UnsafeRow-compact and page from disk without re-inflation; at gate
+    * scale (≤165k nodes) the extra deser CPU is unmeasurable. */
+  private def ckptSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   /** [[pageRank]] over a BUCKETED catalog edge table ([[writeBucketedEdges]])
     * — the 100× plan win PageRankScaleBench identified but pre-partitioning
@@ -147,9 +161,8 @@ object Graph {
     }
     def release(df: DataFrame): Unit =
       ckptRdd(df).foreach(_.unpersist(blocking = false))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    val nodes = ckptSer(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct())
     // node count as a broadcast-able 1-ROW AGGREGATE, not a driver count():
     // materialized once (an eager checkpoint job, same cost the count paid)
     // and then ridden into the init and every iteration's plan exactly like
@@ -157,11 +170,10 @@ object Graph {
     // (GraphSpec's listener asserts no count/head action fires)
     val nCount = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
       .localCheckpoint(true)
-    val outDeg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_deg")).localCheckpoint(true)
-    var ranks = nodes.crossJoin(broadcast(nCount))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank"))
-      .localCheckpoint(true)
+    val outDeg = ckptSer(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg")))
+    var ranks = ckptSer(nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("rank")))
     for (_ <- 1 to iters) {
       // mass parked on dangling nodes (not in outDeg), as a broadcast
       // 1-row scalar — stays inside the iteration's single job
@@ -173,14 +185,13 @@ object Graph {
         .select(col("dst").as("node"),
           (col("rank") / col("out_deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      val next = nodes.join(contribs, Seq("node"), "left_outer")
+      val next = ckptSer(nodes.join(contribs, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nCount))
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n_nodes") +
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              col("dangling_mass") / col("n_nodes"))).as("rank"))
-        .localCheckpoint(true)
+              col("dangling_mass") / col("n_nodes"))).as("rank")))
       release(ranks) // superseded round — next is already materialized
       ranks = next
     }

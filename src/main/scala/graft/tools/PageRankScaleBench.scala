@@ -98,7 +98,11 @@ object PageRankScaleBench {
     def run(mk: => org.apache.spark.sql.DataFrame) = {
       val j0 = settled()
       val t0 = System.nanoTime()
-      val ranks = mk.localCheckpoint(true)
+      // evaluating mk RUNS the loop (its final frame is already an eager
+      // checkpoint) — a further localCheckpoint here would only copy |V|
+      // rows into a second retained block set per mode (r15: that copy was
+      // one of the deserialized frames that OOM'd the 100M rehearsal)
+      val ranks = mk
       val secs = (System.nanoTime() - t0) / 1e9
       val j = settled() - j0
       val sum = ranks.agg(org.apache.spark.sql.functions.sum("rank"))

@@ -318,6 +318,24 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankMaterialized: the loop over an on-disk (unbucketed) edge " +
+    "relation agrees with the memory-checkpointed loop — the only input " +
+    "shape that survived the 100M-edge rehearsal (r15: two pinned copies " +
+    "of the frame OOM'd a 48 GiB heap)") {
+    val es = (0 until 240).map(i =>
+      (s"<m${i % 17}>", s"<m${(i * 5 + 2) % 19}>")).toDF("src", "dst")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_mat").toString + "/e"
+    es.write.parquet(dir)
+    val want = Graph.pageRank(es, iters = 4).as[(String, Double)]
+      .collect().toMap
+    val got = Graph.pageRankMaterialized(spark.read.parquet(dir), iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    assert(want.forall { case (k, v) => math.abs(got(k) - v) < 1e-12 },
+      "materialized-input ranks diverged from the checkpointed loop")
+  }
+
   test("q81 gate entry: bucketed PageRank reproduces q75's relation " +
     "exactly on the driver corpus, and the edge table is memoized") {
     val dir = "/root/testdata/sf0.001"
