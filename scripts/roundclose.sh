@@ -203,10 +203,23 @@ done
 # working tree. Only on an all-PASS run — a failed close must stay loudly
 # dirty for investigation, never be enshrined at HEAD.
 if [ "$fails" -eq 0 ]; then
-  git add -A -- BENCH_DETAIL_*.json PLAN_r*.json PLAN_SF0.01_r*.json \
-    LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json BENCH_NOTES.md \
-    COPYCHECK.json PROGRESS.jsonl 2>/dev/null
+  # a pre-populated index would be silently swept into the artifact
+  # commit — refuse instead (the operator staged it for a reason)
   if ! git diff --cached --quiet; then
+    echo "FAIL  artifact commit (index already has staged changes)" \
+      | tee -a "$LOGS/SUMMARY.txt"
+    fails=$((fails+1))
+  # git add with pathspecs is all-or-nothing: ONE unmatched pathspec is
+  # fatal (rc 128) and stages NOTHING, so its status must be checked —
+  # the first version discarded it to 2>/dev/null and a close could
+  # print PASS with artifacts still dirty (r15 review finding)
+  elif ! git add -A -- BENCH_DETAIL_*.json PLAN_r*.json \
+      PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json \
+      CORRECTNESS_r*.json BENCH_NOTES.md COPYCHECK.json PROGRESS.jsonl \
+      2>>"$LOGS/SUMMARY.txt"; then
+    echo "FAIL  artifact commit (git add failed)" | tee -a "$LOGS/SUMMARY.txt"
+    fails=$((fails+1))
+  elif ! git diff --cached --quiet; then
     git commit -q -m "Record round-close artifacts" \
       && echo "PASS  artifact commit ($(git rev-parse --short HEAD))" \
         | tee -a "$LOGS/SUMMARY.txt" \
@@ -216,10 +229,12 @@ if [ "$fails" -eq 0 ]; then
     echo "PASS  artifact commit (nothing to record)" \
       | tee -a "$LOGS/SUMMARY.txt"
   fi
-  # the close's own artifacts must now be clean at HEAD
-  if [ -n "$(git status --porcelain -- BENCH_DETAIL_*.json PLAN_r*.json \
+  # the close's own artifacts must now be clean at HEAD (every class the
+  # add lists, PROGRESS.jsonl included)
+  if [ "$fails" -eq 0 ] && [ -n "$(git status --porcelain -- \
+      BENCH_DETAIL_*.json PLAN_r*.json \
       PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
-      BENCH_NOTES.md COPYCHECK.json 2>/dev/null)" ]; then
+      BENCH_NOTES.md COPYCHECK.json PROGRESS.jsonl 2>/dev/null)" ]; then
     echo "FAIL  artifacts still dirty after commit" \
       | tee -a "$LOGS/SUMMARY.txt"
     fails=$((fails+1))

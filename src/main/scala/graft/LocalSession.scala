@@ -35,12 +35,25 @@ object LocalSession {
     // fills the 2,000-char harness tail that should carry diagnostics
     // (VERDICT r14). The release is correct by construction (the next
     // round is eagerly materialized before the old blocks drop), so the
-    // per-unpersist reminder is noise here — raise the rdd PACKAGE loggers
-    // to ERROR (the Logging trait logs under the CONCRETE subclass, e.g.
-    // MapPartitionsRDD, so the base-class name alone misses it), leaving
-    // every other WARN (memory pressure, task retries) live.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // per-unpersist reminder is noise here — DENY exactly that message
+    // with a root-logger RegexFilter. (The first version raised the whole
+    // org.apache.spark.rdd package to ERROR, which also hid every OTHER
+    // rdd-package WARN — block-recompute, caching diagnostics — from the
+    // very tail the change protects; the Logging trait logs under the
+    // CONCRETE subclass, so no logger-name scoping is both precise and
+    // complete. r15 review finding.)
+    locally {
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager
+        .getContext(false).asInstanceOf[LoggerContext]
+      // (?s): RegexFilter full-matches the formatted message, so the
+      // dot must cross any newline a future message revision appends
+      ctx.getConfiguration.getRootLogger.addFilter(RegexFilter.createFilter(
+        "(?s).*was locally checkpointed.*", null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
     spark
   }
 }

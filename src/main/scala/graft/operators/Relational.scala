@@ -392,7 +392,11 @@ object Relational {
         // already carries, bounded by gap × event rate, not history.
         expr("array_sort(collect_list(struct(ts_ms, event_id, value)))")
           .as("_evs"))
-      .withColumn("sum_value", round(expr(
+      // identical pre-round bits are NOT enough: the builtin round(x, 2)
+      // itself diverges between engines at .xx5 shortest-repr boundaries
+      // (see StableRound's scaladoc), so the pin is completed by the
+      // bit-stable floor-form round, spelled identically in q39Sql
+      .withColumn("sum_value", graft.functions.StableRound.stableRound(expr(
         """CASE WHEN size(filter(_evs, e -> e.value IS NOT NULL)) = 0
           |THEN CAST(NULL AS DOUBLE)
           |ELSE aggregate(filter(_evs, e -> e.value IS NOT NULL),
@@ -428,7 +432,8 @@ object Relational {
        |       CAST(min(ts_ms) AS BIGINT) AS session_start,
        |       CAST(max(ts_ms) AS BIGINT) AS session_end,
        |       CAST(count(*) AS BIGINT) AS n_events,
-       |       round(list_sum(list(value ORDER BY ts_ms, event_id)), 2)
+       |       ${graft.functions.StableRound.stableRoundSql(
+                  "list_sum(list(value ORDER BY ts_ms, event_id))", 2)}
        |         AS sum_value
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id NULLS FIRST, session_id""".stripMargin

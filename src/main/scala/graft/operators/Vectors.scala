@@ -991,8 +991,11 @@ object Vectors {
     * 127, 64 dims ⇒ every sum fits a long exactly), with floats appearing
     * only in the final division. Both engines therefore compute from
     * IDENTICAL integer inputs and the result is bit-exact before the
-    * 4-decimal round — the approximate-codec query form with an EXACT
-    * oracle, q66's discipline. Sentinel vectors (scale −1: zero, null
+    * 4-decimal round; the round itself is the bit-stable floor form
+    * ([[graft.functions.StableRound]] — the builtin `round` diverges
+    * between engines at .xxxx5 shortest-repr boundaries), so the rounded
+    * rank key is bit-exact too — the approximate-codec query form with an
+    * EXACT oracle, q66's discipline. Sentinel vectors (scale −1: zero, null
     * element, non-finite, out-of-regime — [[q58Quantize]]'s classes) have
     * no serving representation and are excluded from both sides; a valid
     * vector's max element quantizes to ±127, so its integer norm is never
@@ -1018,7 +1021,7 @@ object Vectors {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     qv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(
+        graft.functions.StableRound.stableRound(
           expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, v) -> a + v)")
             .cast("double") /
             (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
@@ -1047,9 +1050,11 @@ object Vectors {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM (SELECT qn.vec_id AS query_id, en.vec_id AS neighbor_id,
-       |               round(CAST(list_sum(list_transform(range(len(qn.q)),
-       |                   i -> qn.q[i+1] * en.q[i+1])) AS DOUBLE)
-       |                 / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))), 4)
+       |               ${graft.functions.StableRound.stableRoundSql(
+                         "CAST(list_sum(list_transform(range(len(qn.q)), " +
+                           "i -> qn.q[i+1] * en.q[i+1])) AS DOUBLE) " +
+                           "/ (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE)))",
+                         4)}
        |                 AS cos_sim
        |        FROM n qn JOIN n en ON en.vec_id <> qn.vec_id
        |        WHERE qn.vec_id < $NumQueries))

@@ -492,11 +492,14 @@ object StreamingGate {
         // (r15, closing ADVICE r13's boundary risk): stream state buffer,
         // batch kernel and DuckDB oracle each fold the non-null values
         // sequentially in (ts_ms, event_id) order from 0.0, so the
-        // pre-round value is the same BITS everywhere and the 2-decimal
-        // round can never flip between engines on any corpus
+        // pre-round value is the same BITS everywhere. The round itself
+        // must then be bit-stable too — the builtin round(x, 2) diverges
+        // between engines at .xx5 shortest-repr boundaries (StableRound's
+        // scaladoc) — so all three apply the same floor-form round
         // (StreamingSessionsSpec asserts bit-exactness on a fixture whose
         // fold orders genuinely differ).
-        round(col("sum_value"), 2).as("sum_value"))
+        graft.functions.StableRound.stableRound(col("sum_value"), 2)
+          .as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 }

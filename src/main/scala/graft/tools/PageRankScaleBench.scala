@@ -56,6 +56,11 @@ object PageRankScaleBench {
     val iters = if (args.length > 2) args(2).toInt else 10
     val modes = (if (args.length > 3) args(3) else "plain,prepart,bucketed")
       .split(",").map(_.trim).toSet
+    // a typo'd mode must fail loudly, not silently measure less than the
+    // invocation asked for (and exit 0 with the elision assertion skipped)
+    require(modes.subsetOf(Set("plain", "prepart", "bucketed")),
+      s"unknown mode(s): ${(modes -- Set("plain", "prepart", "bucketed"))
+        .mkString(",")} — valid: plain,prepart,bucketed")
     val input = if (args.length > 4) args(4) else "mem"
     require(Set("mem", "disk")(input), s"input must be mem|disk, got $input")
     require(input == "mem" || !modes("prepart"),
@@ -86,7 +91,16 @@ object PageRankScaleBench {
     val edges = input match {
       case "mem" => unioned.localCheckpoint(true)
       case "disk" =>
-        val path = sys.props("java.io.tmpdir") + "/graft_prbench_edges_plain"
+        // per-run unique dir + shutdown-hook cleanup (the repo's replay
+        // idiom): a fixed path left a stranded ~99M-edge parquet copy per
+        // rehearsal and let two concurrent invocations overwrite each
+        // other's edges mid-iteration (r15 review finding)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_prbench_edges_").toString
+        sys.addShutdownHook {
+          graft.streaming.StreamingLww.deleteRecursively(
+            new java.io.File(path))
+        }
         unioned.write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
     }

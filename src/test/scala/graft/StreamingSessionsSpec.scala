@@ -209,9 +209,10 @@ class StreamingSessionsSpec extends AnyFunSuite {
         fail(s"batch session ($u, $start) missing from stream"))
       assert(s.session_end == end && s.n_events == n)
       // the fold order is PINNED (r15): stream and batch sum the same
-      // addends in the same (ts_ms, event_id) order from 0.0, so after
-      // applying batch's 2-decimal round the values must be IDENTICAL
-      // bits — not merely within a wobble tolerance
+      // addends in the same (ts_ms, event_id) order from 0.0, and the
+      // 2-decimal round is the bit-stable floor form (StableRound), so
+      // after applying it to the stream's raw sum the values must be
+      // IDENTICAL bits — not merely within a wobble tolerance
       (s.sum_value.map(round2), sum) match {
         case (None, None) =>
         case (Some(a), Some(b)) =>
@@ -221,10 +222,14 @@ class StreamingSessionsSpec extends AnyFunSuite {
     }
   }
 
-  /** Spark's `round(x, 2)`: HALF_UP at scale 2 via BigDecimal. */
+  /** The production 2-decimal round, applied driver-side to the stream's
+    * raw sum before comparing against batch. MUST stay the exact formula
+    * [[graft.functions.StableRound]] uses (the first version of this
+    * helper re-implemented it as `new java.math.BigDecimal(d)` — the
+    * exact-binary-expansion constructor, a THIRD rounding semantics that
+    * matches neither Spark's builtin nor the stable form at boundaries). */
   private def round2(d: Double): Double =
-    new java.math.BigDecimal(d)
-      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+    graft.functions.StableRound.stableRoundScala(d, 2)
 
   test("session sum fold order is pinned: a fold-order-SENSITIVE fixture " +
     "(1.0 + 1e16 - 1e16, where any other fold order yields 1.0, not 0.0) " +
