@@ -209,13 +209,17 @@ if [ "$fails" -eq 0 ]; then
     echo "FAIL  artifact commit (index already has staged changes)" \
       | tee -a "$LOGS/SUMMARY.txt"
     fails=$((fails+1))
-  # git add with pathspecs is all-or-nothing: ONE unmatched pathspec is
-  # fatal (rc 128) and stages NOTHING, so its status must be checked —
-  # the first version discarded it to 2>/dev/null and a close could
-  # print PASS with artifacts still dirty (r15 review finding)
+  # git add with pathspecs is all-or-nothing: ONE failing pathspec is
+  # fatal (rc 128), so its status must be checked — the first version
+  # discarded it to 2>/dev/null and a close could print PASS with
+  # artifacts still dirty (r15 review finding). COPYCHECK.json and
+  # PROGRESS.jsonl are deliberately NOT listed: they are gitignored by
+  # design (driver-written, read from the working tree), and an ignored
+  # pathspec makes git add fail exactly like an unmatched one (the r15
+  # close hit this).
   elif ! git add -A -- BENCH_DETAIL_*.json PLAN_r*.json \
       PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json \
-      CORRECTNESS_r*.json BENCH_NOTES.md COPYCHECK.json PROGRESS.jsonl \
+      CORRECTNESS_r*.json BENCH_NOTES.md \
       2>>"$LOGS/SUMMARY.txt"; then
     echo "FAIL  artifact commit (git add failed)" | tee -a "$LOGS/SUMMARY.txt"
     fails=$((fails+1))
@@ -230,11 +234,11 @@ if [ "$fails" -eq 0 ]; then
       | tee -a "$LOGS/SUMMARY.txt"
   fi
   # the close's own artifacts must now be clean at HEAD (every class the
-  # add lists, PROGRESS.jsonl included)
+  # add lists)
   if [ "$fails" -eq 0 ] && [ -n "$(git status --porcelain -- \
       BENCH_DETAIL_*.json PLAN_r*.json \
       PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
-      BENCH_NOTES.md COPYCHECK.json PROGRESS.jsonl 2>/dev/null)" ]; then
+      BENCH_NOTES.md 2>/dev/null)" ]; then
     echo "FAIL  artifacts still dirty after commit" \
       | tee -a "$LOGS/SUMMARY.txt"
     fails=$((fails+1))
