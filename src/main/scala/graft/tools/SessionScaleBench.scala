@@ -62,6 +62,12 @@ object SessionScaleBench {
     val span = hiTs - loTs + 1
 
     val base = Files.createTempDirectory("graft_sess_scale").toString
+    // shutdown-hook cleanup (the repo's replay idiom, PageRankScaleBench's
+    // r15 fix applied here too): at reps=1000 the slice JSONL + store +
+    // checkpoint under this dir total ~15 GB — a leak per rehearsal
+    sys.addShutdownHook {
+      graft.streaming.StreamingLww.deleteRecursively(new java.io.File(base))
+    }
     val (src, storePath, ckpt) = (s"$base/in", s"$base/store", s"$base/ckpt")
     // the gate's replay protocol (graft.streaming.SessionReplay), with the
     // export going through Spark at this row count: one COALESCED JSONL
