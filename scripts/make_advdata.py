@@ -131,6 +131,19 @@ add(8, 7*10**9, 3, 'click', 8.0, '{"k": "string not int"}')
 add(9, 8*10**9, 3, 'click', 9.0, '{}')
 add(10, 9*10**9, 4, 'signup', 10.0, '{"k": null}')
 add(11, 10*10**9, 4, '\u0442\u0438\u043f', 1e308, '{"k": 11}')
+# cross-engine rounding-boundary session (r15, StableRound's corpus-level
+# regression guard): one fresh-user session of two 0.5025 events whose
+# pinned-fold sum is EXACTLY double(1.005) \u2014 shortest decimal repr
+# "1.005", the value where Spark's builtin round(x, 2) says 1.01 and
+# DuckDB's says 1.00. q39/q74 emit 1.00 via the bit-stable floor round;
+# a regression back to the builtin hash-mismatches this corpus loudly.
+# Placement keeps every OTHER rounded aggregate boundary-safe: fresh
+# user_id 9 (own session), fresh event_type (own q11/q41 groups), one
+# event per 1-minute tumbling window (q11 sums 0.5025 per group -> 0.50
+# in both engines), and 0.5025 itself rounds/quantiles identically
+# everywhere (verified in DuckDB before pinning).
+add(80, 55*10**9, 9, 'boundary', 0.5025, '{"k": 80}')
+add(81, 115*10**9, 9, 'boundary', 0.5025, '{"k": 81}')
 for i in range(12, 80):
     add(i, (i * 37 % 50) * 10**9 + (i % 3) * 10**8, i % 6,
         ['click', 'purchase', 'signup', 'error'][i % 4],
