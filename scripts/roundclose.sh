@@ -217,9 +217,15 @@ if [ "$fails" -eq 0 ]; then
   # design (driver-written, read from the working tree), and an ignored
   # pathspec makes git add fail exactly like an unmatched one (the r15
   # close hit this).
-  elif ! git add -A -- BENCH_DETAIL_*.json PLAN_r*.json \
-      PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json \
-      CORRECTNESS_r*.json BENCH_NOTES.md \
+  # pathspecs are QUOTED so git (not the shell) expands them against the
+  # index+worktree: a shell glob only sees the working tree, so a round
+  # that DELETES a tracked artifact (the PLAN_r14→r15 rename class) would
+  # never have its deletion staged, and the identical globs in the
+  # dirty-check below would miss it too — close prints PASS, tree dirty
+  # (r15 ADVICE).
+  elif ! git add -A -- 'BENCH_DETAIL_*.json' 'PLAN_r*.json' \
+      'PLAN_SF0.01_r*.json' LEAKCHECK.json 'BENCH_r*.json' \
+      'CORRECTNESS_r*.json' BENCH_NOTES.md \
       2>>"$LOGS/SUMMARY.txt"; then
     echo "FAIL  artifact commit (git add failed)" | tee -a "$LOGS/SUMMARY.txt"
     fails=$((fails+1))
@@ -236,9 +242,9 @@ if [ "$fails" -eq 0 ]; then
   # the close's own artifacts must now be clean at HEAD (every class the
   # add lists)
   if [ "$fails" -eq 0 ] && [ -n "$(git status --porcelain -- \
-      BENCH_DETAIL_*.json PLAN_r*.json \
-      PLAN_SF0.01_r*.json LEAKCHECK.json BENCH_r*.json CORRECTNESS_r*.json \
-      BENCH_NOTES.md 2>/dev/null)" ]; then
+      'BENCH_DETAIL_*.json' 'PLAN_r*.json' \
+      'PLAN_SF0.01_r*.json' LEAKCHECK.json 'BENCH_r*.json' \
+      'CORRECTNESS_r*.json' BENCH_NOTES.md 2>/dev/null)" ]; then
     echo "FAIL  artifacts still dirty after commit" \
       | tee -a "$LOGS/SUMMARY.txt"
     fails=$((fails+1))

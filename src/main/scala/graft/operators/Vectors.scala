@@ -1022,7 +1022,20 @@ object Vectors {
     qv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.functions.StableRound.stableRound(
-          expr("aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+          // RAGGED-PAIR GUARD (r15 ADVICE): `zip_with` NULL-PADS when the
+          // two quantized vectors differ in length (NULL then poisons the
+          // fold → NULL cos_sim), while the DuckDB twin indexes
+          // `en.q[i+1]` over `range(len(qn.q))`, whose out-of-bounds NULLs
+          // `list_sum` silently SKIPS (a partial dot) — a ragged-but-valid
+          // vector would hash-MISMATCH confusingly instead of failing
+          // loudly. Every in-regime corpus vector is 64-dim today, so the
+          // branch is unreachable until a corpus adds a ragged vector —
+          // at which point both engines now raise the SAME named error
+          // (the twin guard in [[q85Sql]] uses DuckDB's `error()`).
+          expr("""CASE WHEN size(qq) <> size(q)
+                 |THEN raise_error('q85: ragged quantized vectors — query/corpus dims differ')
+                 |ELSE aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, v) -> a + v)
+                 |END""".stripMargin)
             .cast("double") /
             (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
           4).as("cos_sim"))
@@ -1051,9 +1064,14 @@ object Vectors {
        |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM (SELECT qn.vec_id AS query_id, en.vec_id AS neighbor_id,
        |               ${graft.functions.StableRound.stableRoundSql(
-                         "CAST(list_sum(list_transform(range(len(qn.q)), " +
+                         // ragged-pair guard: same named failure as the
+                         // Spark side's raise_error (r15 ADVICE)
+                         "CASE WHEN len(qn.q) <> len(en.q) " +
+                           "THEN CAST(error('q85: ragged quantized vectors " +
+                           "— query/corpus dims differ') AS DOUBLE) " +
+                           "ELSE CAST(list_sum(list_transform(range(len(qn.q)), " +
                            "i -> qn.q[i+1] * en.q[i+1])) AS DOUBLE) " +
-                           "/ (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE)))",
+                           "/ (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))) END",
                          4)}
        |                 AS cos_sim
        |        FROM n qn JOIN n en ON en.vec_id <> qn.vec_id
