@@ -36,7 +36,8 @@ for p in glob.glob(os.path.join(src, '*.parquet')):
                                    'embeddings.parquet',
                                    'events.parquet',
                                    'orders.parquet',
-                                   'customer.parquet'):
+                                   'customer.parquet',
+                                   'lineitem.parquet'):
         shutil.copy(p, adv)
 
 rows = [
@@ -60,6 +61,24 @@ rows = [
     (32, 'overflow source the of a', 'en', 'src99999999999999999999', None),
     (33, 'null lang filler the a of', None, 'src5', None),
     (34, 'empty source filler the of', 'en', '', None),
+    # r16 StableRound corpus guard, DOCS-RATIO family (d=4): one 800-token
+    # doc engineered so every ratio that divides by the token count lands
+    # EXACTLY on a 5-decimal '…5' double whose scaled binary sits BELOW the
+    # half — the class where Spark's builtin round(x, 4) (HALF_UP on the
+    # shortest repr) says round-up while the bit-stable floor form and
+    # DuckDB both say round-down. 163×'the' + 637 distinct fillers (one
+    # extended to 22 chars) gives: top1_frac = dup1_frac = stop_ratio =
+    # 163/800 = 0.20375 (builtin 0.2038, stable 0.2037) and avg_tok_len =
+    # 3691/800 = 4.61375 (builtin 4.6138, stable 4.6137) — all verified
+    # divergent in DuckDB before pinning (0.30875-class candidates whose
+    # scaled product lands ABOVE the half do NOT diverge; each fixture
+    # here was searched, not assumed). A regression of q16/q47 back to
+    # the builtin hash-mismatches this corpus loudly. 800 = 2^5·5^2 is
+    # the smallest token count that can place a 5th-decimal tie at all —
+    # ratio boundaries need 5^2·2^5 in the reduced denominator.
+    (35, ' '.join(['the'] * 163
+                  + [f'w{i:04d}' for i in range(1, 637)]
+                  + ['w0637extendedtokenlong']), 'en', 'src6', None),
 ]
 
 con = duckdb.connect()
@@ -100,6 +119,24 @@ for i in range(60):
     else:
         v = [random.gauss(0, 1) for _ in range(64)]
     vrows.append((i, v, i % 5))
+# r16 StableRound corpus guard, VECTORS-COS family (d=4): a same-LSH-bucket
+# pair whose exact cosine is the divergent double 251/800 = 0.31375
+# (above q38's 0.3 floor; builtin round(·,4) says 0.3138, the stable floor
+# form and DuckDB say 0.3137). Exactness by construction: v60's norm² =
+# 251² + 759² + 30² + 3² + 3² = 640000 (sqrt exactly 800), v61 is a single
+# 500 aligned with the 251, so dot = 125500 and every IEEE step (two exact
+# sqrts, one product, one division) is identical in both engines. The
+# position/sign permutation was searched so both vectors project to the
+# SAME 8-plane bucket (md5-derived planes recomputed in the search) —
+# otherwise q38 never scores the pair. A q38/q21/q66/q68 regression to
+# the builtin round hash-mismatches here loudly.
+v60 = [0.0] * 64
+for p, c in ((15, 251.0), (31, -759.0), (5, -30.0), (10, 3.0), (53, -3.0)):
+    v60[p] = c
+v61 = [0.0] * 64
+v61[15] = 500.0
+vrows.append((60, v60, 0))
+vrows.append((61, v61, 1))
 con.execute("CREATE TABLE adve(vec_id BIGINT, embedding FLOAT[], "
             "label INTEGER)")
 con.executemany("INSERT INTO adve VALUES (?,?,?)", vrows)
@@ -144,6 +181,24 @@ add(11, 10*10**9, 4, '\u0442\u0438\u043f', 1e308, '{"k": 11}')
 # everywhere (verified in DuckDB before pinning).
 add(80, 55*10**9, 9, 'boundary', 0.5025, '{"k": 80}')
 add(81, 115*10**9, 9, 'boundary', 0.5025, '{"k": 81}')
+# r16 StableRound corpus guards, one per remaining migrated EVENTS family
+# (every fixture verified divergent-under-builtin in DuckDB before
+# pinning — see the r15 note above for why 0.5025 pairs sum to exactly
+# double(1.005), the canonical below-half tie):
+#   q11 tumbling sum: two 0.5025 events in ONE minute window (fresh user
+#     10, fresh type) -> group sum 1.005 (builtin 1.01, stable 1.00)
+add(82, 130*10**9, 10, 'bnd11', 0.5025, None)
+add(83, 150*10**9, 10, 'bnd11', 0.5025, None)
+#   q45 range-join sum + q46 as-of purchase_value: user 11's purchase
+#     carries value 1.005 itself; its 24h window sums 1.005 + 0.0, and
+#     the click probes back to it -> purchase_value rounds the raw 1.005
+add(84, 200*10**9, 11, 'purchase', 1.005, None)
+add(85, 260*10**9, 11, 'click', 0.0, None)
+#   q41 percentiles (d=4): singleton group 'bndq' -> p50/p90/p99 all
+#     exactly 1.03625 (builtin 1.0363, stable 1.0362)
+add(86, 310*10**9, 12, 'bndq', 1.03625, None)
+#   q27 avg_k: singleton 'bndk' group -> avg_k = 1.005 via the JSON k
+add(87, 370*10**9, 13, 'bndk', 2.0, '{"k": 1.005}')
 for i in range(12, 80):
     add(i, (i * 37 % 50) * 10**9 + (i % 3) * 10**8, i % 6,
         ['click', 'purchase', 'signup', 'error'][i % 4],
@@ -229,3 +284,27 @@ con.execute("CREATE TABLE advc(c_custkey BIGINT, c_name VARCHAR, "
 con.executemany("INSERT INTO advc VALUES (?,?,?,?,?)", crows)
 con.execute(f"COPY advc TO '{adv}/customer.parquet' (FORMAT PARQUET)")
 print(f'{adv}: {len(crows)} adversarial customers')
+
+# r16 StableRound corpus guard, LINEITEM-SUM family (d=2): the source
+# lineitem rows pass through verbatim PLUS one planted order of two lines
+# with quantity = extendedprice = 0.5025, so
+#   - q6 gets a fresh ('B','B') group whose sum_qty = sum_price =
+#     exactly double(1.005) (builtin 1.01, stable 1.00),
+#   - q7's fresh l_orderkey partition reaches run_qty = 1.005 on line 2.
+# The orderkey (999999) matches no adversarial order, so q5's inner join
+# drops the rows (its revenue sum spans uncontrollable rows and cannot
+# host an exact boundary); q42's global sums shift by the planted values
+# identically in both engines; the fresh suppkey gives q43 its own
+# two-row partition. Discount/tax are 0 so no other rounded column moves.
+con.execute(f"CREATE TABLE advl AS SELECT * FROM "
+            f"read_parquet('{src}/lineitem.parquet')")
+con.executemany(
+    "INSERT INTO advl VALUES (?,?,?,?,?,?,?,?,?,?,?)",
+    [(999999, 999901, 999900, 1, 0.5025, 0.5025, 0.0, 0.0, 'B', 'B',
+      '1997-01-01 00:00:00'),
+     (999999, 999902, 999900, 2, 0.5025, 0.5025, 0.0, 0.0, 'B', 'B',
+      '1997-01-02 00:00:00')])
+con.execute(f"COPY advl TO '{adv}/lineitem.parquet' (FORMAT PARQUET)")
+print(f'{adv}: '
+      f'{con.execute("select count(*) from advl").fetchone()[0]} '
+      'lineitem rows (2 planted boundary lines)')

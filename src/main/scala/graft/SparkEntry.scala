@@ -246,10 +246,15 @@ object SparkEntry {
     // passes, so stream ≡ batch (StreamingSessionsSpec pins it in-process).
     "q74_stream_sessions" ->
       (graft.streaming.StreamingGate.q74StreamSessions(_, _)),
-    // PageRank over the entity graph, fixed 3 iterations, n-scaled scores
-    // rounded before hashing; oracle = the same iterations unrolled as
-    // DuckDB CTEs (q66's determinism template for iterative algorithms).
-    "q75_pagerank" -> (Graph.q75PageRank(_, _)),
+    // NOTE r16 trim: q75_pagerank (the transient-frame PageRank loop) was
+    // retired from the gate once q81 carried its SECOND judged-green round
+    // (the trim-audit condition set in r14) — q81 runs the SAME iteration
+    // count, n-scaling, rounding and oracle (Graph.q75Sql) over the
+    // bucketed edge table, so the values q75 hashed still gate every
+    // round; GraphSpec pins q81 ≡ q75PageRank row-for-row after rounding
+    // plus the plan claim (bucket-scan, strictly fewer exchanges), and
+    // q75PageRank stays the spec baseline. q75 was the replay's slowest
+    // entry × 4 corpora (r8 q1_subject_scan / r9 q21_embed_topk template).
     // Stored-bloom incremental dedup: a two-epoch crawl ingest through a
     // PERSISTENT bloom index (built once, appended per batch) — the
     // steady-state shape DedupScaleBench showed a per-batch rebuild can't
@@ -279,9 +284,11 @@ object SparkEntry {
     // asserted in-run from the state-store metrics.
     "q80_stream_ttl" ->
       (graft.streaming.StreamingGate.q80StreamTtl(_, _)),
-    // PageRank over the BUCKETED catalog edge table: same values and
-    // oracle as q75, exchange-free edge scans (the q31-vs-q3 discipline
-    // applied to the graph loop; GraphSpec pins the plan claim).
+    // PageRank over the BUCKETED catalog edge table: the graph north
+    // star's gate row — q75's values and oracle verbatim (q75's own entry
+    // retired r16, see trim note), exchange-free edge scans (the
+    // q31-vs-q3 discipline; GraphSpec pins the plan claim AND the
+    // q81 ≡ q75PageRank value equality).
     "q81_pagerank_bucketed" -> (Graph.q81PageRankBucketed(_, _)),
     // The production binaryFile media SOURCE driver-gated: q77's containers
     // written as real <id>.<ext> files, loaded via mediaFromFiles (path-id
@@ -441,7 +448,8 @@ object SparkEntry {
     "q72_salted_join"      -> Skew.q72Sql,
     "q73_tsv_roundtrip"    -> TripleStore.Q73Sql,
     "q74_stream_sessions"  -> Relational.q39Sql,
-    "q75_pagerank"         -> Graph.q75Sql,
+    // q75_pagerank retired r16 (see the queries-map trim note); its
+    // oracle lives on under q81_pagerank_bucketed below
     "q76_bloom_index_dedup" -> graft.operators.BloomIndex.q76Sql,
     "q77_media_dims"        -> Multimodal.q77Sql,
     "q78_ivf_ingest"        -> Vectors.q78Sql,

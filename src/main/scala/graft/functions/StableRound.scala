@@ -49,14 +49,35 @@ import org.apache.spark.sql.functions.{abs, floor, lit, when}
   *    rounded value. NaN and ±inf land here too, identically in all three
   *    dialects, because Spark SQL, DuckDB and Java all order NaN above
   *    every finite value (making `abs(x) < t` false).
-  *  - BELOW: `x·10^d + 0.5 < 2^(52−d)·10^d + 1 = 2^52·5^d + 1`, which for
-  *    d ≤ 4 (5^d ≤ 625 < 2^11) stays under 2^63 — inside Spark's long
-  *    floor — hence the `digits ≤ 4` bound; the gate uses d ∈ {2, 4}.
+  *  - BELOW: the scaled value `v = x·10^d + 0.5` satisfies
+  *    `|v| < 2^(52−d)·10^d + 1 = 2^52·5^d + 1`, which can exceed Spark's
+  *    long-typed floor range for d ≥ 5 (and even for d ≤ 4 exceeds 2^52,
+  *    though it provably stays under 2^63 there). The below region
+  *    therefore SPLITS on `|v| < 2^52` (r16, to admit the gate's d = 6 and
+  *    d = 9 sites):
+  *      * `|v| < 2^52`: Spark's long floor is range-safe and its
+  *        long→double promotion is exact (every long below 2^52 is a
+  *        double) — identical to DuckDB's double-typed floor.
+  *      * `|v| ≥ 2^52`: v is INTEGRAL — ulp(v) ≥ 1 forces every such
+  *        double to an integer value (and v lands on an integer through
+  *        every IEEE path: a half-integral `c·10^d` below 2^52 plus 0.5 is
+  *        exact; an integral one at ulp 1 ties to even; at ulp ≥ 2 the
+  *        +0.5 rounds away) — so `floor(v) = v` and the branch emits `v/p`
+  *        directly, no long ever involved. DuckDB's double floor computes
+  *        the same identity, and the SQL twin spells `v/p` verbatim so the
+  *        instruction streams still match op for op.
+  *    For d ≤ 4 the split is VALUE-IDENTICAL to the r15 two-branch form:
+  *    in the `|v| ≥ 2^52` subcase the old long floor returned exactly the
+  *    integral v (bounded by 2^52·5^4 < 2^63, promoted back exactly), the
+  *    same double `v/p` emits — so the r15 correctness/adversarial replays
+  *    carry over unchanged.
   *
-  * A 2^52 threshold (the first guard attempt) is NOT long-safe at d = 4:
-  * x just under 2^52 scales to ~4.5e19 > 2^63 and Spark's floor clamps
-  * where DuckDB's overflows to a finite double — the same divergence class
-  * the guard exists to remove, one band further out.
+  * The digits bound is now d ≤ 9 (the gate uses d ∈ {2, 4, 6, 9}): the
+  * long-floor range argument is gone, so the binding constraints are just
+  * `10^d` exact as a double (d ≤ 22), `10^d` printable as an exact integer
+  * literal by [[stableRoundSql]] (d ≤ 18), and the `2^(52−d)` threshold
+  * shift (d ≤ 52) — 9 is simply the largest the gate needs, kept tight so
+  * a new site thinks before widening.
   *
   * Semantics: ties round half-up toward +∞ (−2.675 → −2.67), slightly
   * different from HALF_UP's away-from-zero on negatives — acceptable
@@ -66,12 +87,17 @@ import org.apache.spark.sql.functions.{abs, floor, lit, when}
   */
 object StableRound {
 
+  /** 2^52: below it Spark's long floor is range-safe and promotes back
+    * exactly; at or above it every double is integral and floor is the
+    * identity. Exact as a double (a pure power of two). */
+  private val FloorSafe: Double = (1L << 52).toDouble
+
   /** 2^(52−digits): above it every double is a multiple of 2^−digits and
-    * d-decimal rounding is the identity; below it the scaled sum stays
-    * long-safe. Exact as a double (a pure power of two). */
+    * d-decimal rounding is the identity. Exact as a double (a pure power
+    * of two). */
   private def passThrough(digits: Int): Double = {
-    require(digits >= 0 && digits <= 4,
-      s"digits out of long-safe range [0, 4]: $digits")
+    require(digits >= 0 && digits <= 9,
+      s"digits out of the gate's supported range [0, 9]: $digits")
     (1L << (52 - digits)).toDouble
   }
 
@@ -79,8 +105,10 @@ object StableRound {
     * [[Column]] (NULL takes the pass-through branch and stays NULL). */
   def stableRound(c: Column, digits: Int): Column = {
     val p = pow10(digits)
+    val v = c * lit(p) + lit(0.5)
     when(abs(c) < lit(passThrough(digits)),
-        floor(c * lit(p) + lit(0.5)) / lit(p))
+        when(abs(v) < lit(FloorSafe), floor(v) / lit(p))
+          .otherwise(v / lit(p)))
       .otherwise(c)
   }
 
@@ -92,17 +120,21 @@ object StableRound {
     val p = sqlLit(digits)
     val t = passThrough(digits).toLong
     s"CASE WHEN abs(($inner)) < $t.0 " +
-      s"THEN floor(($inner) * $p + 0.5) / $p ELSE ($inner) END"
+      s"THEN (CASE WHEN abs(($inner) * $p + 0.5) < 4503599627370496.0 " +
+      s"THEN floor(($inner) * $p + 0.5) / $p " +
+      s"ELSE (($inner) * $p + 0.5) / $p END) ELSE ($inner) END"
   }
 
   /** The plain-Scala twin for specs that re-derive an engine's rounded
     * value on the driver (e.g. StreamingSessionsSpec's batch-vs-stream
     * bit-exactness assertion). `math.abs(NaN) < 2^(52−d)` is false in
-    * Java too, so the guard branches identically. */
+    * Java too, so the guard branches identically; `math.floor` is
+    * double-typed, which below 2^52 equals the long floor exactly. */
   def stableRoundScala(d: Double, digits: Int): Double =
     if (math.abs(d) < passThrough(digits)) {
       val p = pow10(digits)
-      math.floor(d * p + 0.5) / p
+      val v = d * p + 0.5
+      if (math.abs(v) < FloorSafe) math.floor(v) / p else v / p
     } else d
 
   private def pow10(digits: Int): Double =

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.TripleStore.table
+import graft.functions.StableRound.{stableRound, stableRoundSql}
 
 /** Training-data pipeline operators over `documents` — the text-analysis,
   * exact-dedup and near-dup pillars a 100 TB corpus pipeline needs.
@@ -78,9 +79,10 @@ object Docs {
         col("doc_id"),
         size(col("w")).cast(LongType).as("n_tokens"),
         length(col("text")).cast(LongType).as("n_chars_m"),
-        round(expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-          .cast(DoubleType) / size(col("w")), 4).as("avg_tok_len"),
-        round(expr(s"size(filter(w, x -> x IN ${inList(Stop("en"))}))")
+        stableRound(
+          expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+            .cast(DoubleType) / size(col("w")), 4).as("avg_tok_len"),
+        stableRound(expr(s"size(filter(w, x -> x IN ${inList(Stop("en"))}))")
           .cast(DoubleType) / size(col("w")), 4).as("stop_ratio"),
         size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast(LongType)
           .as("n_alpha_tokens"),
@@ -92,8 +94,12 @@ object Docs {
     s"""SELECT doc_id,
        |  CAST(len(w) AS BIGINT) AS n_tokens,
        |  CAST(length(text) AS BIGINT) AS n_chars_m,
-       |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w), 4) AS avg_tok_len,
-       |  round(CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS DOUBLE)/len(w), 4) AS stop_ratio,
+       |  ${stableRoundSql(
+             "CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)/len(w)",
+             4)} AS avg_tok_len,
+       |  ${stableRoundSql(
+             s"CAST(len(list_filter(w, x -> x IN ${inList(Stop("en"))})) AS DOUBLE)/len(w)",
+             4)} AS stop_ratio,
        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
        |  substr(md5(text), 1, 16) AS fingerprint,
        |  $KeepSql AS keep
@@ -262,7 +268,7 @@ object Docs {
         (col("i").cast(DoubleType) /
           (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
       .filter(col("jac") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), stableRound(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
       // eager: the near-dup pair set is tiny relative to the corpus;
       // materializing it here lets the finally drop the shingle cache
@@ -302,7 +308,7 @@ object Docs {
        |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |       round(CAST(i AS DOUBLE)/(sa.n + sb.n - i), 4) AS jaccard
+       |       ${stableRoundSql("CAST(i AS DOUBLE)/(sa.n + sb.n - i)", 4)} AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        |           JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= $JaccardThreshold""".stripMargin
@@ -634,7 +640,7 @@ object Docs {
     def stats(n: Int) = expr(s"gram_run_stats(w, $n)")
     def frac(s: Column, field: String) =
       when(s.getField("tot") > 0,
-        round(s.getField(field) / s.getField("tot"), 4))
+        stableRound(s.getField(field) / s.getField("tot"), 4))
     // NULL text produces zero gram rows in the oracle's unnest, so it must
     // drop the row here too (split(NULL) would otherwise keep it with NULL
     // fractions and break row parity)
@@ -655,7 +661,7 @@ object Docs {
   }
 
   val q47Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (
       |  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM w
       |  UNION ALL
@@ -670,12 +676,12 @@ object Docs {
       |        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
       |      FROM c GROUP BY 1, 2)
       |SELECT doc_id,
-      |  round(max(CASE WHEN n = 1 THEN top_cnt / tot END), 4) AS top1_frac,
-      |  round(max(CASE WHEN n = 1 THEN dup_cnt / tot END), 4) AS dup1_frac,
-      |  round(max(CASE WHEN n = 2 THEN top_cnt / tot END), 4) AS top2_frac,
-      |  round(max(CASE WHEN n = 2 THEN dup_cnt / tot END), 4) AS dup2_frac,
-      |  round(max(CASE WHEN n = 3 THEN top_cnt / tot END), 4) AS top3_frac,
-      |  round(max(CASE WHEN n = 3 THEN dup_cnt / tot END), 4) AS dup3_frac
+      |  ${stableRoundSql("max(CASE WHEN n = 1 THEN top_cnt / tot END)", 4)} AS top1_frac,
+      |  ${stableRoundSql("max(CASE WHEN n = 1 THEN dup_cnt / tot END)", 4)} AS dup1_frac,
+      |  ${stableRoundSql("max(CASE WHEN n = 2 THEN top_cnt / tot END)", 4)} AS top2_frac,
+      |  ${stableRoundSql("max(CASE WHEN n = 2 THEN dup_cnt / tot END)", 4)} AS dup2_frac,
+      |  ${stableRoundSql("max(CASE WHEN n = 3 THEN top_cnt / tot END)", 4)} AS top3_frac,
+      |  ${stableRoundSql("max(CASE WHEN n = 3 THEN dup_cnt / tot END)", 4)} AS dup3_frac
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --- Q48: benchmark decontamination by n-gram overlap ---------------------
@@ -1028,14 +1034,14 @@ object Docs {
       sum("weight").as("sw"))
     tok.crossJoin(broadcast(totals))
       .select(col("source"), col("token_mass"), col("weight"),
-        round(col("weight").cast(DoubleType) / col("sw"), 6).as("share"),
-        round(col("b") * col("weight") / col("sw") / col("token_mass"), 6)
+        stableRound(col("weight").cast(DoubleType) / col("sw"), 6).as("share"),
+        stableRound(col("b") * col("weight") / col("sw") / col("token_mass"), 6)
           .as("epochs"))
       .orderBy("source")
   }
 
   val q64Sql: String =
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
       |           AS token_mass
       |  FROM documents GROUP BY source),
@@ -1046,8 +1052,8 @@ object Docs {
       |tot AS (SELECT CAST(sum(token_mass) AS DOUBLE) AS b,
       |               CAST(sum(weight) AS BIGINT) AS sw FROM tw)
       |SELECT source, token_mass, CAST(weight AS BIGINT) AS weight,
-      |  round(CAST(weight AS DOUBLE) / sw, 6) AS share,
-      |  round(b * weight / sw / token_mass, 6) AS epochs
+      |  ${stableRoundSql("CAST(weight AS DOUBLE) / sw", 6)} AS share,
+      |  ${stableRoundSql("b * weight / sw / token_mass", 6)} AS epochs
       |FROM tw, tot ORDER BY source NULLS FIRST""".stripMargin
 
   // --- Q63: hashed-feature quality classifier -------------------------------
@@ -1082,7 +1088,7 @@ object Docs {
       .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"),
         sInt.as("s_int"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s_int").cast(DoubleType) /
+        stableRound(col("s_int").cast(DoubleType) /
           (lit(ClfHalf.toDouble) * col("n_tokens")), 6).as("clf_score"),
         (col("s_int") > 0).as("keep_clf"))
       .orderBy("doc_id")
@@ -1095,7 +1101,7 @@ object Docs {
        |    substr(md5('q63|' || t), 1, 4)) AS BIGINT) % $ClfBuckets
        |    AS VARCHAR)), 1, 6)) AS BIGINT) - $ClfHalf)) AS s_int FROM d)
        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-       |  round(CAST(s_int AS DOUBLE)/($ClfHalf.0 * n), 6) AS clf_score,
+       |  ${stableRoundSql(s"CAST(s_int AS DOUBLE)/($ClfHalf.0 * n)", 6)} AS clf_score,
        |  s_int > 0 AS keep_clf
        |FROM s ORDER BY doc_id""".stripMargin
 
@@ -1158,7 +1164,7 @@ object Docs {
         (count(col("content_hash")) - distinctHashes).as("n_dup_docs"),
         sum(col("en")).as("n_en"),
         sum(col("n_tokens")).as("token_mass"),
-        round(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 4)
+        stableRound(sum(col("n_tokens")).cast(DoubleType) / count(lit(1)), 4)
           .as("avg_tokens"))
       .orderBy("source")
 
@@ -1174,7 +1180,7 @@ object Docs {
        |    AS n_dup_docs,
        |  CAST(sum(CASE WHEN $IsEnSql THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        |  CAST(sum(len(w)) AS BIGINT) AS token_mass,
-       |  round(CAST(sum(len(w)) AS DOUBLE)/count(*), 4) AS avg_tokens
+       |  ${stableRoundSql("CAST(sum(len(w)) AS DOUBLE)/count(*)", 4)} AS avg_tokens
        |FROM d GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
 
   // --- Q53: capstone — corpus in, training batches out ----------------------
@@ -1419,14 +1425,18 @@ object Docs {
       // different libm `ln`s (JVM vs DuckDB's C), so a last-ulp difference
       // could land either side of a raw 4-digit half boundary. Snapping to
       // 9 decimals first collapses both engines' values onto the same
-      // 9-digit decimal (IEEE-identical in both: decimal-exact HALF_UP here,
-      // scaled-rint there, both then nearest-double) unless the score sits
-      // within one ulp of a 9-digit boundary AND that boundary is itself a
-      // 4-digit half — ~5 orders of magnitude rarer than the raw risk.
-      // That residual is the documented exposure; rank ties are already
-      // insensitive (rounded-score ordering + term tie-break).
-      .withColumn("score", round(round(col("tf").cast(DoubleType) *
-        log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 9), 4))
+      // 9-digit decimal unless the score sits within one ulp of a 9-digit
+      // boundary AND that boundary is itself a 4-digit half — ~5 orders of
+      // magnitude rarer than the raw risk. That residual is the documented
+      // exposure; rank ties are already insensitive (rounded-score ordering
+      // + term tie-break). Both stages are StableRound (d=9 is why the
+      // r16 form admits d > 4): with the builtin, the two engines' rounds
+      // THEMSELVES disagreed at .xx5 shortest-repr boundaries, stacking a
+      // second divergence class on top of the libm one.
+      .withColumn("score",
+        stableRound(stableRound(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)),
+          9), 4))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("word"), col("tf"), col("score"))
@@ -1434,7 +1444,7 @@ object Docs {
   }
 
   val q56Sql: String =
-    """WITH terms AS (
+    s"""WITH terms AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
       |  FROM documents),
       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
@@ -1443,7 +1453,9 @@ object Docs {
       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, word, tf,
-      |    round(round(CAST(tf AS DOUBLE) * ln(n_docs / df), 9), 4) AS score
+      |    ${stableRoundSql(
+             stableRoundSql("CAST(tf AS DOUBLE) * ln(n_docs / df)", 9),
+             4)} AS score
       |  FROM tf JOIN idf USING (word), n),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
       |        ORDER BY score DESC, word) AS BIGINT) AS rk FROM scored)

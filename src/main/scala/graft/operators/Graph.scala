@@ -208,14 +208,18 @@ object Graph {
     * scores normalized before hashing. */
   private[graft] val PageRankIters = 3
 
-  /** Q75: [[pageRank]] driver-gated — the north-star graph operator's gate
-    * entry. Scores are emitted n-scaled (`rank * n_nodes`, mean 1.0 — the
-    * usual "importance relative to uniform" reading) and rounded to 6
-    * decimals before hashing: every arithmetic step is written identically
-    * in the oracle, so the only engine divergence is summation order inside
-    * the per-node contribution aggregates — bounded in-degree sums whose
-    * fp wobble (~1e-13 relative) sits eight orders of magnitude inside the
-    * rounding half-ulp. */
+  /** Q75 (gate entry RETIRED r16 — now the SPEC baseline): [[pageRank]]'s
+    * n-scaled emission. Scores are n-scaled (`rank * n_nodes`, mean 1.0 —
+    * the usual "importance relative to uniform" reading) and rounded to 6
+    * decimals: every arithmetic step is written identically in the oracle,
+    * so the only engine divergence is summation order inside the per-node
+    * contribution aggregates — bounded in-degree sums whose fp wobble
+    * (~1e-13 relative) sits eight orders of magnitude inside the rounding
+    * half-ulp. Retired from the gate once q81 (same iterations, same
+    * emission, [[q75Sql]] verbatim, bucketed edge scan) carried its second
+    * judged-green round; GraphSpec pins q81 ≡ this row-for-row after
+    * rounding, so the relation stays regression-guarded without paying the
+    * slowest replay entry × 4 corpora every close. */
   def q75PageRank(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
     nScaledRanks(e, pageRank(e, iters = PageRankIters))
@@ -230,7 +234,11 @@ object Graph {
       .agg(count(lit(1)).cast("double").as("n_nodes"))
     ranks.crossJoin(broadcast(nCount))
       .select(col("node"),
-        round(col("rank") * col("n_nodes"), 6).as("rank"))
+        // stableRound (d=6, admitted by the r16 integral-v subcase): the
+        // builtin diverges between engines at .xxxxx5 shortest-repr
+        // boundaries — same class as every other hashed rounded column
+        graft.functions.StableRound
+          .stableRound(col("rank") * col("n_nodes"), 6).as("rank"))
       .orderBy("node")
   }
 
@@ -296,7 +304,8 @@ object Graph {
        |outdeg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
        |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
        |$iters
-       |SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank
+       |SELECT node, ${graft.functions.StableRound.stableRoundSql(
+                        "rank * (SELECT n FROM nn)", 6)} AS rank
        |FROM r$PageRankIters ORDER BY node""".stripMargin
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 import graft.TripleStore
+import graft.functions.StableRound.{stableRound, stableRoundSql}
 
 /** Relational capability closure Q4–Q10 (+ batch tumbling windows, the batch
   * twin of Q11) over the driver tables — SURVEY §2.2/§2.3. The reference only
@@ -64,14 +65,17 @@ object Relational {
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_li"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        // stableRound everywhere a rounded double is hashed: the builtin
+        // diverges between engines at .xx5 shortest-repr boundaries
+        // (StableRound's scaladoc; migrated gate-wide in r16)
+        stableRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy("c_mktsegment")
   }
 
   val q5JoinAggSql: String =
-    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_li,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_li,
+      |       ${stableRoundSql("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -126,18 +130,18 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("l_partkey")).as("n_parts"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        stableRound(sum(col("l_quantity")), 2).as("sum_qty"),
+        stableRound(sum(col("l_extendedprice")), 2).as("sum_price"),
         unix_millis(min(col("l_shipdate").cast(TimestampType))).as("min_ship_ms"),
         unix_millis(max(col("l_shipdate").cast(TimestampType))).as("max_ship_ms"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q6Sql: String =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |       CAST(count(*) AS BIGINT) AS cnt,
       |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-      |       round(sum(l_quantity), 2) AS sum_qty,
-      |       round(sum(l_extendedprice), 2) AS sum_price,
+      |       ${stableRoundSql("sum(l_quantity)", 2)} AS sum_qty,
+      |       ${stableRoundSql("sum(l_extendedprice)", 2)} AS sum_price,
       |       epoch_ms(min(l_shipdate)) AS min_ship_ms,
       |       epoch_ms(max(l_shipdate)) AS max_ship_ms
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -160,18 +164,18 @@ object Relational {
         col("l_partkey"), col("l_suppkey"),
         row_number().over(w).cast(LongType).as("rn"),
         lag(col("l_quantity"), 1).over(w).as("prev_qty"),
-        round(sum(col("l_quantity"))
+        stableRound(sum(col("l_quantity"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
           .as("run_qty"))
       .orderBy("l_orderkey", "rn")
   }
 
   val q7Sql: String =
-    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
       |       row_number() OVER w AS rn,
       |       lag(l_quantity, 1) OVER w AS prev_qty,
-      |       round(sum(l_quantity) OVER
-      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+      |       ${stableRoundSql("sum(l_quantity) OVER " +
+                 "(w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS run_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_orderkey
       |             ORDER BY l_linenumber, l_partkey, l_suppkey)
@@ -286,16 +290,16 @@ object Relational {
         expr("try_cast(get_json_object(props, '$.k') AS DOUBLE)").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"), round(avg(col("k")), 2).as("avg_k"))
+        max(col("k")).as("max_k"), stableRound(avg(col("k")), 2).as("avg_k"))
       .orderBy("event_type")
 
   val q27Sql: String =
-    """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
       |       min(k) AS min_k, max(k) AS max_k,
-      |       round(avg(k), 2) AS avg_k
+      |       ${stableRoundSql("avg(k)", 2)} AS avg_k
       |FROM (SELECT event_type,
       |             TRY_CAST(CASE WHEN json_valid(props) THEN
-      |               json_extract_string(props, '$.k') END AS DOUBLE) AS k
+      |               json_extract_string(props, '$$.k') END AS DOUBLE) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
@@ -330,14 +334,15 @@ object Relational {
     ev.select(eventTsMs(ev).as("ts_ms"), col("event_type"), col("value"))
       .withColumn("window_start", expr("ts_ms div 60000") * 60000L)
       .groupBy(col("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        stableRound(sum(col("value")), 2).as("sum_value"))
       .orderBy("window_start", "event_type")
   }
 
   val q11TumblingSql: String =
-    """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) * 60000 AS window_start,
+    s"""SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) * 60000 AS window_start,
       |       event_type, CAST(count(*) AS BIGINT) AS cnt,
-      |       round(sum(value), 2) AS sum_value
+      |       ${stableRoundSql("sum(value)", 2)} AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // --- Q39: gap-based sessionization of the event stream --------------------
@@ -489,20 +494,21 @@ object Relational {
       // ONE percentile buffer per group (array argument), not three — each
       // separate percentile() call would hold its own copy of the group
       .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("p"),
-        round(min(col("value")), 2).as("v_min"),
-        round(max(col("value")), 2).as("v_max"))
+        stableRound(min(col("value")), 2).as("v_min"),
+        stableRound(max(col("value")), 2).as("v_max"))
       .select(col("event_type"),
-        round(col("p")(0), 4).as("p50"), round(col("p")(1), 4).as("p90"),
-        round(col("p")(2), 4).as("p99"), col("v_min"), col("v_max"))
+        stableRound(col("p")(0), 4).as("p50"),
+        stableRound(col("p")(1), 4).as("p90"),
+        stableRound(col("p")(2), 4).as("p99"), col("v_min"), col("v_max"))
       .orderBy("event_type")
 
   val q41Sql: String =
-    """SELECT event_type,
-      |       round(quantile_cont(value, 0.5), 4) AS p50,
-      |       round(quantile_cont(value, 0.9), 4) AS p90,
-      |       round(quantile_cont(value, 0.99), 4) AS p99,
-      |       round(min(value), 2) AS v_min,
-      |       round(max(value), 2) AS v_max
+    s"""SELECT event_type,
+      |       ${stableRoundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+      |       ${stableRoundSql("quantile_cont(value, 0.9)", 4)} AS p90,
+      |       ${stableRoundSql("quantile_cont(value, 0.99)", 4)} AS p99,
+      |       ${stableRoundSql("min(value)", 2)} AS v_min,
+      |       ${stableRoundSql("max(value)", 2)} AS v_max
       |FROM events WHERE NOT isnan(value) OR value IS NULL
       |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin
 
@@ -522,8 +528,8 @@ object Relational {
       .unpivot(Array(col("l_orderkey")),
         MeltMeasures.map(col).toArray, "measure", "value")
       .groupBy("measure")
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-        round(avg(col("value")), 4).as("mean"))
+      .agg(count(lit(1)).as("n"), stableRound(sum(col("value")), 2).as("total"),
+        stableRound(avg(col("value")), 4).as("mean"))
       .orderBy("measure")
 
   val q42Sql: String = {
@@ -531,7 +537,8 @@ object Relational {
       s"SELECT l_orderkey, '$m' AS measure, $m AS value FROM lineitem")
       .mkString("\n  UNION ALL ")
     s"""SELECT measure, CAST(count(*) AS BIGINT) AS n,
-       |       round(sum(value), 2) AS total, round(avg(value), 4) AS mean
+       |       ${stableRoundSql("sum(value)", 2)} AS total,
+       |       ${stableRoundSql("avg(value)", 4)} AS mean
        |FROM ($legs)
        |GROUP BY measure ORDER BY measure""".stripMargin
   }
@@ -550,16 +557,16 @@ object Relational {
     table(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         ntile(4).over(w).cast(LongType).as("quartile"),
-        round(percent_rank().over(w), 4).as("pct_rank"),
-        round(cume_dist().over(w), 4).as("cume"))
+        stableRound(percent_rank().over(w), 4).as("pct_rank"),
+        stableRound(cume_dist().over(w), 4).as("cume"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
   val q43Sql: String =
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber,
       |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      |       round(percent_rank() OVER w, 4) AS pct_rank,
-      |       round(cume_dist() OVER w, 4) AS cume
+      |       ${stableRoundSql("percent_rank() OVER w", 4)} AS pct_rank,
+      |       ${stableRoundSql("cume_dist() OVER w", 4)} AS cume
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
       |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.TripleStore.table
+import graft.functions.StableRound.{stableRound, stableRoundSql}
 
 /** Temporal join operators — the two interval-shaped joins every
   * training-data pipeline eventually needs and Spark has no native operator
@@ -142,7 +143,7 @@ object Temporal {
         Seq("user_id"), "ts_ms", "w_start", "w_end", AttributionWindowMs)
       .groupBy("user_id", "win_id")
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        stableRound(sum(col("value")), 2).as("sum_value"))
       .orderBy("user_id", "win_id")
   }
 
@@ -156,7 +157,7 @@ object Temporal {
        |         ts_ms + $AttributionWindowMs AS w_end
        |  FROM e WHERE event_type = 'purchase')
        |SELECT p.user_id, p.win_id, CAST(count(*) AS BIGINT) AS n_events,
-       |       round(sum(e.value), 2) AS sum_value
+       |       ${stableRoundSql("sum(e.value)", 2)} AS sum_value
        |FROM p JOIN e ON p.user_id = e.user_id
        |             AND e.ts_ms >= p.w_start AND e.ts_ms < p.w_end
        |GROUP BY p.user_id, p.win_id
@@ -182,7 +183,7 @@ object Temporal {
     val build = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_ms"),
         col("event_id").as("purchase_id"),
-        round(col("value"), 2).as("purchase_value"))
+        stableRound(col("value"), 2).as("purchase_value"))
     asofJoin(probe, build, Seq("user_id"), "ts_ms", "ts_ms",
         "event_id", "purchase_id",
         Seq("purchase_id", "purchase_value"), Some(AsofToleranceMs))
@@ -201,7 +202,7 @@ object Temporal {
        |  UNION ALL
        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)), 0,
        |         event_id, NULL, NULL,
-       |         event_id, round(value, 2),
+       |         event_id, ${stableRoundSql("value", 2)},
        |         epoch_ms(CAST(ts AS TIMESTAMP))
        |  FROM events WHERE event_type = 'purchase'),
        |m AS (

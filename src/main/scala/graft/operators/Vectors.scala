@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.TripleStore.table
+import graft.functions.StableRound.{stableRound, stableRoundSql}
 
 /** Similarity search over `embeddings` (`Array[Float]`, 64-dim).
   *
@@ -74,7 +75,8 @@ object Vectors {
         col("nrm").as("qn"))
     val cos = q.join(e, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
+        stableRound(dot("qe", "embedding") / (col("qn") * col("nrm")), 4)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     cos.withColumn("rank", row_number().over(w).cast(LongType))
@@ -297,7 +299,7 @@ object Vectors {
     probes.join(idx, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4)
+        stableRound(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= topk)
@@ -498,8 +500,9 @@ object Vectors {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM (SELECT p.query_id, i.vec_id AS neighbor_id,
-       |               round(list_sum(list_transform(range($Dim),
-       |                 j -> p.qv[j+1] * i.v[j+1])), 4) AS cos_sim
+       |               ${stableRoundSql(
+                         s"list_sum(list_transform(range($Dim), " +
+                           "j -> p.qv[j+1] * i.v[j+1]))", 4)} AS cos_sim
        |        FROM probes p JOIN idx i USING (cluster)
        |        WHERE i.vec_id <> p.query_id))
        |WHERE rank <= $IvfGateTopK ORDER BY query_id, rank""".stripMargin
@@ -599,8 +602,9 @@ object Vectors {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM (SELECT p.query_id, i.vec_id AS neighbor_id,
-       |               round(list_sum(list_transform(range($Dim),
-       |                 j -> p.qv[j+1] * i.v[j+1])), 4) AS cos_sim
+       |               ${stableRoundSql(
+                         s"list_sum(list_transform(range($Dim), " +
+                           "j -> p.qv[j+1] * i.v[j+1]))", 4)} AS cos_sim
        |        FROM probes p JOIN idx i USING (cluster)
        |        WHERE i.vec_id <> p.query_id))
        |WHERE rank <= $IvfGateTopK ORDER BY query_id, rank""".stripMargin
@@ -653,7 +657,7 @@ object Vectors {
       .join(proj.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
         col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot("va", "vb") / (col("na") * col("nb")), 4).as("cos_sim"))
+        stableRound(dot("va", "vb") / (col("na") * col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -686,9 +690,10 @@ object Vectors {
        |  FROM embeddings)
        |SELECT * FROM (
        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       |         round(list_sum(list_transform(range(len(x.embedding)),
-       |             i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE)))
-       |           / (x.nrm * y.nrm), 4) AS cos_sim
+       |         ${stableRoundSql(
+                   "list_sum(list_transform(range(len(x.embedding)), " +
+                     "i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE))) " +
+                     "/ (x.nrm * y.nrm)", 4)} AS cos_sim
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
        |  WHERE x.nrm > 0 AND y.nrm > 0)
        |WHERE cos_sim >= $NearDupThreshold ORDER BY id_a, id_b""".stripMargin
@@ -713,7 +718,8 @@ object Vectors {
       q.join(e, col("qb") === col("bucket") && col("vec_id") =!= col("query_id")
           && col("nrm") > 0)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4).as("cos_sim"))
+          stableRound(dot("qe", "embedding") / (col("qn") * col("nrm")), 4)
+            .as("cos_sim"))
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= k)
         .localCheckpoint(true)
@@ -751,7 +757,7 @@ object Vectors {
     e.join(broadcast(q),
         col("qb") === col("bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot("qe", "embedding") / (col("qn") * col("nrm")), 4)
+        stableRound(dot("qe", "embedding") / (col("qn") * col("nrm")), 4)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= TopK)
@@ -771,9 +777,10 @@ object Vectors {
        |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM (
        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       |           round(list_sum(list_transform(range(len(q.embedding)),
-       |               i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
-       |             / (q.nrm * e.nrm), 4) AS cos_sim
+       |           ${stableRoundSql(
+                     "list_sum(list_transform(range(len(q.embedding)), " +
+                       "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))) " +
+                       "/ (q.nrm * e.nrm)", 4)} AS cos_sim
        |    FROM b q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
        |    WHERE q.vec_id < $NumQueries AND q.nrm > 0 AND e.nrm > 0))
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
@@ -884,9 +891,10 @@ object Vectors {
        |      AS BIGINT) AS rank
        |    FROM (
        |      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       |             round(list_sum(list_transform(range(len(q.embedding)),
-       |                 i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
-       |               / (q.nrm * e.nrm), 4) AS cos_sim
+       |             ${stableRoundSql(
+                       "list_sum(list_transform(range(len(q.embedding)), " +
+                         "i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))) " +
+                         "/ (q.nrm * e.nrm)", 4)} AS cos_sim
        |      FROM e2 q JOIN e2 e ON e.vec_id <> q.vec_id
        |      WHERE q.vec_id < $NumQueries))
        |  WHERE rank <= $IvfGateTopK),

@@ -316,5 +316,9 @@ object StreamingLww {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 minute"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      // stableRound, NOT the builtin: keeps the stream in bit-lockstep
+      // with batch q11Tumbling (its spec equates the two on shared input)
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.StableRound.stableRound(sum(col("value")), 2)
+          .as("sum_value"))
 }

@@ -48,7 +48,11 @@ class ConcurrencySpec extends AnyFunSuite {
     // PageRank's per-iteration localCheckpoints under parallel execution,
     // and the memoized bloom-index ingest (the index MUTATES — concurrent
     // first calls must block on ONE build+append run)
-    "q74_stream_sessions", "q75_pagerank", "q76_bloom_index_dedup")
+    // (q75_pagerank held this slot until its r16 retirement; q81 runs the
+    // same per-iteration localCheckpoint loop over the bucketed table AND
+    // adds the memoized bucketed-edge-table build to the concurrency
+    // surface)
+    "q74_stream_sessions", "q81_pagerank_bucketed", "q76_bloom_index_dedup")
 
   private def run(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq

@@ -55,7 +55,7 @@ class StableRoundSpec extends AnyFunSuite {
       math.pow(2, 50), math.nextDown(math.pow(2, 50)),
       math.pow(2, 48), math.nextDown(math.pow(2, 48)),
       3.0e14, -3.0e14, 1.1e15, 4.5e15, 9.3e18, 5.0e19)
-    for (d <- Seq(2, 4); v <- vals) {
+    for (d <- Seq(2, 4, 6, 9); v <- vals) {
       val fromCol = Seq(v).toDF("x")
         .select(StableRound.stableRound(col("x"), d),
           expr(StableRound.stableRoundSql("x", d)))
@@ -77,7 +77,7 @@ class StableRoundSpec extends AnyFunSuite {
   test("pass-through is the mathematically rounded value: every double " +
     "at or above 2^(52-d) is a multiple of 2^-d, so d-decimal rounding " +
     "is the identity there") {
-    for (d <- Seq(2, 4); v <- Seq(math.pow(2, 52 - d), 1.25e15, 6.4e17,
+    for (d <- Seq(2, 4, 6, 9); v <- Seq(math.pow(2, 52 - d), 6.4e17,
         9.007199254740993e15)) {
       assert(StableRound.stableRoundScala(v, d) == v)
       // the claim itself: v's fractional structure terminates within d
@@ -91,13 +91,29 @@ class StableRoundSpec extends AnyFunSuite {
   test("stableRoundSql emits the guarded formula the Column form computes") {
     assert(StableRound.stableRoundSql("x", 2) ==
       "CASE WHEN abs((x)) < 1125899906842624.0 " +
-        "THEN floor((x) * 100.0 + 0.5) / 100.0 ELSE (x) END")
+        "THEN (CASE WHEN abs((x) * 100.0 + 0.5) < 4503599627370496.0 " +
+        "THEN floor((x) * 100.0 + 0.5) / 100.0 " +
+        "ELSE ((x) * 100.0 + 0.5) / 100.0 END) ELSE (x) END")
     assert(StableRound.stableRoundSql("a + b", 4) ==
       "CASE WHEN abs((a + b)) < 281474976710656.0 " +
-        "THEN floor((a + b) * 10000.0 + 0.5) / 10000.0 ELSE (a + b) END")
+        "THEN (CASE WHEN abs((a + b) * 10000.0 + 0.5) < 4503599627370496.0 " +
+        "THEN floor((a + b) * 10000.0 + 0.5) / 10000.0 " +
+        "ELSE ((a + b) * 10000.0 + 0.5) / 10000.0 END) ELSE (a + b) END")
     intercept[IllegalArgumentException] {
-      StableRound.stableRoundSql("x", 5) // 5^5 > 2^11: long floor unsafe
+      StableRound.stableRoundSql("x", 10) // beyond the gate's d <= 9 need
     }
+  }
+
+  test("the |v| >= 2^52 subcase emits the integral scaled value itself " +
+    "(where the r15 long floor was the identity on it — value-identical)") {
+    // d=2: x = 2^50 - 8 floors long-unsafely? no — v = x*100 + 0.5
+    // ~ 1.1e17 >= 2^52, integral; the emitted value must be v/p exactly
+    val x = math.pow(2, 50) - 8
+    val v = x * 100.0 + 0.5
+    assert(v >= math.pow(2, 52) && v == math.floor(v), "fixture not integral")
+    assert(StableRound.stableRoundScala(x, 2) == v / 100.0)
+    // d=9 (the TF-IDF inner round): plain small values floor normally
+    assert(StableRound.stableRoundScala(1.2345678935, 9) == 1.234567894)
   }
 
   test("sessionize emits the stable-rounded sum on a boundary-sum " +
