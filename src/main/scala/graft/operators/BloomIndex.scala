@@ -30,11 +30,23 @@ import graft.TripleStore.table
   * under a deliberately poisoned bloom).
   *
   * Scale shape: admit's corpus side is map-only scans (never
-  * repartitioned); the per-batch exchange is the batch itself. append's
-  * bloom OR happens on the DRIVER over two numBits/8-byte blobs — an
-  * INDEX-maintenance step on a bounded artifact (12.5 MB at 10M keys,
-  * 10 bits/key), the same class as a z-order boundary sample, not a data
-  * path. Spark's own sketch format is used end-to-end: `bloom_build`
+  * repartitioned); the per-batch exchange is the batch itself. The index
+  * is HASH-RANGE SHARDED (r16): a version holds `num_shards` rows
+  * `(shard, bloom, …)`, a hash belongs to shard
+  * `pmod(xxhash64(content_hash), num_shards)`, each shard's bloom is
+  * sized to its share of the keys, and the probe routes through a
+  * per-shard CASE of scalar subqueries (`bloom_might_contain` requires a
+  * constant/subquery blob, so a blob-column join cannot express it). The
+  * append OR runs per shard ON EXECUTORS — the r15 driver-side
+  * single-blob OR was the one piece of the dedup story that did not
+  * survive 1T hashes (1T keys × 10 bits = 1.25 TB through one JVM);
+  * sharded, each task merges one bounded pair of blobs and the per-shard
+  * size stays FLAT as corpus and shard count scale together
+  * (DedupScaleBench's shard mode measures it). `num_shards` is pinned at
+  * [[build]] time into the artifact; 1 (the default, and the q76 gate
+  * config) reproduces the unsharded semantics exactly — same bits, since
+  * a bloom's bitset is a function of the key SET, not of merge order.
+  * Spark's own sketch format is used end-to-end: `bloom_build`
   * (BloomFilterAggregate) serializes the very `BloomFilter` that
   * `bloom_might_contain` and `BloomFilter.readFrom` consume, so the SQL
   * aggregate builds it and the JVM merges it with no translation. */
@@ -45,10 +57,21 @@ object BloomIndex {
   private[graft] val Expected = 100000L
   private[graft] val NumBits = 1L << 20
 
-  private def bloomOf(hashes: DataFrame, expected: Long,
-      numBits: Long): DataFrame =
-    hashes.select(call_function("bloom_build",
-      xxhash64(col("content_hash")), lit(expected), lit(numBits)).as("bloom"))
+  /** A hash's shard under an `n`-way index. */
+  private def shardCol(n: Long): Column =
+    pmod(xxhash64(col("content_hash")), lit(n))
+
+  /** Per-shard blooms of a hash frame: one row per NON-EMPTY shard,
+    * each shard's filter sized to its share of the geometry (a key set
+    * split n ways needs expected/n capacity per shard for the same
+    * false-positive rate; floors keep the degenerate tiny-corpus shard
+    * valid). Empty input ⇒ zero rows (groupBy emits no empty groups). */
+  private def shardedBlooms(hashes: DataFrame, expected: Long,
+      numBits: Long, numShards: Long): DataFrame =
+    hashes.groupBy(shardCol(numShards).as("shard"))
+      .agg(call_function("bloom_build", xxhash64(col("content_hash")),
+        lit(math.max(1L, expected / numShards)),
+        lit(math.max(64L, numBits / numShards))).as("bloom"))
 
   /** The index is VERSIONED: every state is an immutable `v<N>` subdir
     * and readers resolve the latest at plan-construction time. No file is
@@ -72,36 +95,62 @@ object BloomIndex {
 
   /** Build version 0 of the index from the corpus hash column: one
     * map-side partial-bloom aggregation (the only time the corpus pays a
-    * full pass), one tiny row written. Gate geometry; [[buildSized]] for
-    * corpora at other cardinalities (~10 bits/key). */
-  def build(corpusHashes: DataFrame, path: String): Unit =
-    buildSized(corpusHashes, path, Expected, NumBits)
+    * full pass), `numShards` tiny rows written — every shard row is
+    * PRESENT in every version (bloom NULL when the shard holds no keys
+    * yet), so readers can pin "a version has exactly num_shards rows" and
+    * the append join never has to invent missing shards. Gate geometry +
+    * one shard by default; [[buildSized]] for other cardinalities
+    * (~10 bits/key) and shard counts. */
+  def build(corpusHashes: DataFrame, path: String,
+      numShards: Long = 1L): Unit =
+    buildSized(corpusHashes, path, Expected, NumBits, numShards)
 
   def buildSized(corpusHashes: DataFrame, path: String, expected: Long,
-      numBits: Long): Unit =
-    bloomOf(corpusHashes, expected, numBits)
-      .select(col("bloom"), lit(expected).as("expected"),
-        lit(numBits).as("num_bits"), lit(0L).as("n_appends"))
+      numBits: Long, numShards: Long = 1L): Unit = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    corpusHashes.sparkSession.range(numShards).select(col("id").as("shard"))
+      .join(shardedBlooms(corpusHashes, expected, numBits, numShards),
+        Seq("shard"), "left_outer")
+      .select(col("shard"), col("bloom"), lit(expected).as("expected"),
+        lit(numBits).as("num_bits"), lit(0L).as("n_appends"),
+        lit(numShards).as("num_shards"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/v0")
+  }
 
-  /** The stored bloom as a LAZY scalar subquery (q61's convention: no
-    * eager driver job at plan-construction time, one tiny parquet read
-    * when the query runs, `ReuseSubquery` collapses repeats). The version
-    * is pinned when the plan is BUILT — a concurrent append does not move
-    * it mid-query. */
-  private def stored(spark: SparkSession, path: String): Column =
-    spark.read.parquet(latest(spark, path)._1).select(col("bloom")).scalar()
+  /** One shard's stored bloom as a LAZY scalar subquery (q61's
+    * convention: no eager driver job at plan-construction time, one tiny
+    * filtered parquet read when the query runs, `ReuseSubquery` collapses
+    * repeats). The version is pinned when the plan is BUILT — a
+    * concurrent append does not move it mid-query. */
+  private def storedShard(spark: SparkSession, versionPath: String,
+      shard: Long): Column =
+    spark.read.parquet(versionPath).filter(col("shard") === shard)
+      .select(col("bloom")).scalar()
 
   /** Admit a batch against the corpus using the STORED bloom: q52's exact
     * relation through q61's routed plan, with the build step replaced by
-    * one tiny artifact read. `coalesce(probe, false)` keeps the
-    * empty/null edge exact (a null bloom admits everything, matching
-    * NOT EXISTS over an empty corpus). */
+    * tiny artifact reads. The probe is a shard-routed CASE over one
+    * scalar subquery PER SHARD — `bloom_might_contain` accepts only
+    * constant/subquery blobs, so this is the shape that keeps the probe
+    * declarative; the subqueries each read one filtered row once per
+    * query, and only the matching branch's verdict is taken per row.
+    * `coalesce(probe, false)` keeps the empty/null edge exact (a NULL
+    * shard bloom means that shard of the corpus holds no keys, so
+    * admitting its rows with no exact check IS the NOT-EXISTS answer).
+    * The one eager step is a single-row metadata read for `num_shards`
+    * at plan construction (the shard count shapes the expression). */
   def admit(spark: SparkSession, path: String, batch: DataFrame,
       corpus: DataFrame): DataFrame = {
-    val probed = batch.withColumn("maybe_dup",
-      coalesce(call_function("bloom_might_contain", stored(spark, path),
-        xxhash64(col("content_hash"))), lit(false)))
+    val ver = latest(spark, path)._1
+    val numShards = spark.read.parquet(ver)
+      .select(col("num_shards")).head().getLong(0)
+    val h = xxhash64(col("content_hash"))
+    val probe = (0L until numShards).foldLeft(when(lit(false), lit(false))) {
+      (acc, s) => acc.when(pmod(h, lit(numShards)) === s,
+        call_function("bloom_might_contain",
+          storedShard(spark, ver, s), h))
+    }
+    val probed = batch.withColumn("maybe_dup", coalesce(probe, lit(false)))
     val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
     val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
     val hits = corpus
@@ -116,7 +165,8 @@ object BloomIndex {
   }
 
   /** OR two serialized blooms of identical geometry — the index append's
-    * kernel, on the driver, over two bounded blobs. */
+    * kernel, run per shard on EXECUTORS (r16; one bounded pair of blobs
+    * per task — the driver never holds a blob). */
   private[graft] def mergeBlobs(a: Array[Byte],
       b: Array[Byte]): Array[Byte] = {
     val fa = org.apache.spark.util.sketch.BloomFilter
@@ -150,21 +200,37 @@ object BloomIndex {
   def append(spark: SparkSession, path: String,
       admittedHashes: DataFrame): Unit = {
     val (curPath, curV) = latest(spark, path)
-    val cur = spark.read.parquet(curPath)
-      .select("bloom", "expected", "num_bits", "n_appends").head()
-    // the add-bloom MUST use the artifact's own geometry — a differently
-    // sized filter cannot be bit-OR-ed (mergeInPlace rejects it).
-    // BloomFilterAggregate over ZERO rows evaluates to NULL — and an
-    // all-duplicates batch (admitted = ∅) is the commonest steady state,
-    // so a null on either side short-circuits instead of reaching the
-    // blob merge: nothing to add is a clean no-op (no new version), and
-    // an empty-corpus bloom is simply replaced by the addition.
-    val add = bloomOf(admittedHashes, cur.getLong(1), cur.getLong(2))
-      .head().getAs[Array[Byte]](0)
-    if (add == null) return
-    val curBlob = cur.getAs[Array[Byte]](0)
-    val merged = if (curBlob == null) add else mergeBlobs(curBlob, add)
+    val meta = spark.read.parquet(curPath)
+      .select("expected", "num_bits", "n_appends", "num_shards").head()
+    val (expected, numBits) = (meta.getLong(0), meta.getLong(1))
+    val (nAppends, numShards) = (meta.getLong(2), meta.getLong(3))
+    // the add-blooms MUST use the artifact's own geometry — a differently
+    // sized filter cannot be bit-OR-ed (mergeInPlace rejects it). An
+    // all-duplicates batch (admitted = ∅, the commonest steady state)
+    // yields ZERO shard rows and short-circuits: nothing to add is a
+    // clean no-op (no new version). Checkpointed before the emptiness
+    // probe so the batch's shard aggregation runs ONCE, not once for the
+    // probe and again for the merge join.
+    val adds = shardedBlooms(admittedHashes, expected, numBits, numShards)
+      .localCheckpoint(true)
+    if (adds.isEmpty) return
     import spark.implicits._
+    // per-shard OR on EXECUTORS (never through the driver: at 1T hashes
+    // the total bitset is TBs even though each shard's is bounded). The
+    // join is full-width — every version carries all num_shards rows —
+    // and a shard with no additions passes through byte-identically.
+    val merged = spark.read.parquet(curPath)
+      .select(col("shard"), col("bloom").as("cur_bloom"))
+      .join(adds.select(col("shard"), col("bloom").as("add_bloom")),
+        Seq("shard"), "left_outer")
+      .as[(Long, Array[Byte], Array[Byte])]
+      .map { case (s, c, a) =>
+        (s, if (a == null) c else if (c == null) a else mergeBlobs(c, a))
+      }
+      .toDF("shard", "bloom")
+      .select(col("shard"), col("bloom"), lit(expected).as("expected"),
+        lit(numBits).as("num_bits"), lit(nAppends + 1).as("n_appends"),
+        lit(numShards).as("num_shards"))
     // write-to-temp-then-RENAME into the version name: Spark creates the
     // target directory (listable by latest()) before any part file is
     // committed, so a direct write would let a concurrent admit pin an
@@ -190,9 +256,10 @@ object BloomIndex {
           n.stripPrefix(".staging_v").toLongOption.exists(_ <= curV)
       }
       .foreach(s => fs.delete(s.getPath, true))
-    Seq((merged, cur.getLong(1), cur.getLong(2), cur.getLong(3) + 1))
-      .toDF("bloom", "expected", "num_bits", "n_appends")
-      .coalesce(1).write.mode("overwrite").parquet(staging)
+    // no coalesce(1): the merged rows carry per-shard blobs and should
+    // write with whatever shard-parallelism the merge ran at (N files of
+    // one bounded blob each is exactly the layout a 1T index wants)
+    merged.write.mode("overwrite").parquet(staging)
     commitSlot(fs, new org.apache.hadoop.fs.Path(staging), target)
     // keep the latest THREE snapshots (this one + two back); GC the rest
     fs.listStatus(root).toSeq

@@ -165,9 +165,37 @@ object DedupScaleBench {
     val dStored = run("q76_stored_bloom_admit", () =>
       graft.operators.BloomIndex.admit(spark, idxPath, batch, corpus)
         .select("doc_id", "content_hash", "n_in_batch"))
-    val agree = dAnti == dBloom && dBloom == dBloom4 && dBloom == dStored
+    // r16 SHARDED mode: the same admit relation through an N-way index
+    // (byte-equality of results enforced below with every other plan), and
+    // the 1T-survival claim measured: per-shard blob size must stay FLAT
+    // when corpus and shard count scale TOGETHER (quarter corpus at N/4
+    // shards ≈ full corpus at N shards) — the driver-side single-blob OR
+    // this mode retires grew linearly instead.
+    val nShards = if (args.length > 2) args(2).toLong else 8L
+    val shardedPath = s"$tmp/graft_dedupscale_index_sh"
+    graft.operators.BloomIndex.buildSized(corpus.select("content_hash"),
+      shardedPath, corpusRows, corpusRows * 10, nShards)
+    val dSharded = run(s"q76_sharded_admit_n$nShards", () =>
+      graft.operators.BloomIndex.admit(spark, shardedPath, batch, corpus)
+        .select("doc_id", "content_hash", "n_in_batch"))
+    def maxBlobBytes(path: String): Long =
+      spark.read.parquet(s"$path/v0")
+        .agg(max(length(col("bloom"))).cast("long")).head().getLong(0)
+    val quarterPath = s"$tmp/graft_dedupscale_index_shq"
+    graft.operators.BloomIndex.buildSized(
+      corpus.filter(col("doc_id") < corpusRows / 4).select("content_hash"),
+      quarterPath, corpusRows / 4, corpusRows / 4 * 10,
+      math.max(1L, nShards / 4))
+    val (bFull, bQuarter) = (maxBlobBytes(shardedPath), maxBlobBytes(quarterPath))
+    // geometry headers differ by a few bytes; flat = within 5%
+    val flat = bFull <= bQuarter * 21 / 20 && bQuarter <= bFull * 21 / 20
+    println(s"""{"plan":"shard_flatness","n_shards":$nShards,""" +
+      s""""per_shard_bytes_full":$bFull,"per_shard_bytes_quarter":$bQuarter,""" +
+      s""""flat":$flat}""")
+    val agree = dAnti == dBloom && dBloom == dBloom4 && dBloom == dStored &&
+      dBloom == dSharded
     println(s"""{"dedup_scale":"done","plans_agree":$agree}""")
     spark.stop()
-    if (!agree) sys.exit(1)
+    if (!agree || !flat) sys.exit(1)
   }
 }

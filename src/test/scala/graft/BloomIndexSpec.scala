@@ -255,6 +255,53 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("SHARDED index (r16): admit == the anti-join relation at N=4, the " +
+    "artifact carries exactly num_shards rows per version, and shards " +
+    "with no corpus keys carry NULL blooms (their rows admit uncheck-ed " +
+    "— the exact NOT-EXISTS answer for an empty shard)") {
+    val corpus = hashed((0L until 40L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus.select("content_hash"), idx, numShards = 4L)
+    val v0 = spark.read.parquet(s"$idx/v0")
+    assert(v0.count() == 4 &&
+      v0.select("shard").as[Long].collect().sorted.toSeq == Seq(0L, 1, 2, 3))
+    val batch = hashed(
+      (100L until 110L).map(i => (i, s"doc ${i - 100}")) ++
+        Seq((110L, "fresh a"), (111L, "fresh a")) ++
+        (115L until 123L).map(i => (i, s"fresh $i")))
+    assert(admitted(idx, batch, corpus) == reference(batch, corpus))
+    val allDup = hashed(Seq((200L, "doc 1"), (201L, "doc 2")))
+    assert(admitted(idx, allDup, corpus).isEmpty)
+  }
+
+  test("SHARDED append folds additions into shards the corpus never " +
+    "touched (NULL current blob -> the addition IS the shard) and the " +
+    "grown index rejects replays across every shard — the per-shard " +
+    "no-false-negative law") {
+    // EMPTY corpus: every shard starts as a NULL bloom, so every epoch-1
+    // hash lands in a shard with no current blob — the exact path a
+    // left-behind add-shard would silently leak false negatives through
+    val corpus0 = hashed(Seq.empty[(Long, String)])
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus0.select("content_hash"), idx, numShards = 4L)
+    val epoch1 = hashed((0L until 24L).map(i => (i, s"e1 $i")))
+    val a1 = BloomIndex.admit(spark, idx, epoch1, corpus0)
+    assert(a1.count() == 24)
+    BloomIndex.append(spark, idx, a1.select("content_hash"))
+    // the new version still carries all four shard rows
+    assert(spark.read.parquet(s"$idx/v1").count() == 4)
+    val corpus1 = epoch1.select("doc_id", "content_hash")
+    // epoch 2 replays every epoch-1 doc (spanning all shards) + 3 fresh
+    val epoch2 = hashed((0L until 24L).map(i => (100L + i, s"e1 $i")) ++
+      Seq((200L, "f x"), (201L, "f y"), (202L, "f z")))
+    assert(admitted(idx, epoch2, corpus1) == reference(epoch2, corpus1))
+    // and the shard routing is observable: with a poisoned-superset check
+    // (append epoch-2 hashes too), results still never change
+    BloomIndex.append(spark, idx, epoch2.select("content_hash"))
+    assert(admitted(idx, epoch2, corpus1) == reference(epoch2, corpus1),
+      "a superset sharded bloom must not change the admitted set")
+  }
+
   test("mergeBlobs is a membership union of same-geometry blooms") {
     import org.apache.spark.util.sketch.BloomFilter
     val a = BloomFilter.create(100, 4096)
