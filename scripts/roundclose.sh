@@ -27,16 +27,23 @@ declare -a RESULTS
 step() { # step <name> <exitcode>
   if [ "$2" -eq 0 ]; then RESULTS+=("PASS  $1"); else RESULTS+=("FAIL  $1"); fi
 }
+# per-step wall seconds in the summary (VERDICT r15 #5): the close's cost
+# is dominated by a few steps, and the gate-size trim audit needs a
+# number to rank by, not an intuition. Usage: t_start; ... ; t_end -> $DT
+t_start() { T0=$(date +%s); }
+t_end() { DT=$(( $(date +%s) - T0 )); }
 
 if [ "$SKIP_TEST" -eq 0 ]; then
   echo "== [1/4] sbt test =="
+  t_start
   sbt -batch test > "$LOGS/test.log" 2>&1
   trc=$?
+  t_end
   # tail exits 0 on empty input, so test a missing marker explicitly (an
   # early sbt crash never prints the total line)
   ntests=$(grep -Eo 'Total number of tests run: [0-9]+' "$LOGS/test.log" | tail -1)
   [ -n "$ntests" ] || ntests='?'
-  step "sbt test ($ntests)" "$trc"
+  step "sbt test ($ntests) [${DT}s]" "$trc"
 else
   RESULTS+=("SKIP  sbt test")
 fi
@@ -61,18 +68,34 @@ for entry in "${CORPORA[@]}"; do
   dir="${entry% *}"; tag="${entry#* }"
   out="/tmp/verify_rc_$tag"
   rm -rf "$out"
+  t_start
   SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Verify $dir $out" \
     > "$LOGS/verify_$tag.log" 2>&1
   vrc=$?
   python3 scripts/check.py "$out" "$dir" > "$LOGS/check_$tag.log" 2>&1
   crc=$?
+  t_end
   n_ok=$(grep -c ': OK ' "$LOGS/check_$tag.log" || true)
   # every per-query verdict check.py can print: OK / FAIL / SPARK OUTPUT
   # MISSING / ORACLE SQL ERROR — a narrower set would let an errored
   # query vanish from the denominator and read as a perfect score
   n_all=$(grep -cE ': (OK |FAIL |SPARK OUTPUT|ORACLE SQL)' "$LOGS/check_$tag.log" || true)
-  step "gate replay $tag ($n_ok/$n_all hash-exact)" $(( vrc || crc ))
+  step "gate replay $tag ($n_ok/$n_all hash-exact) [${DT}s]" $(( vrc || crc ))
 done
+# the replay logs carry per-entry seconds ([verify] <name> ok in Ns) —
+# surface the slowest entries so the gate-size trim audit ranks by
+# measurement, not intuition (VERDICT r15 #5)
+rm -f "$LOGS/replay_cost.txt"
+grep -h '\[verify\] .* ok in' "$LOGS"/verify_*.log 2>/dev/null \
+  | sed 's/.*\[verify\] //' \
+  | awk '{gsub(/s$/, "", $4); sums[$1] += $4}
+         END {for (q in sums) printf "%s %.1f\n", q, sums[q]}' \
+  | sort -k2 -rn | head -5 \
+  | awk '{printf "INFO  slowest replay entry (all-corpora sum): %s %ss\n", $1, $2}' \
+  > "$LOGS/replay_cost.txt" || true
+if [ -s "$LOGS/replay_cost.txt" ]; then
+  while IFS= read -r l; do RESULTS+=("$l"); done < "$LOGS/replay_cost.txt"
+fi
 
 # Second-scale plan drift (VERDICT r12 #5): stats-driven choices
 # (broadcast-vs-SMJ flips) could legitimately differ by SF; the committed
@@ -85,10 +108,12 @@ sf2_committed=$(ls PLAN_SF0.01_r*.json 2>/dev/null | sort -V | tail -1)
 if [ -z "$sf2_committed" ]; then
   RESULTS+=("FAIL  sf0.01 plan check (no committed PLAN_SF0.01_r*.json)")
 else
+  t_start
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_CPUS="$CPUS" \
     sbt -batch "runMain graft.tools.PlanFingerprint 0 $LOGS/plan_sf001_fresh.json" \
     > "$LOGS/plan_sf001.log" 2>&1
   prc=$?
+  t_end
   pdrift=$(python3 - "$sf2_committed" "$LOGS/plan_sf001_fresh.json" <<'PY'
 import json, sys
 try:
@@ -106,21 +131,23 @@ PY
   elif [ -n "$pdrift" ]; then
     RESULTS+=("FAIL  sf0.01 plans drifted vs $sf2_committed: $pdrift")
   else
-    RESULTS+=("PASS  sf0.01 plans match $sf2_committed")
+    RESULTS+=("PASS  sf0.01 plans match $sf2_committed [${DT}s]")
   fi
 fi
 
 if [ "$SKIP_BENCH" -eq 0 ]; then
   echo "== [3/4] sf0.1 bench =="
+  t_start
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
     sbt -batch "runMain graft.Bench" > "$LOGS/bench.log" 2>&1
   brc=$?
+  t_end
   line=$(grep -E '^\{"metric"' "$LOGS/bench.log" | tail -1)
   nerr=$(printf '%s' "$line" | python3 -c \
     'import json,sys; print(json.load(sys.stdin).get("n_err",99))' 2>/dev/null || echo 99)
   total=$(printf '%s' "$line" | python3 -c \
     'import json,sys; print(json.load(sys.stdin).get("value","?"))' 2>/dev/null || echo '?')
-  step "bench sf0.1 (total ${total}s, n_err $nerr)" $(( brc || nerr != 0 ))
+  step "bench sf0.1 (total ${total}s, n_err $nerr) [${DT}s]" $(( brc || nerr != 0 ))
 
   # the noise-triage rule, automated: a per-query time shift with flat
   # job/stage counts is environment noise; a count change is a plan
@@ -157,9 +184,11 @@ PY
   fi
 
   echo "== [4/4] ScaleBench headlines =="
+  t_start
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
     sbt -batch "runMain graft.ScaleBench" > "$LOGS/scalebench.log" 2>&1
   src=$?
+  t_end
   # budgets: 2x the reference baselines, parsed from BASELINE.md's §1
   # table (ADVICE r12: a hardcoded copy silently goes stale if the
   # baseline document is corrected) — refuse to judge if parsing fails.
@@ -184,7 +213,7 @@ try:
     print(0 if not bad else 1)
 except Exception:
     print(1)' 2>/dev/null || echo 1)
-  step "scalebench headlines within 2x budget" $(( src || inb ))
+  step "scalebench headlines within 2x budget [${DT}s]" $(( src || inb ))
 else
   RESULTS+=("SKIP  bench sf0.1"); RESULTS+=("SKIP  scalebench")
 fi

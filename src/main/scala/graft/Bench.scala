@@ -86,6 +86,16 @@ object Bench {
     // per-sf file name: an sf0.001 smoke run must not clobber the committed
     // sf0.1 round-close artifact sitting in the same working directory
     val detailPath = detailFileName(sfDir)
+    // the COMMITTED close detail, read before this run overwrites the
+    // file: its total and a counts-flatness verdict ride along in the
+    // stdout line (VERDICT r15 #8 — the driver's post-close artifact and
+    // the committed close band are pure time-noise apart whenever the
+    // executed plans are identical, but a reader of the driver artifact
+    // alone could not see that without diffing details by hand).
+    val committedClose =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(detailPath)))
+      catch { case scala.util.control.NonFatal(_) => None }
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
@@ -93,9 +103,42 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft.Bench] could not write $detailPath: $e")
     }
-    println(renderLine(results, sfDir))
+    val closeInfo = committedClose.flatMap(parseCloseDetail).map {
+      case (tot, cJobs, cStages) =>
+        // flat = SAME roster and per-query job+stage medians all equal;
+        // a roster change is itself drift and must not read as flat
+        val flat = results.map(_._1).toSet == cJobs.keySet &&
+          results.forall { case (n, _, j, s, _) =>
+            cJobs.get(n).contains(j) && cStages.get(n).contains(s) }
+        (tot, flat)
+    }
+    println(renderLine(results, sfDir, closeInfo))
     spark.stop()
   }
+
+  /** Parse a committed BENCH_DETAIL file into (total-as-printed,
+    * per-query jobs, per-query stages); None on any malformed content
+    * (a missing or corrupt artifact must not fail the bench run). */
+  private[graft] def parseCloseDetail(content: String):
+      Option[(String, Map[String, Long], Map[String, Long])] =
+    try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(content)
+      def longs(field: String): Map[String, Long] =
+        (j \ field).asInstanceOf[JObject].obj.map {
+          case (k, JInt(v)) => k -> v.toLong
+          case (k, JLong(v)) => k -> v
+          case (k, v) => k -> v.toString.toLong
+        }.toMap
+      val tot = (j \ "value") match {
+        case JDouble(d) =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+        case JDecimal(d) => d.toString
+        case JInt(i) => i.toString
+        case _ => return None
+      }
+      Some((tot, longs("jobs"), longs("stages")))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One result row: (query name, median seconds, median jobs, median
     * stages, first error class if any run failed). */
@@ -169,7 +212,8 @@ object Bench {
     * the full tally is [[renderDetail]]'s file instead (BENCH_METHOD.md
     * rules 7–8). BenchFormatSpec pins the budget against the REAL gate
     * roster. */
-  private[graft] def renderLine(results: Seq[Result], sfDir: String): String = {
+  private[graft] def renderLine(results: Seq[Result], sfDir: String,
+      closeInfo: Option[(String, Boolean)] = None): String = {
     val keys = lineKeys(results.map(_._1))
     val qsLine = results.map { case (k, v, _, _, _) =>
       s"${js(keys(k))}:${sec2(v)}"
@@ -190,7 +234,12 @@ object Bench {
       .map(r => sec2(r._2).toDouble).sum
     val totalStr = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(total))
-    s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsLine$errsLine,"n_ok":$ok,"n_err":${results.size - ok},"sf":${js(sfDir)}}"""
+    // the committed close's total + flatness verdict travel WITH the
+    // driver's number (absent when no committed detail exists for this sf)
+    val closeLine = closeInfo.map { case (tot, flat) =>
+      s""","close_total":$tot,"close_counts_flat":$flat"""
+    }.getOrElse("")
+    s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsLine$errsLine,"n_ok":$ok,"n_err":${results.size - ok},"sf":${js(sfDir)}$closeLine}"""
   }
 
   /** `BENCH_DETAIL_<sf-basename>.json` — e.g. `BENCH_DETAIL_sf0.1.json`. */

@@ -20,8 +20,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // per-entry seconds on stderr: the round close's replay logs then
+      // carry the number the gate-size trim audit ranks candidates by
+      // (VERDICT r15 #5) — no more ranking by intuition
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[verify] %s ok in %.1fs", name,
+          Double.box((System.nanoTime() - t0) / 1e9)))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -25,8 +25,9 @@ class BenchFormatSpec extends AnyFunSuite {
       Option.empty[String]))
 
   test("stdout line fits the harness tail window at the real gate size, " +
-    "with worst-case 3-digit timings") {
-    val line = Bench.renderLine(healthy, "/root/testdata/sf0.1")
+    "with worst-case 3-digit timings AND the close-total rider present") {
+    val line = Bench.renderLine(healthy, "/root/testdata/sf0.1",
+      Some(("99999.994", false)))
     assert(line.length + TailOverheadBudget <= TailWindow,
       s"bench stdout line is ${line.length} chars — the ${TailWindow}-char " +
         "harness tail would truncate it (grow BENCH_DETAIL.json, not the " +
@@ -42,6 +43,25 @@ class BenchFormatSpec extends AnyFunSuite {
       "sf"))
     val n = (parsed \ "queries").asInstanceOf[org.json4s.JObject].obj.size
     assert(n == SparkEntry.queries.size)
+  }
+
+  test("the close-total rider (r16): renderLine carries close_total + " +
+    "close_counts_flat when a committed detail was parsed, and " +
+    "parseCloseDetail round-trips renderDetail incl. the flatness " +
+    "verdict on equal/unequal counts and roster drift") {
+    val parsedLine = JsonMethods.parse(
+      Bench.renderLine(healthy, "/sf", Some(("74.031", true))))
+    assert((parsedLine \ "close_total") == org.json4s.JDouble(74.031))
+    assert((parsedLine \ "close_counts_flat") == org.json4s.JBool(true))
+    // round-trip: the committed detail parses back to its own counts
+    val Some((tot, jobs, stages)) =
+      Bench.parseCloseDetail(Bench.renderDetail(healthy, "/sf"))
+    assert(jobs.keySet == SparkEntry.queries.keySet && tot.nonEmpty)
+    assert(healthy.forall { case (n, _, j, s, _) =>
+      jobs(n) == j && stages(n) == s })
+    // malformed content must degrade to None, never throw
+    assert(Bench.parseCloseDetail("not json").isEmpty)
+    assert(Bench.parseCloseDetail("""{"value":"x"}""").isEmpty)
   }
 
   test("line keys are INJECTIVE over the real roster (a collision would " +

@@ -78,6 +78,35 @@ class TripleStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("auditFooterMap: EXACT branch audits every file at gate scale; " +
+    "above the row threshold it audits the deterministic first/middle/" +
+    "last 3-file sample — never the whole store (r16: a describe must " +
+    "not hide a full corpus scan at 100x)") {
+    val path5 = TripleStore.reshardedPath(spark, sf, toShards = 5)
+    val footer = TripleStore.describeShardsFromLayout(spark, path5)
+      .select("file", "n_rows", "min_subject", "max_subject")
+      .as[(String, Long, String, String)].collect().sortBy(_._1).toSeq
+    // exact branch: threshold far above the store -> all 5 files audited
+    val exactAudited = TripleStore.auditFooterMap(spark, path5, "spec",
+      footer, maxExactRows = Long.MaxValue)
+    assert(exactAudited == footer.map(_._1),
+      s"exact branch must audit every file: $exactAudited")
+    // sampled branch: threshold 0 -> exactly first/middle/last by name,
+    // and the audit still validates (no exception) on those files
+    val sampled = TripleStore.auditFooterMap(spark, path5, "spec",
+      footer, maxExactRows = 0L)
+    assert(sampled == Seq(footer.head._1, footer(footer.size / 2)._1,
+      footer.last._1), s"sampled branch picked $sampled")
+    // the sampled branch still CATCHES divergence on an audited file
+    val poisoned = footer.updated(0,
+      footer.head.copy(_2 = footer.head._2 + 1))
+    val e = intercept[IllegalArgumentException] {
+      TripleStore.auditFooterMap(spark, path5, "spec", poisoned,
+        maxExactRows = 0L)
+    }
+    assert(e.getMessage.contains("diverged"))
+  }
+
   test("shardPredicate filters a changelog to a shard's range box (O5/O11)") {
     val upd = TripleStore.updates(spark, sf)
     val inShard = upd.filter(Lww.shardPredicate("<order_1", "<a", "<order_5", "<z"))
