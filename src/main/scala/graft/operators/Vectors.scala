@@ -247,13 +247,29 @@ object Vectors {
 
   /** [[ivfAssign]] over an explicit `(vec_id, embedding)` frame — the same
     * build for corpora that are not the sf dir's embeddings table (the
-    * scale rehearsal feeds 1M synthetic vectors through it). */
+    * scale rehearsal feeds synthetic vectors through it).
+    *
+    * `trainSampleMod` (r16, the 10M-rehearsal knob): k-means TRAINS on
+    * the deterministic `xxhash64(vec_id) % mod == 0` subsample and only
+    * the final assignment touches the full corpus. At 100 TB this is the
+    * only build shape that works — the quantizer needs a statistically
+    * representative sample, not every row, and the per-iteration cost
+    * drops by the sample factor while the broadcast centroid table and
+    * the one full-corpus assignment pass are unchanged. `mod = 1` (the
+    * default and the gate config, whose DuckDB oracle unrolls the
+    * full-corpus iterations) is byte-identical to the r15 behavior;
+    * seeds are the k lowest vec_ids OF THE TRAIN SET, so the sampled
+    * build stays deterministic and replayable. */
   def ivfAssignVectors(vectors: DataFrame, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
+      iters: Int, trainSampleMod: Long = 1L): (DataFrame, DataFrame) = {
+    require(trainSampleMod >= 1, s"trainSampleMod: $trainSampleMod")
     val e = sphereNormalized(vectors)
-    var centroids = e.orderBy("vec_id").limit(k)
+    val train =
+      if (trainSampleMod == 1L) e
+      else e.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+    var centroids = train.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
-    def assign(cents: DataFrame): DataFrame = assignStep(e, cents)
+    def assign(cents: DataFrame): DataFrame = assignStep(train, cents)
     for (_ <- 1 to iters) {
       val means = assign(centroids)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -272,7 +288,9 @@ object Vectors {
         .select(col("cluster"), coalesce(col("c_new"), col("c_prev")).as("c"))
       centroids = kept.localCheckpoint(true)
     }
-    (assign(centroids).select("vec_id", "cluster", "v"), centroids)
+    // the FINAL assignment covers the full corpus regardless of the
+    // training sample — every vector gets a list
+    (assignStep(e, centroids).select("vec_id", "cluster", "v"), centroids)
   }
 
   /** The IVF PROBE: `nprobe` nearest centroid lists per query, exact cosine
@@ -1017,8 +1035,17 @@ object Vectors {
     * shuffle carries top-k survivors, never the corpus
     * (PipelineSpec pins both plan claims). Recall vs the exact float
     * baseline rides in q71's artifact (`n_hits_int8`) every round. */
-  def q85QuantizedTopk(spark: SparkSession, dir: String): DataFrame = {
-    val qv = quantizedInts(table(spark, dir, "embeddings"))
+  def q85QuantizedTopk(spark: SparkSession, dir: String): DataFrame =
+    quantizedServingTopk(table(spark, dir, "embeddings"), TopK)
+      .orderBy("query_id", "rank")
+
+  /** The int8 serving kernel over an explicit `(vec_id, embedding)` frame
+    * — q85's exact query body, exposed so the 10M-vector rehearsal
+    * (VectorScaleBench) runs the PRODUCTION serving scan, not a copy
+    * (the ivfAssignVectors convention). Queries follow the gate
+    * convention: `vec_id < ` [[NumQueries]]. */
+  def quantizedServingTopk(vectors: DataFrame, topk: Int): DataFrame = {
+    val qv = quantizedInts(vectors)
       .filter(col("max_abs_micro") > 0)
       .select(col("vec_id"), col("q"),
         expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))
@@ -1048,8 +1075,7 @@ object Vectors {
             (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
           4).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= TopK)
-      .orderBy("query_id", "rank")
+      .filter(col("rank") <= topk)
   }
 
   val q85Sql: String =
