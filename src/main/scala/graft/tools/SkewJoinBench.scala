@@ -40,14 +40,23 @@ object SkewJoinBench {
 
     // skewed corpus: k disjoint copies (subjects suffixed per copy), then
     // 90 % of rows re-tagged onto one hot predicate — materialized once so
-    // every shape joins the identical input
+    // every shape joins the identical input. DISK-resident above the r12
+    // replicate (the 10× run holds ~40M string triples — an in-heap
+    // localCheckpoint of that is exactly the class the r15 PageRank
+    // rehearsal OOM'd on; parquet also matches what a cluster run scans)
     val base = TripleStore.triples(spark, sfDir)
-    val skewed = (0 until replicate).map { i =>
+    val built = (0 until replicate).map { i =>
       base.withColumn("subject", concat(col("subject"), lit(s"#$i")))
     }.reduce(_ union _)
       .withColumn("predicate",
         when(rand(7) < 0.9, lit("<hotPredicate>")).otherwise(col("predicate")))
-      .localCheckpoint(true)
+    val skewed =
+      if (replicate <= 8) built.localCheckpoint(true)
+      else {
+        val p = sys.props("java.io.tmpdir") + "/graft_skewbench_corpus"
+        built.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
     val nRows = skewed.count()
     val dim = skewed.select(col("predicate")).distinct()
       .withColumn("pred_len", length(col("predicate")).cast("long"))
