@@ -405,10 +405,18 @@ object TripleStore {
       label: String, footer: Seq[(String, Long, String, String)],
       maxExactRows: Long = FooterAuditMaxRows): Seq[String] = {
     import spark.implicits._
+    val exact = footer.map(_._2).sum <= maxExactRows
     val picked =
-      if (footer.map(_._2).sum <= maxExactRows) footer
+      if (exact) footer
       else Seq(0, footer.size / 2, footer.size - 1).distinct.map(footer)
-    val actual = spark.read.parquet(picked.map(f => s"$path/${f._1}"): _*)
+    // the exact branch reads the WHOLE DIRECTORY, not the footer-listed
+    // files: an orphan data file the footer walk skipped (a non-`part-`
+    // name from a foreign writer — invisible to describeShardsFromLayout
+    // yet read by every store consumer) then surfaces as a footer-vs-data
+    // mismatch instead of silently escaping the audit (r16 review); the
+    // sampled branch necessarily names its files explicitly.
+    val actual = (if (exact) spark.read.parquet(path)
+      else spark.read.parquet(picked.map(f => s"$path/${f._1}"): _*))
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), min(col("subject")).as("mn"),
         max(col("subject")).as("mx"))

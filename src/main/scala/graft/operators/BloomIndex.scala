@@ -213,6 +213,28 @@ object BloomIndex {
     // probe and again for the merge join.
     val adds = shardedBlooms(admittedHashes, expected, numBits, numShards)
       .localCheckpoint(true)
+    // the checkpoint's blocks are released DETERMINISTICALLY on every
+    // path out of this call (round-conventions trap #3: relying on
+    // GC + ContextCleaner loses the race under a steady-state ingest —
+    // each append would otherwise strand its full add bitset in executor
+    // storage, exactly the accumulation the sharding exists to avoid)
+    try appendFrom(spark, adds, curPath, curV, path,
+      expected, numBits, nAppends, numShards)
+    finally {
+      adds.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+      ()
+    }
+  }
+
+  /** [[append]]'s post-checkpoint body — the early return, the
+    * executor-side merge, the staged write and the CAS commit — split
+    * out so the caller's `finally` can release the add-bloom checkpoint
+    * on every exit path. */
+  private def appendFrom(spark: SparkSession, adds: DataFrame,
+      curPath: String, curV: Long, path: String, expected: Long,
+      numBits: Long, nAppends: Long, numShards: Long): Unit = {
     if (adds.isEmpty) return
     import spark.implicits._
     // per-shard OR on EXECUTORS (never through the driver: at 1T hashes

@@ -181,15 +181,21 @@ object DedupScaleBench {
     def maxBlobBytes(path: String): Long =
       spark.read.parquet(s"$path/v0")
         .agg(max(length(col("bloom"))).cast("long")).head().getLong(0)
+    // the smaller build keeps corpus/shard PROPORTIONS exact for any
+    // nShards (a floor-divided shard count with an unadjusted corpus
+    // would make per-shard geometry differ BY DESIGN and fail a healthy
+    // index — e.g. nShards=6: full 10/6 bits/shard vs quarter 10/1)
+    val qShards = math.max(1L, nShards / 4)
+    val qRows = corpusRows * qShards / nShards
     val quarterPath = s"$tmp/graft_dedupscale_index_shq"
     graft.operators.BloomIndex.buildSized(
-      corpus.filter(col("doc_id") < corpusRows / 4).select("content_hash"),
-      quarterPath, corpusRows / 4, corpusRows / 4 * 10,
-      math.max(1L, nShards / 4))
+      corpus.filter(col("doc_id") < qRows).select("content_hash"),
+      quarterPath, qRows, qRows * 10, qShards)
     val (bFull, bQuarter) = (maxBlobBytes(shardedPath), maxBlobBytes(quarterPath))
     // geometry headers differ by a few bytes; flat = within 5%
     val flat = bFull <= bQuarter * 21 / 20 && bQuarter <= bFull * 21 / 20
     println(s"""{"plan":"shard_flatness","n_shards":$nShards,""" +
+      s""""small_rows":$qRows,"small_shards":$qShards,""" +
       s""""per_shard_bytes_full":$bFull,"per_shard_bytes_quarter":$bQuarter,""" +
       s""""flat":$flat}""")
     val agree = dAnti == dBloom && dBloom == dBloom4 && dBloom == dStored &&

@@ -114,11 +114,16 @@ object VectorScaleBench {
       .localCheckpoint(true)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // stableRound, NOT the builtin: the kernels this baseline scores
+    // (ivfProbe, quantizedServingTopk) rank on the stable form, and a
+    // .xxxx5-boundary tie rounding differently here would perturb the
+    // measured recall with a rounding artifact, not index behavior
     def exactTopk() = queries.crossJoin(norm)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
-          "CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4).as("cos_sim"))
+        graft.functions.StableRound.stableRound(
+          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
     val (exact, tExact) = timed(exactTopk().collect())
