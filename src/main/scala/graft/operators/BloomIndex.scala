@@ -33,23 +33,37 @@ import graft.TripleStore.table
   * repartitioned); the per-batch exchange is the batch itself. The index
   * is HASH-RANGE SHARDED (r16): a version holds `num_shards` rows
   * `(shard, bloom, …)`, a hash belongs to shard
-  * `pmod(xxhash64(content_hash), num_shards)`, each shard's bloom is
-  * sized to its share of the keys, and the probe routes through a
-  * per-shard CASE of scalar subqueries (`bloom_might_contain` requires a
-  * constant/subquery blob, so a blob-column join cannot express it). The
-  * append OR runs per shard ON EXECUTORS — the r15 driver-side
-  * single-blob OR was the one piece of the dedup story that did not
-  * survive 1T hashes (1T keys × 10 bits = 1.25 TB through one JVM);
-  * sharded, each task merges one bounded pair of blobs and the per-shard
-  * size stays FLAT as corpus and shard count scale together
-  * (DedupScaleBench's shard mode measures it). `num_shards` is pinned at
-  * [[build]] time into the artifact; 1 (the default, and the q76 gate
-  * config) reproduces the unsharded semantics exactly — same bits, since
-  * a bloom's bitset is a function of the key SET, not of merge order.
-  * Spark's own sketch format is used end-to-end: `bloom_build`
+  * `pmod(xxhash64(content_hash), num_shards)`, and each shard's bloom is
+  * sized to its share of the keys. BOTH halves of the admission path are
+  * shard-bounded end-to-end (r17):
+  *
+  *   - The PROBE routes the batch by shard (`repartition` on the shard
+  *     column) and evaluates membership in a `mapPartitions` task that
+  *     fetches ONLY its shard's blob from the pinned version layout — one
+  *     footer-filtered parquet row read per (version, shard), memoized in
+  *     a bounded per-JVM [[ShardBlobCache]]. No blob ever rides the plan
+  *     or a task binary (the r16 CASE-over-scalar-subqueries probe
+  *     collected EVERY shard's blob into the driver plan — measured 153 s
+  *     vs 15.5 s at 100M hashes / N=32; BloomIndexSpec pins the
+  *     no-literal shape, DedupScaleBench measures the flat wall). Per-task
+  *     probe memory is one bounded shard blob, whatever the index size.
+  *   - The append OR runs per shard ON EXECUTORS — the r15 driver-side
+  *     single-blob OR was the piece that did not survive 1T hashes
+  *     (1T keys × 10 bits = 1.25 TB through one JVM); sharded, each task
+  *     merges one bounded pair of blobs and the per-shard size stays FLAT
+  *     as corpus and shard count scale together (DedupScaleBench's shard
+  *     mode measures it).
+  *
+  * `num_shards` is pinned at [[build]] time into the artifact; 1 (the
+  * default, and the q76 gate config) reproduces the unsharded semantics
+  * exactly — same bits, since a bloom's bitset is a function of the key
+  * SET, not of merge order. A pre-r16 artifact (no `shard`/`num_shards`
+  * columns) is read as a 1-shard index and self-upgrades on its next
+  * append. Spark's own sketch format is used end-to-end: `bloom_build`
   * (BloomFilterAggregate) serializes the very `BloomFilter` that
-  * `bloom_might_contain` and `BloomFilter.readFrom` consume, so the SQL
-  * aggregate builds it and the JVM merges it with no translation. */
+  * `BloomFilter.readFrom`/`mightContainLong` consume, so the SQL
+  * aggregate builds it and the JVM probes/merges it with no
+  * translation. */
 object BloomIndex {
 
   /** Gate-scale geometry (q61's convention): ~10 bits/key at the corpus
@@ -117,40 +131,139 @@ object BloomIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/v0")
   }
 
-  /** One shard's stored bloom as a LAZY scalar subquery (q61's
-    * convention: no eager driver job at plan-construction time, one tiny
-    * filtered parquet read when the query runs, `ReuseSubquery` collapses
-    * repeats). The version is pinned when the plan is BUILT — a
-    * concurrent append does not move it mid-query. */
-  private def storedShard(spark: SparkSession, versionPath: String,
-      shard: Long): Column =
-    spark.read.parquet(versionPath).filter(col("shard") === shard)
-      .select(col("bloom")).scalar()
+  /** Bounded per-JVM cache of deserialized shard blooms, keyed by
+    * (version path, shard). A steady-state ingest probes the same version
+    * repeatedly, so each executor pays each shard's blob fetch ONCE; the
+    * access-order LRU bound keeps resident memory at
+    * `capacity × per-shard-blob` — and the per-shard blob is exactly the
+    * quantity the sharding keeps bounded as the corpus scales. Keys of
+    * superseded versions (appends move the version path) age out through
+    * the same bound. Loads run OUTSIDE the map lock: a racing duplicate
+    * fetch of one shard is benign (idempotent, last write wins), while a
+    * lock held across a blob read would serialize every other shard's
+    * probe behind one task's I/O. */
+  private[graft] object ShardBlobCache {
+    private val Capacity = 64
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long),
+          Option[org.apache.spark.util.sketch.BloomFilter]](16, 0.75f, true) {
+        override protected def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long),
+              Option[org.apache.spark.util.sketch.BloomFilter]]): Boolean =
+          size() > Capacity
+      })
+    def get(key: (String, Long))(
+        load: => Option[org.apache.spark.util.sketch.BloomFilter])
+        : Option[org.apache.spark.util.sketch.BloomFilter] = {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else { val v = load; cache.put(key, v); v }
+    }
+    private[graft] def clear(): Unit = cache.clear()
+    private[graft] def entryCount(): Int = cache.size()
+  }
+
+  /** Task-side fetch of ONE shard's blob from a version directory: list
+    * the part files, open each with a `shard = s` record filter until the
+    * row is found. The filter prunes at ROW-GROUP level from footer
+    * statistics (parquet-mr's RowGroupFilter), so a non-matching file
+    * costs one footer read and zero data pages — the fetch reads exactly
+    * one bounded blob however many shards the version holds. A version
+    * with no `shard` column (pre-r16 artifact) is a 1-shard index: its
+    * single row is the shard-0 blob. Returns None for a NULL bloom (the
+    * shard holds no corpus keys — definitively not-a-duplicate); a
+    * MISSING shard row is corruption (every version carries all
+    * `num_shards` rows by construction) and fails loudly. */
+  private[graft] def fetchShardBlob(conf: org.apache.hadoop.conf.Configuration,
+      versionPath: String, shard: Long, hasShardCol: Boolean)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val dir = new org.apache.hadoop.fs.Path(versionPath)
+    val parts = dir.getFileSystem(conf).listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getName)
+    var blob: Option[Array[Byte]] = null
+    val it = parts.iterator
+    while (blob == null && it.hasNext) {
+      val b0 = org.apache.parquet.hadoop.ParquetReader.builder(
+        new org.apache.parquet.hadoop.example.GroupReadSupport(), it.next())
+        .withConf(conf)
+      val reader = (if (hasShardCol)
+        b0.withFilter(FilterCompat.get(FilterApi.eq(
+          FilterApi.longColumn("shard"), java.lang.Long.valueOf(shard))))
+      else b0).build()
+      try {
+        var g = reader.read()
+        while (blob == null && g != null) {
+          val s = if (hasShardCol) g.getLong("shard", 0) else 0L
+          if (s == shard)
+            blob = if (g.getFieldRepetitionCount("bloom") == 0) None
+              else Some(g.getBinary("bloom", 0).getBytes)
+          else g = reader.read()
+        }
+      } finally reader.close()
+    }
+    require(blob != null,
+      s"BloomIndex: shard $shard row missing from $versionPath — every " +
+        "version carries all num_shards rows; the artifact is corrupt or " +
+        "not a bloom index")
+    blob.map(bytes => org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new ByteArrayInputStream(bytes)))
+  }
+
+  /** The probe's synthesized hash column (dropped before the result). */
+  private val HashCol = "__graft_bloom_h"
 
   /** Admit a batch against the corpus using the STORED bloom: q52's exact
     * relation through q61's routed plan, with the build step replaced by
-    * tiny artifact reads. The probe is a shard-routed CASE over one
-    * scalar subquery PER SHARD — `bloom_might_contain` accepts only
-    * constant/subquery blobs, so this is the shape that keeps the probe
-    * declarative; the subqueries each read one filtered row once per
-    * query, and only the matching branch's verdict is taken per row.
-    * `coalesce(probe, false)` keeps the empty/null edge exact (a NULL
-    * shard bloom means that shard of the corpus holds no keys, so
-    * admitting its rows with no exact check IS the NOT-EXISTS answer).
-    * The one eager step is a single-row metadata read for `num_shards`
-    * at plan construction (the shard count shapes the expression). */
+    * tiny artifact reads. The probe is TASK-SIDE (r17): the batch is
+    * shard-routed (`repartition` on the shard column, so each task
+    * touches ~one shard), and a `mapPartitions` evaluates
+    * `mightContainLong` against the blob fetched through
+    * [[ShardBlobCache]]/[[fetchShardBlob]] — per-task probe memory is one
+    * bounded shard blob, and no blob appears in the plan or task binary
+    * (the r16 CASE of per-shard scalar subqueries eagerly collected every
+    * shard's blob to the driver and shipped all of them with every task).
+    * The hash travels as a COLUMN (`xxhash64`, codegen'd) so the JVM
+    * probe only reads a long, bit-identical to the SQL `bloom_build`
+    * input. A None blob (NULL shard bloom: that shard of the corpus holds
+    * no keys) admits its rows with no exact check — the NOT-EXISTS
+    * answer. The one eager step is a single-row metadata read for
+    * `num_shards` at plan construction (the shard count shapes the
+    * routing); a pre-r16 artifact without that column reads as 1-shard
+    * with no routing exchange. */
   def admit(spark: SparkSession, path: String, batch: DataFrame,
       corpus: DataFrame): DataFrame = {
     val ver = latest(spark, path)._1
-    val numShards = spark.read.parquet(ver)
-      .select(col("num_shards")).head().getLong(0)
-    val h = xxhash64(col("content_hash"))
-    val probe = (0L until numShards).foldLeft(when(lit(false), lit(false))) {
-      (acc, s) => acc.when(pmod(h, lit(numShards)) === s,
-        call_function("bloom_might_contain",
-          storedShard(spark, ver, s), h))
-    }
-    val probed = batch.withColumn("maybe_dup", coalesce(probe, lit(false)))
+    val verDf = spark.read.parquet(ver)
+    val hasShards = verDf.schema.fieldNames.contains("num_shards")
+    val numShards =
+      if (hasShards) verDf.select(col("num_shards")).head().getLong(0) else 1L
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val hashed = batch.withColumn(HashCol, xxhash64(col("content_hash")))
+    val routed =
+      if (numShards > 1)
+        hashed.repartition(numShards.toInt, pmod(col(HashCol), lit(numShards)))
+      else hashed
+    val outSchema = org.apache.spark.sql.types.StructType(
+      routed.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "maybe_dup", org.apache.spark.sql.types.BooleanType, nullable = false))
+    val hIdx = routed.schema.fieldIndex(HashCol)
+    val probed = routed.mapPartitions { rows =>
+      rows.map { r =>
+        val hv = r.getLong(hIdx)
+        val s = java.lang.Math.floorMod(hv, numShards)
+        val bf = ShardBlobCache.get((ver, s))(
+          fetchShardBlob(conf.value, ver, s, hasShards))
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ bf.exists(_.mightContainLong(hv)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).drop(HashCol)
     val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
     val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
     val hits = corpus
@@ -200,7 +313,13 @@ object BloomIndex {
   def append(spark: SparkSession, path: String,
       admittedHashes: DataFrame): Unit = {
     val (curPath, curV) = latest(spark, path)
-    val meta = spark.read.parquet(curPath)
+    // pre-r16 artifact (no shard columns) = a 1-shard index; the upgraded
+    // frame writes the next version in the sharded schema (self-upgrade)
+    val cur0 = spark.read.parquet(curPath)
+    val cur =
+      if (cur0.schema.fieldNames.contains("num_shards")) cur0
+      else cur0.withColumn("shard", lit(0L)).withColumn("num_shards", lit(1L))
+    val meta = cur
       .select("expected", "num_bits", "n_appends", "num_shards").head()
     val (expected, numBits) = (meta.getLong(0), meta.getLong(1))
     val (nAppends, numShards) = (meta.getLong(2), meta.getLong(3))
@@ -218,7 +337,7 @@ object BloomIndex {
     // GC + ContextCleaner loses the race under a steady-state ingest —
     // each append would otherwise strand its full add bitset in executor
     // storage, exactly the accumulation the sharding exists to avoid)
-    try appendFrom(spark, adds, curPath, curV, path,
+    try appendFrom(spark, adds, cur, curV, path,
       expected, numBits, nAppends, numShards)
     finally {
       adds.queryExecution.analyzed.collectFirst {
@@ -233,7 +352,7 @@ object BloomIndex {
     * out so the caller's `finally` can release the add-bloom checkpoint
     * on every exit path. */
   private def appendFrom(spark: SparkSession, adds: DataFrame,
-      curPath: String, curV: Long, path: String, expected: Long,
+      cur: DataFrame, curV: Long, path: String, expected: Long,
       numBits: Long, nAppends: Long, numShards: Long): Unit = {
     if (adds.isEmpty) return
     import spark.implicits._
@@ -241,7 +360,7 @@ object BloomIndex {
     // the total bitset is TBs even though each shard's is bounded). The
     // join is full-width — every version carries all num_shards rows —
     // and a shard with no additions passes through byte-identically.
-    val merged = spark.read.parquet(curPath)
+    val merged = cur
       .select(col("shard"), col("bloom").as("cur_bloom"))
       .join(adds.select(col("shard"), col("bloom").as("add_bloom")),
         Seq("shard"), "left_outer")

@@ -302,6 +302,129 @@ class BloomIndexSpec extends AnyFunSuite {
       "a superset sharded bloom must not change the admitted set")
   }
 
+  test("the probe ships NO blob (r17): the admit plan carries no multi-KB " +
+    "literal token and no bloom scalar subquery — blobs are fetched " +
+    "task-side through the per-JVM cache (the q61 no-literal convention, " +
+    "extended to the sharded index)") {
+    val corpus = hashed((0L until 2000L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    // default gate geometry: 1<<20 bits => ~128 KB total blob, ~16 KB per
+    // shard at N=8 — any blob leaked into the plan or a literal would
+    // surface as one giant token
+    BloomIndex.build(corpus.select("content_hash"), idx, numShards = 8L)
+    val batch = hashed(Seq((9000L, "doc 7"), (9001L, "fresh x")))
+    val q = BloomIndex.admit(spark, idx, batch, corpus)
+    val plans = q.queryExecution.analyzed.toString +
+      q.queryExecution.executedPlan.toString
+    assert(plans.split("\\s+").forall(_.length < 4096),
+      "plan contains a huge literal token — bloom bytes leaked into the plan")
+    assert(!plans.contains("bloom_might_contain"),
+      "the r16 scalar-subquery CASE probe is retired; the probe must be " +
+        "task-side")
+    assert(plans.contains("MapPartitions"),
+      s"expected the task-side mapPartitions probe in the plan:\n$plans")
+    // and the shard routing is a real exchange on the shard column
+    assert(q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sharded admit must shard-route the batch")
+    assert(admitted(idx, batch, corpus) == reference(batch, corpus))
+  }
+
+  test("fetchShardBlob reads exactly one shard's blob from the pinned " +
+    "version layout: per-shard membership matches per-shard keys, a NULL " +
+    "shard is None, and a missing shard row fails loudly") {
+    val corpus = hashed((0L until 400L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    BloomIndex.build(corpus.select("content_hash"), idx, numShards = 4L)
+    val conf = spark.sessionState.newHadoopConf()
+    val ver = s"$idx/v0"
+    // the corpus keys, grouped by the index's own shard function
+    val byShard = corpus
+      .select(xxhash64(col("content_hash")).as("h"))
+      .as[Long].collect().groupBy(h => java.lang.Math.floorMod(h, 4L))
+    (0L until 4L).foreach { s =>
+      val bf = BloomIndex.fetchShardBlob(conf, ver, s, hasShardCol = true)
+      byShard.get(s) match {
+        case Some(keys) =>
+          assert(bf.nonEmpty, s"shard $s should carry a bloom")
+          assert(keys.forall(bf.get.mightContainLong),
+            s"shard $s bloom lost a member — false negative")
+          // keys of OTHER shards are overwhelmingly absent (fp ~1%): the
+          // fetched blob is that shard's, not a merged or foreign one
+          val foreign = byShard.filter(_._1 != s).values.flatten.toSeq
+          val fpos = foreign.count(bf.get.mightContainLong)
+          assert(fpos < foreign.size / 4,
+            s"shard $s bloom matches $fpos/${foreign.size} foreign keys — " +
+              "wrong blob fetched")
+        case None => assert(bf.isEmpty, s"empty shard $s must fetch None")
+      }
+    }
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.fetchShardBlob(conf, ver, 99L, hasShardCol = true)
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("a pre-r16 artifact (no shard/num_shards columns) reads as a " +
+    "1-shard index: admit matches the anti-join relation and the next " +
+    "append self-upgrades the schema") {
+    val corpus = hashed((0L until 30L).map(i => (i, s"doc $i")))
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    // the r15 layout verbatim: one row, no shard columns
+    corpus.select(call_function("bloom_build",
+        xxhash64(col("content_hash")), lit(BloomIndex.Expected),
+        lit(BloomIndex.NumBits)).as("bloom"))
+      .select(col("bloom"), lit(BloomIndex.Expected).as("expected"),
+        lit(BloomIndex.NumBits).as("num_bits"), lit(0L).as("n_appends"))
+      .coalesce(1).write.parquet(s"$idx/v0")
+    val batch = hashed(Seq((100L, "doc 3"), (101L, "fresh a"),
+      (102L, "fresh b"), (103L, "fresh b")))
+    assert(admitted(idx, batch, corpus) == reference(batch, corpus))
+    val a = BloomIndex.admit(spark, idx, batch, corpus)
+    BloomIndex.append(spark, idx, a.select("content_hash"))
+    val v1 = spark.read.parquet(s"$idx/v1")
+    assert(v1.schema.fieldNames.contains("num_shards") &&
+      v1.select("num_shards").head().getLong(0) == 1L,
+      "append over a legacy artifact must write the sharded schema")
+    // the upgraded index rejects the replay
+    val corpus1 = corpus.unionByName(batch.select("doc_id", "content_hash"))
+    assert(admitted(idx, batch, corpus1).isEmpty)
+  }
+
+  test("ShardBlobCache memoizes per (version, shard) and stays bounded " +
+    "under arbitrarily many distinct keys") {
+    BloomIndex.ShardBlobCache.clear()
+    var loads = 0
+    def load(): Option[org.apache.spark.util.sketch.BloomFilter] = {
+      loads += 1; None
+    }
+    (0 until 200).foreach { i =>
+      BloomIndex.ShardBlobCache.get(("vX", i.toLong))(load())
+    }
+    assert(loads == 200)
+    assert(BloomIndex.ShardBlobCache.entryCount() <= 64,
+      "cache must evict above its bound")
+    // a re-probe of a recent key is a hit, not a load
+    BloomIndex.ShardBlobCache.get(("vX", 199L))(load())
+    assert(loads == 200, "recent key must be served from the cache")
+    BloomIndex.ShardBlobCache.clear()
+  }
+
+  test("a serialized bloom's size is a pure function of its (expected, " +
+    "numBits) geometry — the formula DedupScaleBench's shard-size report " +
+    "relies on (blob size is parameter-determined, not data-dependent)") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(f: BloomFilter): Int = {
+      val o = new java.io.ByteArrayOutputStream(); f.writeTo(o); o.size()
+    }
+    val a = BloomFilter.create(1000, 1 << 16)
+    val b = BloomFilter.create(1000, 1 << 16)
+    (1L to 900L).foreach(a.putLong)
+    b.putLong(7L) // near-empty vs near-full: same geometry, same bytes
+    assert(ser(a) == ser(b))
+    // and the size scales with numBits, not with insert count
+    assert(ser(BloomFilter.create(1000, 1 << 17)) > ser(a))
+  }
+
   test("mergeBlobs is a membership union of same-geometry blooms") {
     import org.apache.spark.util.sketch.BloomFilter
     val a = BloomFilter.create(100, 4096)
