@@ -86,16 +86,25 @@ object Bench {
     // per-sf file name: an sf0.001 smoke run must not clobber the committed
     // sf0.1 round-close artifact sitting in the same working directory
     val detailPath = detailFileName(sfDir)
-    // the COMMITTED close detail, read before this run overwrites the
-    // file: its total and a counts-flatness verdict ride along in the
-    // stdout line (VERDICT r15 #8 — the driver's post-close artifact and
-    // the committed close band are pure time-noise apart whenever the
-    // executed plans are identical, but a reader of the driver artifact
-    // alone could not see that without diffing details by hand).
+    // the COMMITTED close detail: its total and a counts-flatness verdict
+    // ride along in the stdout line (VERDICT r15 #8 — the driver's
+    // post-close artifact and the committed close band are pure time-noise
+    // apart whenever the executed plans are identical, but a reader of the
+    // driver artifact alone could not see that without diffing details by
+    // hand). Read from `git show HEAD:<path>` so the rider really compares
+    // against the COMMITTED close, not whatever stale local run last
+    // overwrote the working-tree file (r16 ADVICE); the working-tree read
+    // is only the fallback for a non-repo checkout.
     val committedClose =
-      try Some(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(detailPath)))
-      catch { case scala.util.control.NonFatal(_) => None }
+      (try {
+        val silent = scala.sys.process.ProcessLogger(_ => ())
+        Some(scala.sys.process.Process(
+          Seq("git", "show", s"HEAD:$detailPath")).!!(silent))
+      } catch { case scala.util.control.NonFatal(_) => None })
+      .orElse(
+        try Some(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(detailPath)))
+        catch { case scala.util.control.NonFatal(_) => None })
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()

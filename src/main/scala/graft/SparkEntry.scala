@@ -209,10 +209,15 @@ object SparkEntry {
     // approximate index's QUERY form, still oracle-exact because every
     // argmax is deterministically tie-broken (see Vectors.q66IvfTopk).
     "q66_ivf_topk" -> (Vectors.q66IvfTopk(_, _)),
-    // The anti-entropy merge through a REAL readStream (JSONL wire files →
-    // micro-batched LWW merge into a seeded store) — same relation, and
-    // oracle, as q3; the gate row that actually executes a streaming query.
-    "q67_stream_merge" -> (graft.streaming.StreamingGate.q67StreamMerge(_, _)),
+    // NOTE r17 trim: q67_stream_merge (the monolithic readStream merge)
+    // was retired from the gate once q83_stream_restart carried its
+    // SECOND judged-green round (r15+r16 — the same retire-the-subsumed-
+    // twin condition q21 and q75 met): q83's phase-1 IS q67's relation
+    // (same JSONL wire export, same mergeIntoStore sink, q3's oracle
+    // verbatim) plus the checkpoint-restart proof on top, and q79 runs
+    // the same replay through the partitioned sink. q67StreamMerge stays
+    // the spec baseline — StreamingLwwSpec pins its replay ≡ the q3 batch
+    // merge relation in-process.
     // LSH-bucketed ANN top-k — the query form of q22's bucketing, the LSH
     // sibling of q66's IVF probe (deterministic planes, exact oracle).
     "q68_lsh_topk" -> (Vectors.q68LshTopk(_, _)),
@@ -437,7 +442,6 @@ object SparkEntry {
     "q64_mix_plan"         -> Docs.q64Sql,
     "q65_neardup_risk"     -> Docs.q65Sql,
     "q66_ivf_topk"         -> Vectors.q66Sql,
-    "q67_stream_merge"     -> MergeOracleSql,
     "q68_lsh_topk"         -> Vectors.q68Sql,
     "q69_zorder_probe" ->
       s"""WITH ${TripleStore.TriplesCte}

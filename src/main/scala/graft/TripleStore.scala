@@ -405,6 +405,22 @@ object TripleStore {
       label: String, footer: Seq[(String, Long, String, String)],
       maxExactRows: Long = FooterAuditMaxRows): Seq[String] = {
     import spark.implicits._
+    // BOTH branches first reconcile the directory's file LISTING against
+    // the footer map's file set — an FS metadata op, zero data pages, so
+    // it is honest at any store size. This closes the sampled branch's
+    // orphan blind spot (r16 review): a foreign data file (any non-`part-`
+    // name from another writer — invisible to describeShardsFromLayout's
+    // footer walk, yet read by every store consumer) now fails the audit
+    // above maxExactRows too, where the 3-file data sample could never
+    // meet it.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val listed = root.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    require(listed.toSet == footer.map(_._1).toSet,
+      s"q84 $label: directory listing diverged from the footer map — " +
+        s"orphan or missing data file:\n  listed:  ${listed.sorted}\n" +
+        s"  footers: ${footer.map(_._1).sorted}")
     val exact = footer.map(_._2).sum <= maxExactRows
     val picked =
       if (exact) footer

@@ -340,10 +340,13 @@ object Multimodal {
   /** Once-per-session materialization of q77's synthetic containers as REAL
     * `<doc_id>.<ext>` files in a tmp directory — the fixture that lets the
     * production [[mediaFromFiles]] source execute in the driver gate. The
-    * writer is driver-side by design (q80's documented gate-scale-export
-    * pattern: a bounded fixture generator, not the operator under test; a
-    * real media lake already exists as files), memoized per sf dir with the
-    * replay scaffolds' shutdown-hook cleanup discipline. */
+    * writer is DISTRIBUTED (r17): `foreachPartition` generates and writes
+    * each partition's files executor-side, so the fixture generator scales
+    * with the cluster instead of funnelling every container through one
+    * driver loop (the r16 `collect()` shape was MediaScaleBench's 10M-file
+    * bottleneck; in local mode the executors share the driver's tmp FS, and
+    * on a real cluster the target would be a shared FS path). Memoized per
+    * sf dir with the replay scaffolds' shutdown-hook cleanup discipline. */
   def mediaFilesPath(spark: SparkSession, dir: String): String =
     mediaFiles.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files
@@ -351,16 +354,30 @@ object Multimodal {
       sys.addShutdownHook {
         graft.streaming.StreamingLww.deleteRecursively(new java.io.File(out))
       }
-      import spark.implicits._
-      table(spark, dir, "documents").select(col("doc_id")).as[Long]
-        .collect().foreach { id =>
-          val (bytes, ext) = syntheticContainer(id)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(out, s"$id.$ext"), bytes)
-          ()
-        }
+      writeContainerFiles(spark, table(spark, dir, "documents")
+        .select(col("doc_id")), out)
       out
     })
+
+  /** Executor-side container-file writer: one `<doc_id>.<ext>` file per
+    * input row, generated and written inside `foreachPartition` (the
+    * closure captures only the target path — [[syntheticContainer]] is
+    * re-derived per row from the id). Creates the target dir per task:
+    * a no-op where the driver already made it (local mode), load-bearing
+    * on executors with their own FS view. */
+  private[graft] def writeContainerFiles(spark: SparkSession,
+      docIds: org.apache.spark.sql.DataFrame, out: String): Unit = {
+    import spark.implicits._
+    docIds.as[Long].foreachPartition { (ids: Iterator[Long]) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      ids.foreach { id =>
+        val (bytes, ext) = syntheticContainer(id)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, s"$id.$ext"), bytes)
+        ()
+      }
+    }
+  }
 
   /** Q82: the production media SOURCE driver-gated end-to-end — the one
     * media path q77 still bypassed (it synthesizes container bytes in a

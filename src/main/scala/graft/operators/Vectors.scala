@@ -267,6 +267,17 @@ object Vectors {
     val train =
       if (trainSampleMod == 1L) e
       else e.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+    // a sampled trainer must still carry >= k rows or the quantizer is
+    // degenerate (fewer seeds than clusters -> empty/short centroid set ->
+    // silently empty assignment); fail loudly naming the knob. Guarded to
+    // the sampled path so the mod=1 gate config pays no extra job.
+    if (trainSampleMod > 1L) {
+      val nTrain = train.limit(k).count()
+      require(nTrain == k,
+        s"ivfAssignVectors: the training subsample (xxhash64(vec_id) % " +
+          s"$trainSampleMod == 0) holds only $nTrain rows — fewer than " +
+          s"k=$k clusters; lower trainSampleMod or k")
+    }
     var centroids = train.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
     def assign(cents: DataFrame): DataFrame = assignStep(train, cents)

@@ -62,6 +62,14 @@ object StreamingGate {
       storePath
     })
 
+  /** Q67 — SPEC-ONLY since r17 (gate entry retired under the q21/q75
+    * trim condition once q83 carried its second judged-green round):
+    * [[q83StreamRestart]]'s phase-1 is this exact relation (same JSONL
+    * wire export, same [[StreamingLww.mergeIntoStore]] sink, q3's oracle
+    * verbatim) plus the checkpoint-restart proof, and q79 replays the
+    * same wire through the partitioned sink. StreamingLwwSpec pins this
+    * replay ≡ the q3 batch merge in-process; it was the replay's pure-
+    * overlap cost (~4 streaming micro-batch runs × 4 corpora per close). */
   def q67StreamMerge(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ran, dir, "graft_stream_gate") {
       (src, storePath, ckpt) =>

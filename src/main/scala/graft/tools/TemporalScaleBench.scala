@@ -85,7 +85,8 @@ object TemporalScaleBench {
         wins, Seq("user_id"), "ts_ms", "w_start", "w_end", windowMs)
       .groupBy("user_id", "win_id")
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.functions.StableRound.stableRound(sum(col("value")), 2)
+          .as("sum_value"))
     val r0 = settled()
     val (nRange, tRange) = timed(runAndCount(rangeDf))
     val rangeShuffled = settled() - r0
@@ -96,7 +97,8 @@ object TemporalScaleBench {
     val buildDf = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_ms"),
         col("event_id").as("purchase_id"),
-        round(col("value"), 2).as("purchase_value"))
+        graft.functions.StableRound.stableRound(col("value"), 2)
+          .as("purchase_value"))
     val asofDf = Temporal.asofJoin(probeDf, buildDf, Seq("user_id"),
       "ts_ms", "ts_ms", "event_id", "purchase_id",
       Seq("purchase_id", "purchase_value"), Some(windowMs))

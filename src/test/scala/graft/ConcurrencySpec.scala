@@ -30,7 +30,10 @@ class ConcurrencySpec extends AnyFunSuite {
     "q63_clf_score", "q64_mix_plan",
     // round-8: the memoized IVF index layout (concurrent first probes must
     // block on ONE build) and the once-per-session streaming-replay store
-    "q66_ivf_topk", "q67_stream_merge",
+    // (q67_stream_merge held this slot until its r17 retirement; q83 runs
+    // the same JSONL replay scaffold across TWO query incarnations over
+    // one checkpoint — a strictly larger concurrent-memoization surface)
+    "q66_ivf_topk", "q83_stream_restart",
     // round-9: the broadcast-query LSH probe (q68), the memoized z-ordered
     // layout (q69 — concurrent first probes must block on ONE ETL write),
     // and the once-per-session streaming dedup-store replay (q70)

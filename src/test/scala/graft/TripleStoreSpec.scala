@@ -107,6 +107,41 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("diverged"))
   }
 
+  test("auditFooterMap: a planted ORPHAN data file (foreign non-part name " +
+    "the footer walk never sees) fails the audit in BOTH branches — the " +
+    "listing-vs-footer reconciliation is an FS metadata op, so the " +
+    "sampled branch catches it too (r17, the r16 sampled-branch blind " +
+    "spot)") {
+    val path5 = TripleStore.reshardedPath(spark, sf, toShards = 5)
+    val footer = TripleStore.describeShardsFromLayout(spark, path5)
+      .select("file", "n_rows", "min_subject", "max_subject")
+      .as[(String, Long, String, String)].collect().sortBy(_._1).toSeq
+    val orphan = java.nio.file.Paths.get(
+      path5.stripPrefix("file:"), "foreign-writer-0.parquet")
+    java.nio.file.Files.writeString(orphan, "not a shard")
+    try {
+      val eExact = intercept[IllegalArgumentException] {
+        TripleStore.auditFooterMap(spark, path5, "spec", footer,
+          maxExactRows = Long.MaxValue)
+      }
+      assert(eExact.getMessage.contains("orphan or missing"), eExact.getMessage)
+      val eSampled = intercept[IllegalArgumentException] {
+        TripleStore.auditFooterMap(spark, path5, "spec", footer,
+          maxExactRows = 0L)
+      }
+      assert(eSampled.getMessage.contains("orphan or missing"),
+        eSampled.getMessage)
+    } finally {
+      // the layout is memoized per session — leave it clean for q84's own
+      // gate entry and every later consumer
+      java.nio.file.Files.deleteIfExists(orphan)
+      ()
+    }
+    // and the audit is green again once the orphan is gone
+    TripleStore.auditFooterMap(spark, path5, "spec", footer,
+      maxExactRows = 0L)
+  }
+
   test("shardPredicate filters a changelog to a shard's range box (O5/O11)") {
     val upd = TripleStore.updates(spark, sf)
     val inShard = upd.filter(Lww.shardPredicate("<order_1", "<a", "<order_5", "<z"))
