@@ -334,6 +334,78 @@ object Vectors {
       .filter(col("rank") <= topk)
   }
 
+  /** [[ivfProbe]] over an INT8-AT-REST lists layout (rows
+    * `(vec_id, cluster, max_abs_micro, q)` — [[ivfAppendBatchQuantized]]'s
+    * projection): identical routing and ranking, with the float decode
+    * placed AFTER the cluster join, so only the PROBED nprobe/k share of
+    * the index ever pays it. This ordering is the operator's reason to
+    * exist: handing [[ivfProbe]] a decoded VIEW of the quantized lists
+    * plants the (interpreted, higher-order) decode in a projection BELOW
+    * the join, where every corpus row pays it before pruning — measured
+    * 40× the float probe's wall at 1M (VectorScaleBench r17). Queries
+    * decode through the `vec_id` pushdown (NumQueries rows); candidates
+    * score as `dot(qv, d) / ||d||` — the same cosine [[ivfProbe]] computes
+    * over a pre-normalized side, re-associated so no per-element lambda
+    * captures an expensive column (the float results can differ from the
+    * view form only within one ulp before the 4-decimal stable round;
+    * PipelineSpec pins row-for-row equality on the embeddings fixture).
+    * Sentinel rows are excluded like the serving kernel's validity
+    * filter. */
+  def ivfProbeQuantized(lists: DataFrame, centroids: DataFrame,
+      nprobe: Int, topk: Int): DataFrame = {
+    val decode = "transform(q, x -> CAST(x AS DOUBLE) * max_abs_micro" +
+      " / 127000000.0D)"
+    // the O(d) normalize: norm factor ONCE into a column, then one divide
+    // per element. Value-identical to sphereNormalized's inline form (same
+    // aggregate, same sqrt, same per-element divide — only the evaluation
+    // COUNT changes), but higher-order lambdas are interpreted, so the
+    // inline form's per-ELEMENT re-aggregation costs O(d²) per row — a
+    // real constant at probe cardinality.
+    val normSq = "sqrt(aggregate(zip_with(d, d, (a, b) -> a * b), " +
+      "CAST(0 AS DOUBLE), (acc, p) -> acc + p))"
+    val valid = lists.filter(col("max_abs_micro") > 0)
+    val queries = valid.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), expr(decode).as("d"))
+      .select(col("query_id"), col("d"), expr(normSq).as("nrm"))
+      .select(col("query_id"), expr("transform(d, x -> x / nrm)").as("qv"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cluster"),
+        expr("aggregate(zip_with(qv, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
+          .as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("cluster"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    // probes is queries × nprobe rows — ALWAYS broadcast (without the hint
+    // the stats-blind window output drives the planner to shuffle the full
+    // lists side into a sort-merge join: measured as the probe's dominant
+    // cost at 1M)
+    broadcast(probes)
+      .join(valid.select("vec_id", "cluster", "max_abs_micro", "q"),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // decode AFTER the join: only probed rows pay it. The candidate side
+      // is deliberately NEVER normalized as an array — cos(qv, d) =
+      // dot(qv, d) / ||d|| with both folds as TOP-LEVEL expressions. An
+      // array normalize here is the O(d²) trap in a second disguise:
+      // CollapseProject inlines a single-use norm column INTO the divide
+      // lambda, where it re-evaluates per element (interpreted), and the
+      // probe pays 64× the fold work per candidate (measured: the probe's
+      // dominant cost at 1M even after the join was broadcast).
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        expr(decode).as("d"))
+      .select(col("query_id"), col("neighbor_id"),
+        stableRound(
+          expr("aggregate(zip_with(qv, d, (a, b) -> a * b), " +
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").cast("double") /
+            expr(normSq), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topk)
+  }
+
   /** Build-then-probe in one call (the test/ad-hoc path; the serving path
     * probes the [[ivfIndexPath]] layout instead of rebuilding). */
   def ivfTopk(spark: SparkSession, dir: String, k: Int, nprobe: Int,
@@ -422,7 +494,34 @@ object Vectors {
     * such remnant, and a compactor can also dedup on vec_id directly. */
   def ivfAppendBatch(spark: SparkSession, indexPath: String,
       batch: DataFrame, batchId: Option[Long] = None,
-      streamId: String = "default"): Unit = {
+      streamId: String = "default"): Unit =
+    ivfAppendRows(spark, indexPath, batchId, streamId)(
+      cents => ivfAssignBatch(batch, cents))
+
+  /** [[ivfAppendBatch]] for an INT8-AT-REST lists layout (rows are
+    * `(vec_id, cluster, max_abs_micro, q)` — [[quantizedStoreRows]]'s
+    * projection plus the assigned cluster): the same frozen-centroid
+    * assignment kernel decides the cluster, the stored row is the q58
+    * codec's. The assignment joins back to the batch's quantized rows on
+    * vec_id — batch-bounded, and broadcast at crawl cardinality. Same
+    * marker/replay contract as the float form (shared [[ivfAppendRows]]
+    * body). */
+  def ivfAppendBatchQuantized(spark: SparkSession, indexPath: String,
+      batch: DataFrame, batchId: Option[Long] = None,
+      streamId: String = "default"): Unit =
+    ivfAppendRows(spark, indexPath, batchId, streamId) { cents =>
+      ivfAssignBatch(batch, cents).select("vec_id", "cluster")
+        .join(quantizedStoreRows(batch), Seq("vec_id"))
+    }
+
+  /** The shared append body: the replay-marker CAS, the cluster-clustered
+    * file-level append, the marker commit — one owner so the float and
+    * int8-at-rest layouts cannot drift on the replay contract. `rows`
+    * receives the frozen centroid table and must return the layout's row
+    * projection with a `cluster` column. */
+  private def ivfAppendRows(spark: SparkSession, indexPath: String,
+      batchId: Option[Long], streamId: String)(
+      rows: DataFrame => DataFrame): Unit = {
     val scope = streamId.replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = batchId.map(id => new org.apache.hadoop.fs.Path(
       s"$indexPath/lists", s"_applied_${scope}_batch_$id"))
@@ -433,7 +532,7 @@ object Vectors {
         s"${batchId.get} of stream $scope already applied at $indexPath: " +
         "replay suppressed")
     else {
-      ivfAssignBatch(batch, spark.read.parquet(s"$indexPath/centroids"))
+      rows(spark.read.parquet(s"$indexPath/centroids"))
         .repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
         .write.mode("append").parquet(s"$indexPath/lists")
@@ -1055,8 +1154,39 @@ object Vectors {
     * (VectorScaleBench) runs the PRODUCTION serving scan, not a copy
     * (the ivfAssignVectors convention). Queries follow the gate
     * convention: `vec_id < ` [[NumQueries]]. */
-  def quantizedServingTopk(vectors: DataFrame, topk: Int): DataFrame = {
-    val qv = quantizedInts(vectors)
+  def quantizedServingTopk(vectors: DataFrame, topk: Int): DataFrame =
+    quantizedServingTopkFromStore(quantizedInts(vectors), topk)
+
+  /** The q58 codec's STORAGE projection `(vec_id, max_abs_micro, q)` — the
+    * row an int8-at-rest embedding store persists (4× smaller than float32
+    * at rest, and the only representation that fits a 100M × 64-dim corpus
+    * on this sandbox's disk: ~6.4 GB of payload vs ~26 GB float32 /
+    * ~51 GB float64). [[dequantizedView]] is its decode;
+    * [[quantizedServingTopkFromStore]] serves directly from it. */
+  def quantizedStoreRows(vectors: DataFrame): DataFrame =
+    quantizedInts(vectors).select("vec_id", "max_abs_micro", "q")
+
+  /** Decode of [[quantizedStoreRows]] back to a float `(vec_id, embedding)`
+    * view — map-only row-local arithmetic over the int8 scan (the
+    * 100 TB shape: int8 at rest, float views derived on demand, nothing
+    * rematerialized). Sentinel rows (scale −1: zero/degenerate vectors
+    * with no serving representation) are excluded, mirroring the serving
+    * kernel's validity filter. */
+  def dequantizedView(qstore: DataFrame): DataFrame =
+    qstore.filter(col("max_abs_micro") > 0)
+      .select(col("vec_id"),
+        expr("transform(q, x -> CAST(x AS DOUBLE) * max_abs_micro" +
+          " / 127000000.0D)").as("embedding"))
+
+  /** [[quantizedServingTopk]]'s body over an ALREADY-quantized store row
+    * set ([[quantizedStoreRows]]'s projection, or [[quantizedInts]]'s
+    * superset) — one owner so the inline-quantizing gate form and the
+    * int8-at-rest serving scan (VectorScaleBench's 100M rung reads the
+    * stored representation, paying int8 scan bandwidth, not float) cannot
+    * drift. */
+  def quantizedServingTopkFromStore(qstore: DataFrame,
+      topk: Int): DataFrame = {
+    val qv = qstore
       .filter(col("max_abs_micro") > 0)
       .select(col("vec_id"), col("q"),
         expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))

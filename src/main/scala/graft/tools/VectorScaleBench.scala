@@ -38,7 +38,11 @@ import graft.operators.Vectors
   *
   * Usage: SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
   *   sbt "runMain graft.tools.VectorScaleBench [rows] [k] [nprobe]
-  *        [trainMod] [batchRows]"
+  *        [trainMod] [batchRows] [store: float|int8]"
+  *
+  * `store=int8` (r17, the 100M rung) persists the corpus and lists as the
+  * q58 codec's int8 rows and runs every leg against that representation —
+  * see the mode comment in `main`.
   */
 object VectorScaleBench {
 
@@ -83,22 +87,120 @@ object VectorScaleBench {
     def f(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    // int8-at-rest mode (r17, the 100M rung): the corpus is PERSISTED as
+    // the q58 codec's storage row (quantizedStoreRows — ~6.4 GB of int8
+    // payload at 100M × 64 dims, where float32 is ~26 GB and the
+    // normalized float64 lists ~51 GB: the only representation that fits
+    // the sandbox disk, and the 100 TB story q85 claims). Every leg then
+    // exercises the int8-at-rest shapes: the build trains and assigns on
+    // the DEQUANTIZED on-the-fly view, the lists layout stores
+    // (vec_id, cluster, max_abs_micro, q), the probe decodes inside the
+    // scan, the serving leg reads the quantized parquet directly
+    // (quantizedServingTopkFromStore — true int8 scan bandwidth), and the
+    // append runs ivfAppendBatchQuantized. The exact float baseline is
+    // the deterministic generator re-evaluated on the fly (compute-only,
+    // never stored) so recall is still scored against FLOAT truth.
+    val int8AtRest = args.length > 5 && args(5) == "int8"
     val tmp = sys.props("java.io.tmpdir")
     val corpusPath = s"$tmp/graft_vecscale_corpus"
+    val floatPath = s"$tmp/graft_vecscale_float"
     val layout = s"$tmp/graft_vecscale_index"
-    synthVectors(spark, rows, k)
-      .write.mode("overwrite").parquet(corpusPath)
+    if (int8AtRest) {
+      // the float corpus exists only TRANSIENTLY: written once, scanned
+      // once by the exact baseline below, deleted before the build
+      // materializes the quantized lists (26 GB float32 at 100M — the
+      // disk budget that forces int8-at-rest in the first place). The
+      // quantized store derives from the parquet, not the generator, so
+      // quantization pays a scan, not a second interpreted generator pass.
+      synthVectors(spark, rows, k).write.mode("overwrite").parquet(floatPath)
+      Vectors.quantizedStoreRows(spark.read.parquet(floatPath))
+        .write.mode("overwrite").parquet(corpusPath)
+    } else
+      synthVectors(spark, rows, k).write.mode("overwrite").parquet(corpusPath)
     val vecs = spark.read.parquet(corpusPath)
     val nVecs = vecs.count()
+
+    // exact float baseline: brute-force cosine top-k for the 5 queries —
+    // always against FLOAT truth (never the quantized store's own decode,
+    // which would hide the codec's recall cost). stableRound, NOT the
+    // builtin: the kernels this baseline scores rank on the stable form,
+    // and a .xxxx5-boundary tie rounding differently here would perturb
+    // the measured recall with a rounding artifact, not index behavior.
+    def exactLeg(norm: DataFrame): (Array[org.apache.spark.sql.Row], Double) = {
+      val queries = norm.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      timed(queries.crossJoin(norm)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.StableRound.stableRound(
+            expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
+              "CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .collect())
+    }
+    // int8 mode runs the exact leg FIRST (it needs the transient float
+    // corpus, normalized inline), then frees the float parquet for the
+    // build's shuffle; float mode keeps the r13/r16 order (exact reads
+    // the already-normalized lists after the build)
+    // int8 mode's exact scan works on the UN-normalized float rows:
+    // cos = dot(qv, d) / ||d|| with both folds as TOP-LEVEL expressions —
+    // O(d) interpreted work per candidate row. Normalizing the corpus side
+    // first is a trap either way: inline normalize re-aggregates the norm
+    // per ELEMENT (O(d²) interpreted — measured 431 s at 1M), and
+    // materializing normalized rows behind an exchange is a 52 GB shuffle
+    // at 100M (the disk budget again). Same arithmetic, same stableRound;
+    // only the division point differs from the float mode's pre-normalized
+    // scan — a measurement baseline, not a hashed relation.
+    def exactLegRaw(raw: DataFrame): (Array[org.apache.spark.sql.Row], Double) = {
+      val queries = raw.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("d"),
+          expr("sqrt(aggregate(zip_with(d, d, (a, b) -> a * b), " +
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p))").as("nrm"))
+        .select(col("query_id"), expr("transform(d, x -> x / nrm)").as("qv"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      timed(queries.crossJoin(raw)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.StableRound.stableRound(
+            expr("aggregate(zip_with(qv, d, (a, b) -> a * b), " +
+              "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").cast("double") /
+              expr("sqrt(aggregate(zip_with(d, d, (a, b) -> a * b), " +
+                "CAST(0 AS DOUBLE), (acc, p) -> acc + p))"),
+            4).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .collect())
+    }
+    val exactPre =
+      if (int8AtRest) {
+        val r = exactLegRaw(spark.read.parquet(floatPath)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("d")))
+        val fp = new org.apache.hadoop.fs.Path(floatPath)
+        fp.getFileSystem(spark.sessionState.newHadoopConf()).delete(fp, true)
+        Some(r)
+      } else None
 
     // index build: spherical k-means (3 iterations, gate convention) on
     // the 1/trainMod sample, full-corpus final assignment, written as the
     // ivfIndexPath layout (cluster-clustered lists + centroid table) so
-    // the append leg exercises the REAL on-disk maintenance path
+    // the append leg exercises the REAL on-disk maintenance path. In
+    // int8-at-rest mode the stored list row joins the assignment back to
+    // the quantized store (the float v is never materialized to disk).
     val (nAssigned, tBuild) = timed {
-      val (assigned, centroids) =
-        Vectors.ivfAssignVectors(vecs, k, iters = 3, trainSampleMod = trainMod)
-      assigned.repartitionByRange(col("cluster"))
+      val (assigned, centroids) = Vectors.ivfAssignVectors(
+        if (int8AtRest) Vectors.dequantizedView(vecs) else vecs,
+        k, iters = 3, trainSampleMod = trainMod)
+      (if (int8AtRest)
+        assigned.select("vec_id", "cluster").join(vecs, Seq("vec_id"))
+      else assigned)
+        .repartitionByRange(col("cluster"))
         .sortWithinPartitions("cluster", "vec_id")
         .write.mode("overwrite").parquet(s"$layout/lists")
       centroids.write.mode("overwrite").parquet(s"$layout/centroids")
@@ -107,38 +209,30 @@ object VectorScaleBench {
     val lists = spark.read.parquet(s"$layout/lists")
     val centroids = spark.read.parquet(s"$layout/centroids")
 
-    // exact float baseline: brute-force cosine top-k for the 5 queries
-    val norm = lists.select(col("vec_id"), col("v"))
-    val queries = norm.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      .localCheckpoint(true)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    // stableRound, NOT the builtin: the kernels this baseline scores
-    // (ivfProbe, quantizedServingTopk) rank on the stable form, and a
-    // .xxxx5-boundary tie rounding differently here would perturb the
-    // measured recall with a rounding artifact, not index behavior
-    def exactTopk() = queries.crossJoin(norm)
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        graft.functions.StableRound.stableRound(
-          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
-            "CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-    val (exact, tExact) = timed(exactTopk().collect())
+    val (exact, tExact) =
+      exactPre.getOrElse(exactLeg(lists.select(col("vec_id"), col("v"))))
     val exactSets = sets(exact)
 
-    // IVF probe over the on-disk layout, median of 3
-    def ivf() = Vectors.ivfProbe(lists, centroids, nprobe, TopK)
+    // IVF probe over the on-disk layout, median of 3. int8-at-rest goes
+    // through ivfProbeQuantized — the decode runs AFTER the cluster join
+    // prunes to the probed lists (a decoded view hands ivfProbe a
+    // below-the-join decode that every corpus row pays: 40× at 1M)
+    def ivf() =
+      if (int8AtRest) Vectors.ivfProbeQuantized(lists, centroids, nprobe, TopK)
+      else Vectors.ivfProbe(lists, centroids, nprobe, TopK)
     val (approx, tIvf0) = timed(ivf().collect())
     val (_, tIvf1) = timed(ivf().collect())
     val (_, tIvf2) = timed(ivf().collect())
     val tIvf = Seq(tIvf0, tIvf1, tIvf2).sorted.apply(1)
     val ivfRecall = recallOf(exactSets, sets(approx))
 
-    // int8 serving scan: q85's production kernel on the quantized corpus
-    def int8() = Vectors.quantizedServingTopk(vecs, TopK)
+    // int8 serving scan: q85's production kernel — over the STORED
+    // quantized rows in int8-at-rest mode (true int8 scan bandwidth, no
+    // inline quantization pass), inline-quantizing the float corpus
+    // otherwise
+    def int8() =
+      if (int8AtRest) Vectors.quantizedServingTopkFromStore(vecs, TopK)
+      else Vectors.quantizedServingTopk(vecs, TopK)
     val (int8Rows, tInt80) = timed(int8().collect())
     val (_, tInt81) = timed(int8().collect())
     val (_, tInt82) = timed(int8().collect())
@@ -148,22 +242,26 @@ object VectorScaleBench {
     // incremental ingest: one crawl batch through ivfAppendBatch (frozen
     // centroids, file-level append), identity + replay both asserted
     val batch = synthVectors(spark, batchRows, k, idOffset = rows)
-    val (_, tAppend) = timed {
-      Vectors.ivfAppendBatch(spark, layout, batch,
+    def append(): Unit =
+      if (int8AtRest) Vectors.ivfAppendBatchQuantized(spark, layout, batch,
         batchId = Some(0L), streamId = "vecscale")
-    }
+      else Vectors.ivfAppendBatch(spark, layout, batch,
+        batchId = Some(0L), streamId = "vecscale")
+    val (_, tAppend) = timed(append())
     val grown = spark.read.parquet(s"$layout/lists").count()
     val appendOk = grown == nAssigned + batchRows
     // replay suppression: the same batchId must be a no-op
-    Vectors.ivfAppendBatch(spark, layout, batch,
-      batchId = Some(0L), streamId = "vecscale")
+    append()
     val replayOk = spark.read.parquet(s"$layout/lists").count() == grown
     // the grown layout still probes (cold, informational)
+    val grownLists = spark.read.parquet(s"$layout/lists")
     val (_, tIvfGrown) = timed(
-      Vectors.ivfProbe(spark.read.parquet(s"$layout/lists"),
-        centroids, nprobe, TopK).collect())
+      (if (int8AtRest)
+        Vectors.ivfProbeQuantized(grownLists, centroids, nprobe, TopK)
+      else Vectors.ivfProbe(grownLists, centroids, nprobe, TopK)).collect())
 
     println(s"""{"metric":"vector_scale","vectors":$nVecs,"dim":$Dim,""" +
+      s""""store":"${if (int8AtRest) "int8" else "float"}",""" +
       s""""k":$k,"nprobe":$nprobe,"train_mod":$trainMod,""" +
       s""""indexed":$nAssigned,"build_sec":${f(tBuild)},""" +
       s""""exact_topk_sec":${f(tExact)},"ivf_topk_sec":${f(tIvf)},""" +

@@ -467,6 +467,67 @@ class PipelineSpec extends AnyFunSuite {
       s"cross-stream append broke the scope: max copies $counts (want 3)")
   }
 
+  test("int8-at-rest IVF (r17): ivfProbeQuantized over a quantized lists " +
+    "layout returns exactly ivfProbe over the decoded normalized view " +
+    "(the quantized probe moves the decode above the cluster join and " +
+    "re-associates the cosine as dot/norm — ulp-equivalent under the " +
+    "4-decimal stable round), and ivfAppendBatchQuantized preserves list " +
+    "membership + the replay guard") {
+    val emb = TripleStore.table(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val (_, cents) = Vectors.ivfAssign(spark, sf, k = 8, iters = 3)
+    // the int8-at-rest layout: assignment from the DEQUANTIZED view (the
+    // store is the source of truth), rows carry the q58 codec projection
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    val qstore = Vectors.quantizedStoreRows(corpus).localCheckpoint(true)
+    Vectors.ivfAssignBatch(Vectors.dequantizedView(qstore), cents)
+      .select("vec_id", "cluster")
+      .join(qstore, Seq("vec_id"))
+      .repartitionByRange(col("cluster"))
+      .sortWithinPartitions("cluster", "vec_id")
+      .write.parquet(s"$out/lists")
+    cents.write.parquet(s"$out/centroids")
+    val lists = spark.read.parquet(s"$out/lists")
+    // the decoded view, built from the SAME decode+normalize forms
+    val view = lists.filter(col("max_abs_micro") > 0)
+      .select(col("vec_id"), col("cluster"),
+        expr("transform(q, x -> CAST(x AS DOUBLE) * max_abs_micro" +
+          " / 127000000.0D)").as("d"))
+      .select(col("vec_id"), col("cluster"), expr(
+        "transform(d, x -> x / sqrt(aggregate(zip_with(d, d, (a, b) -> " +
+          "a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))").as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val viaQuantized = rows(
+      Vectors.ivfProbeQuantized(lists, cents, nprobe = 2, topk = 5))
+    val viaView = rows(Vectors.ivfProbe(view, cents, nprobe = 2, topk = 5))
+    assert(viaQuantized.nonEmpty && viaQuantized.sameElements(viaView),
+      "quantized probe diverged from ivfProbe over the decoded view")
+    // quantized append: membership equals the float append's choice
+    // (same frozen-centroid assignment kernel), replay guard intact
+    Vectors.ivfAppendBatchQuantized(spark, out, batch, batchId = Some(3L))
+    Vectors.ivfAppendBatchQuantized(spark, out, batch, batchId = Some(3L))
+    val grown = spark.read.parquet(s"$out/lists")
+    assert(grown.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0L,
+      "guarded quantized replay duplicated vec_ids")
+    val incQ = grown.filter(col("vec_id") % 10 >= 8)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val incF = Vectors.ivfAssignBatch(batch, cents)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(incQ.keySet == incF.keySet,
+      "quantized append dropped or invented batch vectors")
+    // cluster choice may differ only through the codec's own rounding of
+    // the vector DIRECTION; on the real embeddings fixture it should not
+    val moved = incQ.count { case (id, c) => incF(id) != c }
+    assert(moved == 0, s"$moved batch vectors changed cluster under int8")
+    // and the grown quantized layout still probes
+    assert(rows(Vectors.ivfProbeQuantized(grown, cents,
+      nprobe = 2, topk = 5)).nonEmpty)
+  }
+
   test("q71 recall gate: IVF recall clears the floor with margin, LSH " +
     "recall rides along unfloored, and a broken floor raises LOUDLY") {
     val rows = Vectors.q71AnnRecall(spark, sf)
