@@ -43,10 +43,12 @@ import graft.TripleStore.table
   *     footer-filtered parquet row read per (version, shard), memoized in
   *     a bounded per-JVM [[ShardBlobCache]]. No blob ever rides the plan
   *     or a task binary (the r16 CASE-over-scalar-subqueries probe
-  *     collected EVERY shard's blob into the driver plan — measured 153 s
-  *     vs 15.5 s at 100M hashes / N=32; BloomIndexSpec pins the
-  *     no-literal shape, DedupScaleBench measures the flat wall). Per-task
-  *     probe memory is one bounded shard blob, whatever the index size.
+  *     collected EVERY shard's blob into the driver plan — 153 s at 100M
+  *     hashes / N=32 vs 26.8 s for this shape, whose cost over the 14.2 s
+  *     single-blob probe is the batch-bounded routing exchange + N bounded
+  *     blob fetches, both constants in the corpus; BloomIndexSpec pins the
+  *     no-literal shape, DedupScaleBench measures it). Per-task probe
+  *     memory is one bounded shard blob, whatever the index size.
   *   - The append OR runs per shard ON EXECUTORS — the r15 driver-side
   *     single-blob OR was the piece that did not survive 1T hashes
   *     (1T keys × 10 bits = 1.25 TB through one JVM); sharded, each task
