@@ -95,15 +95,26 @@ object Bench {
     // against the COMMITTED close, not whatever stale local run last
     // overwrote the working-tree file (r16 ADVICE); the working-tree read
     // is only the fallback for a non-repo checkout.
-    val committedClose =
+    // `git -C <detail dir>` + a path RELATIVE TO that dir (`./<name>`), so
+    // resolution works from any JVM cwd — a bare `git show HEAD:<path>`
+    // resolves repo-root-relative against the PROCESS cwd and, from any
+    // other directory, silently fell through to the working-tree fallback:
+    // exactly the stale-local-run comparison the HEAD read was added to
+    // prevent (ADVICE r17). The rider carries WHICH source answered
+    // (`close_src`) so a consumer can tell a committed-close comparison
+    // from the non-repo fallback instead of inferring it.
+    val detailDir = new java.io.File(detailPath).getAbsoluteFile.getParent
+    val committedClose: Option[(String, String)] =
       (try {
         val silent = scala.sys.process.ProcessLogger(_ => ())
-        Some(scala.sys.process.Process(
-          Seq("git", "show", s"HEAD:$detailPath")).!!(silent))
+        Some((scala.sys.process.Process(
+          Seq("git", "-C", detailDir, "show",
+            s"HEAD:./${new java.io.File(detailPath).getName}")).!!(silent),
+          "head"))
       } catch { case scala.util.control.NonFatal(_) => None })
       .orElse(
-        try Some(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(detailPath)))
+        try Some((java.nio.file.Files.readString(
+          java.nio.file.Paths.get(detailPath)), "worktree"))
         catch { case scala.util.control.NonFatal(_) => None })
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -112,14 +123,15 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft.Bench] could not write $detailPath: $e")
     }
-    val closeInfo = committedClose.flatMap(parseCloseDetail).map {
-      case (tot, cJobs, cStages) =>
+    val closeInfo = committedClose.flatMap { case (content, src) =>
+      parseCloseDetail(content).map { case (tot, cJobs, cStages) =>
         // flat = SAME roster and per-query job+stage medians all equal;
         // a roster change is itself drift and must not read as flat
         val flat = results.map(_._1).toSet == cJobs.keySet &&
           results.forall { case (n, _, j, s, _) =>
             cJobs.get(n).contains(j) && cStages.get(n).contains(s) }
-        (tot, flat)
+        (tot, flat, src)
+      }
     }
     println(renderLine(results, sfDir, closeInfo))
     spark.stop()
@@ -222,7 +234,7 @@ object Bench {
     * rules 7–8). BenchFormatSpec pins the budget against the REAL gate
     * roster. */
   private[graft] def renderLine(results: Seq[Result], sfDir: String,
-      closeInfo: Option[(String, Boolean)] = None): String = {
+      closeInfo: Option[(String, Boolean, String)] = None): String = {
     val keys = lineKeys(results.map(_._1))
     val qsLine = results.map { case (k, v, _, _, _) =>
       s"${js(keys(k))}:${sec2(v)}"
@@ -245,8 +257,8 @@ object Bench {
       Double.box(total))
     // the committed close's total + flatness verdict travel WITH the
     // driver's number (absent when no committed detail exists for this sf)
-    val closeLine = closeInfo.map { case (tot, flat) =>
-      s""","close_total":$tot,"close_counts_flat":$flat"""
+    val closeLine = closeInfo.map { case (tot, flat, src) =>
+      s""","close_total":$tot,"close_counts_flat":$flat,"close_src":${js(src)}"""
     }.getOrElse("")
     s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qsLine$errsLine,"n_ok":$ok,"n_err":${results.size - ok},"sf":${js(sfDir)}$closeLine}"""
   }

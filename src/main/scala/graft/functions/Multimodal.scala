@@ -368,6 +368,20 @@ object Multimodal {
   private[graft] def writeContainerFiles(spark: SparkSession,
       docIds: org.apache.spark.sql.DataFrame, out: String): Unit = {
     import spark.implicits._
+    // the java.nio target is resolved on EXECUTOR filesystems: correct in
+    // local mode (executors share the driver's tmp FS) and on any shared
+    // mount, silently WRONG on a non-local master without one — each
+    // executor would write its shard of the fixture to its own local disk
+    // and the driver-side read would see a partial or empty directory.
+    // Fail loudly at the boundary instead of producing an incomplete
+    // fixture (ADVICE r17); a cluster deployment must pass a shared-FS
+    // path and flip this guard deliberately.
+    require(spark.sparkContext.isLocal,
+      s"writeContainerFiles targets a local java.nio path ($out) but the " +
+        s"master is ${spark.sparkContext.master} — on a distributed " +
+        "master the per-executor writes would not land on one shared " +
+        "filesystem; point `out` at a shared mount and relax this guard " +
+        "deliberately")
     docIds.as[Long].foreachPartition { (ids: Iterator[Long]) =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       ids.foreach { id =>

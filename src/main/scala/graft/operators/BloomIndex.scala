@@ -133,36 +133,114 @@ object BloomIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/v0")
   }
 
+  /** A shard blob's cache identity: the index root, the version NUMBER,
+    * the version directory's CONTENT fingerprint, and the shard. The
+    * fingerprint (part-file names + lengths + mtimes, hashed) is what
+    * makes an in-place rebuild visible: [[buildSized]] overwrites the
+    * fixed `v0` path, so a (path, shard) key alone would keep serving the
+    * PRE-rebuild blooms — and a stale bloom answering `false` skips the
+    * exact corpus check entirely, silently admitting duplicates (the one
+    * failure class the module's superset contract forbids; ADVICE r17).
+    * Appends never need it (they bump the version number), but rebuilds
+    * reuse the slot. */
+  private[graft] final case class BlobKey(root: String, version: Long,
+      fingerprint: String, shard: Long)
+
+  /** Driver-side fingerprint of a version directory's data files — one
+    * listing at plan construction, carried into the probe tasks as part
+    * of the cache key. */
+  private[graft] def versionFingerprint(
+      conf: org.apache.hadoop.conf.Configuration,
+      versionPath: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(versionPath)
+    val listing = dir.getFileSystem(conf).listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
   /** Bounded per-JVM cache of deserialized shard blooms, keyed by
-    * (version path, shard). A steady-state ingest probes the same version
-    * repeatedly, so each executor pays each shard's blob fetch ONCE; the
-    * access-order LRU bound keeps resident memory at
-    * `capacity × per-shard-blob` — and the per-shard blob is exactly the
-    * quantity the sharding keeps bounded as the corpus scales. Keys of
-    * superseded versions (appends move the version path) age out through
-    * the same bound. Loads run OUTSIDE the map lock: a racing duplicate
-    * fetch of one shard is benign (idempotent, last write wins), while a
-    * lock held across a blob read would serialize every other shard's
-    * probe behind one task's I/O. */
+    * [[BlobKey]]. A steady-state ingest probes the same version
+    * repeatedly, so each executor pays each shard's blob fetch ONCE. The
+    * bound is RESIDENT BYTES, not an entry count (ADVICE r17: at
+    * numShards=1 each entry is the ENTIRE index blob — 64 such entries of
+    * a 125 MB blob would pin ~8 GB; weighting by the filter's bitset size
+    * caps the cache at a fixed memory budget whatever the shard
+    * geometry). Entries of SUPERSEDED states of the same index — older
+    * versions (appends move the version number) or a different content
+    * fingerprint of the same version (an in-place rebuild) — are dropped
+    * EAGERLY when a newer state's blob loads, so a steady-state ingest
+    * never carries more than one generation per index. Loads run OUTSIDE
+    * the lock: a racing duplicate fetch of one shard is benign
+    * (idempotent, first insert wins), while a lock held across a blob
+    * read would serialize every other shard's probe behind one task's
+    * I/O; the lock guards only map mutation, so the per-row cost the
+    * probe tasks see is one short critical section per (task, shard) —
+    * [[probePlan]]'s per-partition memo keeps it off the per-row path. */
   private[graft] object ShardBlobCache {
-    private val Capacity = 64
-    private val cache = java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long),
-          Option[org.apache.spark.util.sketch.BloomFilter]](16, 0.75f, true) {
-        override protected def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long),
-              Option[org.apache.spark.util.sketch.BloomFilter]]): Boolean =
-          size() > Capacity
-      })
-    def get(key: (String, Long))(
+    /** Byte budget; test-tunable (specs starve it to prove bounded churn). */
+    @volatile private[graft] var maxBytes: Long = 256L << 20
+    /** Cache-miss loads — specs assert the probe's fetch count stays
+      * `≤ tasks × shards-per-task` even under a starved budget. */
+    private[graft] val loads = new java.util.concurrent.atomic.AtomicLong
+    private final case class Entry(bytes: Long,
+        bf: Option[org.apache.spark.util.sketch.BloomFilter])
+    private val lock = new Object
+    // access-order: iteration is eldest-first, so byte-bound eviction
+    // pops the head
+    private val cache = new java.util.LinkedHashMap[BlobKey, Entry](16, 0.75f, true)
+    private var resident = 0L
+
+    def get(key: BlobKey)(
         load: => Option[org.apache.spark.util.sketch.BloomFilter])
         : Option[org.apache.spark.util.sketch.BloomFilter] = {
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else { val v = load; cache.put(key, v); v }
+      val hit = lock.synchronized(cache.get(key))
+      if (hit != null) hit.bf
+      else {
+        val v = load
+        loads.incrementAndGet()
+        // bitSize is the dominant term; the constant covers object headers
+        // and the None case
+        val w = v.map(_.bitSize() / 8 + 64L).getOrElse(64L)
+        lock.synchronized {
+          if (!cache.containsKey(key)) {
+            // eager drop of superseded states of this index root
+            val it = cache.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val k = e.getKey
+              if (k.root == key.root && (k.version < key.version ||
+                  (k.version == key.version &&
+                    k.fingerprint != key.fingerprint))) {
+                resident -= e.getValue.bytes
+                it.remove()
+              }
+            }
+            cache.put(key, Entry(w, v))
+            resident += w
+            // byte-bound LRU eviction (never the just-inserted entry: a
+            // single over-budget blob must still serve its own probe)
+            val ev = cache.entrySet().iterator()
+            while (resident > maxBytes && cache.size() > 1 && ev.hasNext) {
+              val e = ev.next()
+              if (e.getKey != key) { resident -= e.getValue.bytes; ev.remove() }
+            }
+          }
+        }
+        v
+      }
     }
-    private[graft] def clear(): Unit = cache.clear()
-    private[graft] def entryCount(): Int = cache.size()
+    private[graft] def clear(): Unit = lock.synchronized {
+      cache.clear(); resident = 0L
+    }
+    private[graft] def entryCount(): Int = lock.synchronized(cache.size())
+    private[graft] def residentBytes(): Long = lock.synchronized(resident)
   }
 
   /** Task-side fetch of ONE shard's blob from a version directory: list
@@ -220,33 +298,48 @@ object BloomIndex {
   /** The probe's synthesized hash column (dropped before the result). */
   private val HashCol = "__graft_bloom_h"
 
-  /** Admit a batch against the corpus using the STORED bloom: q52's exact
-    * relation through q61's routed plan, with the build step replaced by
-    * tiny artifact reads. The probe is TASK-SIDE (r17): the batch is
-    * shard-routed (`repartition` on the shard column, so each task
+  /** Release a `localCheckpoint(true)` frame's blocks deterministically —
+    * GC + ContextCleaner loses the race under a steady-state ingest, and
+    * each leaked checkpoint strands its full frame in executor storage
+    * (the module's own convention, shared by [[admit]] and [[append]]). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+    ()
+  }
+
+  /** The PROBE plan — the lazy, shape-pinned half of [[admit]]: the batch
+    * is shard-routed (`repartition` on the shard column, so each task
     * touches ~one shard), and a `mapPartitions` evaluates
     * `mightContainLong` against the blob fetched through
     * [[ShardBlobCache]]/[[fetchShardBlob]] — per-task probe memory is one
     * bounded shard blob, and no blob appears in the plan or task binary
     * (the r16 CASE of per-shard scalar subqueries eagerly collected every
-    * shard's blob to the driver and shipped all of them with every task).
-    * The hash travels as a COLUMN (`xxhash64`, codegen'd) so the JVM
-    * probe only reads a long, bit-identical to the SQL `bloom_build`
-    * input. A None blob (NULL shard bloom: that shard of the corpus holds
-    * no keys) admits its rows with no exact check — the NOT-EXISTS
-    * answer. The one eager step is a single-row metadata read for
+    * shard's blob to the driver and shipped all of them with every task;
+    * BloomIndexSpec pins the no-literal shape HERE). The hash travels as
+    * a COLUMN (`xxhash64`, codegen'd) so the JVM probe only reads a long,
+    * bit-identical to the SQL `bloom_build` input. A None blob (NULL
+    * shard bloom: that shard of the corpus holds no keys) marks its rows
+    * definitively new. The shared cache is consulted once per
+    * (task, shard) through a per-partition memo — not per row, whose
+    * synchronized map access at local[32] is measurable lock contention
+    * (ADVICE r17). The one eager step is a single-row metadata read for
     * `num_shards` at plan construction (the shard count shapes the
-    * routing); a pre-r16 artifact without that column reads as 1-shard
-    * with no routing exchange. */
-  def admit(spark: SparkSession, path: String, batch: DataFrame,
-      corpus: DataFrame): DataFrame = {
-    val ver = latest(spark, path)._1
+    * routing) plus one version-dir listing for the cache fingerprint; a
+    * pre-r16 artifact without the shard column reads as 1-shard with no
+    * routing exchange. */
+  private[graft] def probePlan(spark: SparkSession, path: String,
+      batch: DataFrame): DataFrame = {
+    val (ver, verNum) = latest(spark, path)
     val verDf = spark.read.parquet(ver)
     val hasShards = verDf.schema.fieldNames.contains("num_shards")
     val numShards =
       if (hasShards) verDf.select(col("num_shards")).head().getLong(0) else 1L
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val conf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val root = new org.apache.hadoop.fs.Path(ver).getParent.toString
+    val fp = versionFingerprint(hconf, ver)
     val hashed = batch.withColumn(HashCol, xxhash64(col("content_hash")))
     val routed =
       if (numShards > 1)
@@ -256,27 +349,57 @@ object BloomIndex {
       routed.schema.fields :+ org.apache.spark.sql.types.StructField(
         "maybe_dup", org.apache.spark.sql.types.BooleanType, nullable = false))
     val hIdx = routed.schema.fieldIndex(HashCol)
-    val probed = routed.mapPartitions { rows =>
+    routed.mapPartitions { rows =>
+      // per-task memo: the shared cache's lock is hit once per (task,
+      // shard), and a starved/thrashing shared cache cannot make one task
+      // re-fetch its own shard
+      val local = scala.collection.mutable.LongMap
+        .empty[Option[org.apache.spark.util.sketch.BloomFilter]]
       rows.map { r =>
         val hv = r.getLong(hIdx)
         val s = java.lang.Math.floorMod(hv, numShards)
-        val bf = ShardBlobCache.get((ver, s))(
-          fetchShardBlob(conf.value, ver, s, hasShards))
+        val bf = local.getOrElseUpdate(s,
+          ShardBlobCache.get(BlobKey(root, verNum, fp, s))(
+            fetchShardBlob(conf.value, ver, s, hasShards)))
         org.apache.spark.sql.Row.fromSeq(
           r.toSeq :+ bf.exists(_.mightContainLong(hv)))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema)).drop(HashCol)
-    val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
-    val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
-    val hits = corpus
-      .join(broadcast(pos.select("content_hash").distinct()),
-        Seq("content_hash"), "left_semi")
-      .select("content_hash").distinct()
-    clean
-      .unionByName(pos.join(broadcast(hits), Seq("content_hash"), "left_anti"))
-      .groupBy("content_hash")
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
-      .select("doc_id", "content_hash", "n_in_batch")
+  }
+
+  /** Admit a batch against the corpus using the STORED bloom: q52's exact
+    * relation through q61's routed plan, with the build step replaced by
+    * tiny artifact reads — [[probePlan]] routes, then bloom-negative rows
+    * are admitted with no join at all and bloom-positive rows are
+    * exact-checked against the corpus via the broadcast semi/anti pair.
+    * EAGER (r17 VERDICT #5): the probe feeds three consuming branches
+    * (clean, pos, and pos's broadcast hit set), so the probed frame is
+    * `localCheckpoint(true)`-ed — the routing exchange AND the
+    * mapPartitions probe execute exactly once per batch, not once per
+    * branch — and its batch-sized blocks are released deterministically
+    * before returning (the module's own [[append]] convention). The
+    * returned frame is itself a checkpoint of the RESULT (bounded by the
+    * admitted set, the small end of the batch); a long-running ingest
+    * loop that wants those blocks back immediately can pass it to
+    * [[releaseCheckpoint]] once consumed. */
+  def admit(spark: SparkSession, path: String, batch: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val probed = probePlan(spark, path, batch).localCheckpoint(true)
+    try {
+      val clean = probed.filter(!col("maybe_dup")).drop("maybe_dup")
+      val pos = probed.filter(col("maybe_dup")).drop("maybe_dup")
+      val hits = corpus
+        .join(broadcast(pos.select("content_hash").distinct()),
+          Seq("content_hash"), "left_semi")
+        .select("content_hash").distinct()
+      clean
+        .unionByName(
+          pos.join(broadcast(hits), Seq("content_hash"), "left_anti"))
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+        .select("doc_id", "content_hash", "n_in_batch")
+        .localCheckpoint(true)
+    } finally releaseCheckpoint(probed)
   }
 
   /** OR two serialized blooms of identical geometry — the index append's
@@ -341,12 +464,7 @@ object BloomIndex {
     // storage, exactly the accumulation the sharding exists to avoid)
     try appendFrom(spark, adds, cur, curV, path,
       expected, numBits, nAppends, numShards)
-    finally {
-      adds.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(blocking = false))
-      ()
-    }
+    finally releaseCheckpoint(adds)
   }
 
   /** [[append]]'s post-checkpoint body — the early return, the
@@ -486,8 +604,9 @@ object BloomIndex {
       val epoch1 = hashed.filter(col("doc_id") % 10 === 8)
       val epoch2 = hashed.filter(col("doc_id") % 10 === 9)
       build(corpus0.select("content_hash"), idx)
+      // admit is eager (returns a checkpoint), so admitted1 is already
+      // materialized before the append mutates the index
       val admitted1 = admit(spark, idx, epoch1, corpus0)
-        .localCheckpoint(true)
       append(spark, idx, admitted1.select("content_hash"))
       val corpus1 = corpus0.unionByName(
         epoch1.select("doc_id", "content_hash"))

@@ -1146,8 +1146,35 @@ object Vectors {
     * (PipelineSpec pins both plan claims). Recall vs the exact float
     * baseline rides in q71's artifact (`n_hits_int8`) every round. */
   def q85QuantizedTopk(spark: SparkSession, dir: String): DataFrame =
-    quantizedServingTopk(table(spark, dir, "embeddings"), TopK)
+    quantizedServingTopkFromStore(
+      spark.read.parquet(quantizedStorePath(spark, dir)), TopK)
       .orderBy("query_id", "rank")
+
+  /** Once-per-session materialization of the embeddings table as the
+    * int8-at-rest store layout ([[quantizedStoreRows]]'s parquet) — the
+    * ETL-artifact convention of [[ivfIndexPath]] (pid-suffixed path +
+    * shutdown-hook cleanup, memoized per sf dir). q85 serves FROM this
+    * layout (r18, the q31-vs-q3 / q77-vs-q82 discipline): the gate row
+    * now reads the PRODUCTION at-rest representation — true int8 scan
+    * bandwidth, the 100 TB serving shape VectorScaleBench measures at
+    * 100M — instead of inline-quantizing the float table per query. The
+    * oracle is unchanged: the stored row is [[quantizedInts]]'s codec row
+    * by construction, so the served relation is identical. */
+  private val quantizedStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def quantizedStorePath(spark: SparkSession, dir: String): String =
+    quantizedStore.computeIfAbsent(dir, { _ =>
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_q8store_p${ProcessHandle.current().pid()}" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      quantizedStoreRows(table(spark, dir, "embeddings"))
+        .write.mode("overwrite").parquet(out)
+      sys.addShutdownHook {
+        graft.streaming.StreamingLww.deleteRecursively(new java.io.File(out))
+      }
+      out
+    })
 
   /** The int8 serving kernel over an explicit `(vec_id, embedding)` frame
     * — q85's exact query body, exposed so the 10M-vector rehearsal

@@ -27,7 +27,7 @@ class BenchFormatSpec extends AnyFunSuite {
   test("stdout line fits the harness tail window at the real gate size, " +
     "with worst-case 3-digit timings AND the close-total rider present") {
     val line = Bench.renderLine(healthy, "/root/testdata/sf0.1",
-      Some(("99999.994", false)))
+      Some(("99999.994", false, "worktree")))
     assert(line.length + TailOverheadBudget <= TailWindow,
       s"bench stdout line is ${line.length} chars — the ${TailWindow}-char " +
         "harness tail would truncate it (grow BENCH_DETAIL.json, not the " +
@@ -50,9 +50,12 @@ class BenchFormatSpec extends AnyFunSuite {
     "parseCloseDetail round-trips renderDetail incl. the flatness " +
     "verdict on equal/unequal counts and roster drift") {
     val parsedLine = JsonMethods.parse(
-      Bench.renderLine(healthy, "/sf", Some(("74.031", true))))
+      Bench.renderLine(healthy, "/sf", Some(("74.031", true, "head"))))
     assert((parsedLine \ "close_total") == org.json4s.JDouble(74.031))
     assert((parsedLine \ "close_counts_flat") == org.json4s.JBool(true))
+    // the rider names its source so a committed-close comparison is
+    // distinguishable from the non-repo working-tree fallback (ADVICE r17)
+    assert((parsedLine \ "close_src") == org.json4s.JString("head"))
     // round-trip: the committed detail parses back to its own counts
     val Some((tot, jobs, stages)) =
       Bench.parseCloseDetail(Bench.renderDetail(healthy, "/sf"))

@@ -313,7 +313,10 @@ class BloomIndexSpec extends AnyFunSuite {
     // surface as one giant token
     BloomIndex.build(corpus.select("content_hash"), idx, numShards = 8L)
     val batch = hashed(Seq((9000L, "doc 7"), (9001L, "fresh x")))
-    val q = BloomIndex.admit(spark, idx, batch, corpus)
+    // the shape pins live on probePlan — admit's LAZY half (admit itself
+    // checkpoints the probe so it runs once per batch, which truncates the
+    // returned plan to a LogicalRDD scan)
+    val q = BloomIndex.probePlan(spark, idx, batch)
     val plans = q.queryExecution.analyzed.toString +
       q.queryExecution.executedPlan.toString
     assert(plans.split("\\s+").forall(_.length < 4096),
@@ -326,7 +329,37 @@ class BloomIndexSpec extends AnyFunSuite {
     // and the shard routing is a real exchange on the shard column
     assert(q.queryExecution.executedPlan.toString.contains("Exchange"),
       "sharded admit must shard-route the batch")
+    // admit is EAGER (r17 VERDICT #5): the probe executes once inside the
+    // call and the returned frame is a checkpoint scan, free of the
+    // mapPartitions probe and of any recompute path to it
+    val a = BloomIndex.admit(spark, idx, batch, corpus)
+    assert(!a.queryExecution.analyzed.toString.contains("MapPartitions"),
+      "admit must return a materialized result, not a re-executable probe")
     assert(admitted(idx, batch, corpus) == reference(batch, corpus))
+  }
+
+  test("an IN-PLACE REBUILD at the same path invalidates cached blooms " +
+    "(the cache key carries the version dir's content fingerprint): a " +
+    "probe after buildSized over a grown corpus sees the NEW blooms — a " +
+    "stale false would skip the exact check and silently admit dups " +
+    "(ADVICE r17)") {
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    val corpus0 = hashed((0L until 50L).map(i => (i, s"doc $i")))
+    BloomIndex.build(corpus0.select("content_hash"), idx, numShards = 2L)
+    // prime the cache with v0's blooms
+    val batch0 = hashed(Seq((900L, "doc 3"), (901L, "fresh a")))
+    assert(admitted(idx, batch0, corpus0) == reference(batch0, corpus0))
+    // REBUILD in place over a grown corpus (same path, same v0 slot)
+    val corpus1 = hashed((0L until 50L).map(i => (i, s"doc $i")) ++
+      (50L until 80L).map(i => (i, s"grown $i")))
+    BloomIndex.build(corpus1.select("content_hash"), idx, numShards = 2L)
+    // every "grown" hash is bloom-positive in the NEW index; a stale
+    // cached v0 bloom would answer false for most of them and admit them
+    // without the exact check — the reference relation catches exactly that
+    val batch1 = hashed((50L until 80L).map(i => (i + 1000L, s"grown $i")) :+
+      ((2000L, "truly new")))
+    assert(admitted(idx, batch1, corpus1) == reference(batch1, corpus1),
+      "a rebuild at the same path must not serve pre-rebuild blooms")
   }
 
   test("fetchShardBlob reads exactly one shard's blob from the pinned " +
@@ -390,23 +423,78 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(admitted(idx, batch, corpus1).isEmpty)
   }
 
-  test("ShardBlobCache memoizes per (version, shard) and stays bounded " +
-    "under arbitrarily many distinct keys") {
-    BloomIndex.ShardBlobCache.clear()
-    var loads = 0
-    def load(): Option[org.apache.spark.util.sketch.BloomFilter] = {
-      loads += 1; None
-    }
-    (0 until 200).foreach { i =>
-      BloomIndex.ShardBlobCache.get(("vX", i.toLong))(load())
-    }
-    assert(loads == 200)
-    assert(BloomIndex.ShardBlobCache.entryCount() <= 64,
-      "cache must evict above its bound")
-    // a re-probe of a recent key is a hit, not a load
-    BloomIndex.ShardBlobCache.get(("vX", 199L))(load())
-    assert(loads == 200, "recent key must be served from the cache")
-    BloomIndex.ShardBlobCache.clear()
+  test("ShardBlobCache memoizes per key, bounds resident BYTES (not " +
+    "entries), and eagerly drops superseded states of the same index " +
+    "root — older versions and same-version rebuilds (ADVICE r17)") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val C = BloomIndex.ShardBlobCache
+    val saved = C.maxBytes
+    try {
+      C.clear()
+      var loads = 0
+      // a real small filter so byte-weighting is exercised: 4096 bits =
+      // 512 B bitset (+64 B constant per entry)
+      def load(): Option[BloomFilter] = {
+        loads += 1; Some(BloomFilter.create(100, 4096))
+      }
+      def key(root: String, v: Long, fp: String, s: Long) =
+        BloomIndex.BlobKey(root, v, fp, s)
+      // budget of ~4 entries
+      C.maxBytes = 4 * (4096 / 8 + 64) + 10
+      (0 until 50).foreach { i =>
+        C.get(key("/idxA", 0L, "fpA", i.toLong))(load())
+      }
+      assert(loads == 50)
+      assert(C.entryCount() <= 4, s"byte bound must evict: ${C.entryCount()}")
+      assert(C.residentBytes() <= C.maxBytes)
+      // a re-probe of the most recent key is a hit, not a load
+      C.get(key("/idxA", 0L, "fpA", 49L))(load())
+      assert(loads == 50, "recent key must be served from the cache")
+      // SUPERSEDED-VERSION drop: loading v1 of the same root purges every
+      // v0 entry immediately (not via LRU aging)
+      C.get(key("/idxA", 1L, "fpB", 0L))(load())
+      assert(C.entryCount() == 1,
+        "older versions of the same root must drop eagerly")
+      // REBUILD drop: same version, different content fingerprint
+      C.get(key("/idxA", 1L, "fpC", 0L))(load())
+      assert(C.entryCount() == 1,
+        "a same-version rebuild (new fingerprint) must drop the stale entry")
+      // a DIFFERENT index root is untouched by either rule
+      C.get(key("/idxB", 0L, "fpZ", 0L))(load())
+      assert(C.entryCount() == 2)
+      // an over-budget single blob still serves (never evicts itself)
+      C.maxBytes = 1L
+      C.get(key("/idxC", 0L, "fpY", 0L))(load())
+      assert(C.entryCount() >= 1)
+      C.get(key("/idxC", 0L, "fpY", 0L))(load())
+      assert(loads == 54, "the over-budget entry must still be a hit")
+    } finally { C.maxBytes = saved; C.clear() }
+  }
+
+  test("a STARVED cache cannot make the probe thrash (r17 VERDICT #6): " +
+    "with the byte budget below one blob, an N=8 sharded admit still " +
+    "fetches at most once per (task, shard) — the per-partition memo " +
+    "bounds churn — and the admitted relation is unchanged") {
+    val C = BloomIndex.ShardBlobCache
+    val saved = C.maxBytes
+    try {
+      val corpus = hashed((0L until 3000L).map(i => (i, s"doc $i")))
+      val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+      BloomIndex.build(corpus.select("content_hash"), idx, numShards = 8L)
+      val batch = hashed((0L until 500L).map(i =>
+        (10000L + i, if (i % 5 == 0) s"doc $i" else s"fresh $i")))
+      C.maxBytes = 1L // below any real blob: every shared-cache get loads
+      C.clear()
+      val before = C.loads.get()
+      assert(admitted(idx, batch, corpus) == reference(batch, corpus))
+      val fetched = C.loads.get() - before
+      // the routed batch has exactly 8 partitions (one shard each) and the
+      // probe runs ONCE (admit checkpoints it), so even a cache that can
+      // hold nothing bounds fetches at tasks × shards-per-task = 8
+      assert(fetched <= 8L,
+        s"probe fetched $fetched blobs — per-task memo must bound churn " +
+          "at one fetch per (task, shard)")
+    } finally { C.maxBytes = saved; C.clear() }
   }
 
   test("a serialized bloom's size is a pure function of its (expected, " +

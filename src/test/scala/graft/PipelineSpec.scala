@@ -853,6 +853,19 @@ class PipelineSpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
       s"no partial WindowGroupLimit ahead of the top-k exchange:\n$plan")
+    // r18: q85 serves FROM the materialized int8-at-rest layout — the scan
+    // must read the quantized store parquet (true int8 scan bandwidth),
+    // not re-quantize the float embeddings table per query...
+    assert(plan.contains("graft_q8store"),
+      s"q85 must scan the materialized quantized store layout:\n$plan")
+    // ...and the served relation is IDENTICAL to the inline-quantizing
+    // form (the store row is the codec row by construction), so the
+    // oracle carries over unchanged
+    val inline = graft.operators.Vectors.quantizedServingTopk(
+      graft.TripleStore.table(spark, sf, "embeddings"), 10)
+      .orderBy("query_id", "rank")
+    assert(df.collect().toSeq == inline.collect().toSeq,
+      "store-served q85 diverged from the inline-quantized serving form")
   }
 
   test("multimodal: q82 serves the q77 relation through the REAL binaryFile " +
