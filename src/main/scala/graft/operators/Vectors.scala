@@ -58,9 +58,13 @@ object Vectors {
     }
   }
 
-  /** Sequential-fold double dot product of two float array columns. */
+  /** Sequential-fold double dot product of two float array columns —
+    * served by the native compiled [[graft.plans.VecDot]] since r19
+    * (bit-exact to the interpreted `aggregate(zip_with(...))` fold it
+    * replaces, including the sequential add order DuckDB's `list_sum`
+    * twin shares). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    call_function("vec_dot", col(a), col(b))
 
   def q21TopkCosine(spark: SparkSession, dir: String): DataFrame = {
     // a zero-norm vector has no direction: it can neither query nor rank
@@ -84,12 +88,15 @@ object Vectors {
       .orderBy("query_id", "rank")
   }
 
-  /** One hyperplane's sign bit of the `embedding` column. */
-  private def signBit(planeIdx: Int): Column = {
-    val planeLit = planes(planeIdx).mkString("array(", ", ", ")")
-    when(expr(s"aggregate(zip_with(embedding, $planeLit, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") >= 0, "1")
+  /** One hyperplane's sign bit of the `embedding` column. The projection
+    * runs through the native [[graft.plans.VecDot]] (float×int widened to
+    * double per element — both widenings exact, same sequential fold); a
+    * ragged or null-element embedding yields a NULL projection and takes
+    * the '0' bit, exactly as the interpreted zip_with-pad fold did. */
+  private def signBit(planeIdx: Int): Column =
+    when(call_function("vec_dot", col("embedding"),
+      array(planes(planeIdx).map(lit).toSeq: _*)) >= 0, "1")
       .otherwise("0")
-  }
 
   /** Sign bits of planes [from, from + n) concatenated. */
   private def bitsCol(from: Int, n: Int): Column =
@@ -210,27 +217,48 @@ object Vectors {
     * nulls the fold and drops the same way. */
   private def sphereNormalized(vectors: DataFrame): DataFrame =
     vectors
+      // native Cast handles array<float> → array<double> element-wise in
+      // codegen — same exact widening the interpreted transform lambda did
       .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .filter(expr(
-        "aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") > 0)
-      .select(col("vec_id"), expr(
-        "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
-        .as("v"))
+        col("embedding").cast("array<double>").as("v"))
+      .filter(call_function("vec_dot", col("v"), col("v")) > 0)
+      .select(col("vec_id"),
+        call_function("vec_normalize", col("v")).as("v"))
 
   /** One FROZEN-centroid assignment step over already-normalized vectors:
-    * broadcast crossJoin with the k-row centroid table + `max_by` per
-    * vector, ties to the higher cluster id. The shared kernel of
-    * [[ivfAssign]]'s iterations and [[ivfAssignBatch]]'s incremental
-    * maintenance — one definition so the two paths cannot drift. */
-  private def assignStep(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cluster"),
-        expr("aggregate(zip_with(v, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-          .as("sim"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cluster"), struct(col("sim"), col("cluster"))).as("cluster"),
-        first(col("v")).as("v"))
+    * a MAP-ONLY per-row argmax over the collected k-row centroid table,
+    * ties to the higher cluster id. The shared kernel of [[ivfAssign]]'s
+    * iterations and [[ivfAssignBatch]]'s incremental maintenance — one
+    * definition so the two paths cannot drift.
+    *
+    * Shape (r19, VERDICT #2): frozen-centroid assignment is per-row math,
+    * so it must not pay a shuffle. The previous crossJoin + `max_by`
+    * groupBy form shuffled one row per VECTOR carrying the full float64
+    * list — ~51 GB of exchange payload at 100M vectors, the measured
+    * superlinear knee in the 100M build (hash-aggregate spill ~55 GB).
+    * This form embeds the k centroids as array literals (k is
+    * broadcast-sized by construction) and takes
+    * `greatest(struct(sim_j, cluster_j))_j` — Spark's struct ordering is
+    * exactly `max_by(cluster, struct(sim, cluster))`'s (lexicographic,
+    * NaN greatest, ties to the higher cluster id), and each `sim_j` is the
+    * native [[graft.plans.VecDot]] sequential fold, so the assignment
+    * relation is value-identical to the crossJoin form and the q66/q78
+    * oracles' unrolled k-means CTEs carry over unchanged. Zero exchange,
+    * whole-stage codegen. */
+  private def assignStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    // bounded: the centroid table is k rows (the broadcast-sized quantizer)
+    val cs = cents.select(col("cluster"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cs.nonEmpty, "assignStep: empty centroid table")
+    val scored = cs.toSeq.map { case (cl, c) =>
+      struct(
+        call_function("vec_dot", col("v"), array(c.map(lit): _*)).as("sim"),
+        lit(cl).as("cluster"))
+    }
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    e.select(col("vec_id"), best.getField("cluster").as("cluster"), col("v"))
+  }
 
   /** Spherical k-means coarse quantizer, fully declarative (no closures in
     * the per-vector path): assignment is a crossJoin with the k-row
@@ -288,9 +316,8 @@ object Vectors {
         .groupBy("cluster")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
           .as("c"))
-        .select(col("cluster"), expr(
-          "transform(c, x -> x / sqrt(aggregate(zip_with(c, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)))")
-          .as("c"))
+        .select(col("cluster"),
+          call_function("vec_normalize", col("c")).as("c"))
       // a cluster that attracted no vectors this round emits no mean; keep
       // its previous centroid so the quantizer always returns k lists
       val kept = centroids.select(col("cluster"), col("c").as("c_prev"))
@@ -317,8 +344,7 @@ object Vectors {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cluster"),
-        expr("aggregate(zip_with(qv, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-          .as("sim"))
+        call_function("vec_dot", col("qv"), col("c")).as("sim"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cluster"))))
       .filter(col("rk") <= nprobe)
@@ -328,7 +354,7 @@ object Vectors {
     probes.join(idx, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        stableRound(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4)
+        stableRound(call_function("vec_dot", col("qv"), col("v")), 4)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= topk)
@@ -353,25 +379,23 @@ object Vectors {
     * filter. */
   def ivfProbeQuantized(lists: DataFrame, centroids: DataFrame,
       nprobe: Int, topk: Int): DataFrame = {
-    val decode = "transform(q, x -> CAST(x AS DOUBLE) * max_abs_micro" +
-      " / 127000000.0D)"
-    // the O(d) normalize: norm factor ONCE into a column, then one divide
-    // per element. Value-identical to sphereNormalized's inline form (same
-    // aggregate, same sqrt, same per-element divide — only the evaluation
-    // COUNT changes), but higher-order lambdas are interpreted, so the
-    // inline form's per-ELEMENT re-aggregation costs O(d²) per row — a
-    // real constant at probe cardinality.
-    val normSq = "sqrt(aggregate(zip_with(d, d, (a, b) -> a * b), " +
-      "CAST(0 AS DOUBLE), (acc, p) -> acc + p))"
+    // native kernels (r19): decode/normalize/dot previously ran through
+    // transform/aggregate/zip_with — CodegenFallback, interpreted per
+    // probed row (and the interpreted era forced two layout contortions,
+    // both now moot: the norm-once-into-a-column dance against the O(d²)
+    // per-element re-aggregation trap, and the never-normalize-the-
+    // candidate-side rule). int8_decode / vec_normalize / vec_dot compute
+    // the same IEEE arithmetic compiled (VectorKernels' bit-exactness
+    // contract), so results are identical row for row.
+    val decode = call_function("int8_decode", col("q"), col("max_abs_micro"))
     val valid = lists.filter(col("max_abs_micro") > 0)
     val queries = valid.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), expr(decode).as("d"))
-      .select(col("query_id"), col("d"), expr(normSq).as("nrm"))
-      .select(col("query_id"), expr("transform(d, x -> x / nrm)").as("qv"))
+      .select(col("vec_id").as("query_id"), decode.as("d"))
+      .select(col("query_id"),
+        call_function("vec_normalize", col("d")).as("qv"))
     val probes = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("cluster"),
-        expr("aggregate(zip_with(qv, c, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")
-          .as("sim"))
+        call_function("vec_dot", col("qv"), col("c")).as("sim"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sim").desc, col("cluster"))))
       .filter(col("rk") <= nprobe)
@@ -386,21 +410,16 @@ object Vectors {
       .join(valid.select("vec_id", "cluster", "max_abs_micro", "q"),
         Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      // decode AFTER the join: only probed rows pay it. The candidate side
-      // is deliberately NEVER normalized as an array — cos(qv, d) =
-      // dot(qv, d) / ||d|| with both folds as TOP-LEVEL expressions. An
-      // array normalize here is the O(d²) trap in a second disguise:
-      // CollapseProject inlines a single-use norm column INTO the divide
-      // lambda, where it re-evaluates per element (interpreted), and the
-      // probe pays 64× the fold work per candidate (measured: the probe's
-      // dominant cost at 1M even after the join was broadcast).
+      // decode AFTER the join: only probed rows pay it. `d` is referenced
+      // three times below, so CollapseProject keeps this projection
+      // materialized (multi-use non-cheap aliases don't inline) — one
+      // decode per candidate, not three.
       .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
-        expr(decode).as("d"))
+        decode.as("d"))
       .select(col("query_id"), col("neighbor_id"),
         stableRound(
-          expr("aggregate(zip_with(qv, d, (a, b) -> a * b), " +
-            "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").cast("double") /
-            expr(normSq), 4)
+          call_function("vec_dot", col("qv"), col("d")) /
+            sqrt(call_function("vec_dot", col("d"), col("d"))), 4)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= topk)
@@ -1202,8 +1221,8 @@ object Vectors {
   def dequantizedView(qstore: DataFrame): DataFrame =
     qstore.filter(col("max_abs_micro") > 0)
       .select(col("vec_id"),
-        expr("transform(q, x -> CAST(x AS DOUBLE) * max_abs_micro" +
-          " / 127000000.0D)").as("embedding"))
+        call_function("int8_decode", col("q"), col("max_abs_micro"))
+          .as("embedding"))
 
   /** [[quantizedServingTopk]]'s body over an ALREADY-quantized store row
     * set ([[quantizedStoreRows]]'s projection, or [[quantizedInts]]'s
@@ -1213,10 +1232,18 @@ object Vectors {
     * drift. */
   def quantizedServingTopkFromStore(qstore: DataFrame,
       topk: Int): DataFrame = {
+    // native int8 kernels (r19): the norm and dot previously ran through
+    // aggregate/zip_with — CodegenFallback, interpreted per row, the
+    // measured ~39 MB/s/core decode bound at the 100M rung. int8_norm2 /
+    // int8_dot compute the same exact integer arithmetic compiled, so the
+    // served relation is bit-identical and q85's oracle carries over
+    // unchanged. The RAGGED-PAIR GUARD (r15 ADVICE) moved INTO int8_dot:
+    // a length mismatch raises the same loud named error (never a partial
+    // dot), mirrored by the DuckDB twin's `error()` guard in [[q85Sql]].
     val qv = qstore
       .filter(col("max_abs_micro") > 0)
       .select(col("vec_id"), col("q"),
-        expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))
+        call_function("int8_norm2", col("q")).as("n2"))
     val queries = qv.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("n2").as("qn2"))
@@ -1225,21 +1252,7 @@ object Vectors {
     qv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         graft.functions.StableRound.stableRound(
-          // RAGGED-PAIR GUARD (r15 ADVICE): `zip_with` NULL-PADS when the
-          // two quantized vectors differ in length (NULL then poisons the
-          // fold → NULL cos_sim), while the DuckDB twin indexes
-          // `en.q[i+1]` over `range(len(qn.q))`, whose out-of-bounds NULLs
-          // `list_sum` silently SKIPS (a partial dot) — a ragged-but-valid
-          // vector would hash-MISMATCH confusingly instead of failing
-          // loudly. Every in-regime corpus vector is 64-dim today, so the
-          // branch is unreachable until a corpus adds a ragged vector —
-          // at which point both engines now raise the SAME named error
-          // (the twin guard in [[q85Sql]] uses DuckDB's `error()`).
-          expr("""CASE WHEN size(qq) <> size(q)
-                 |THEN raise_error('q85: ragged quantized vectors — query/corpus dims differ')
-                 |ELSE aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (a, v) -> a + v)
-                 |END""".stripMargin)
-            .cast("double") /
+          call_function("int8_dot", col("qq"), col("q")).cast("double") /
             (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
           4).as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))

@@ -78,6 +78,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val ts = children(1)
         MaxBy(obj, CreateStruct(Seq(ts, obj))): AggregateFunction
       }))
+    // the native vector kernels (r19): compiled replacements for the
+    // interpreted aggregate/zip_with/transform folds on the vectors
+    // pillar's hot paths — bit-exact to the declarative forms they
+    // replace (see VectorKernels' contract), so every oracle carries
+    // over unchanged.
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
+      (children: Seq[Expression]) => VecNormalize(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+      (children: Seq[Expression]) => Int8Dot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_norm2"),
+      new ExpressionInfo(classOf[Int8Norm2].getName, "int8_norm2"),
+      (children: Seq[Expression]) => Int8Norm2(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("int8_decode"),
+      new ExpressionInfo(classOf[Int8Decode].getName, "int8_decode"),
+      (children: Seq[Expression]) => Int8Decode(children(0), children(1))))
     // Spark's OWN bloom-filter expression pair (the machinery behind
     // runtime row-level filtering), surfaced as callable functions:
     // `bloom_build(xxhash64(key), est_items, num_bits)` aggregates a

@@ -1,0 +1,310 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Native compiled vector kernels — the per-core CONSTANT fix for the
+  * vectors pillar (VERDICT r18 #1): every hot-path dot product, norm and
+  * int8 decode previously ran through `aggregate`/`zip_with`/`transform`
+  * higher-order functions, which are CodegenFallback — interpreted per
+  * row, measured ~39 MB/s/core on the 100M int8 serving scan. These
+  * expressions compute the SAME IEEE/integer arithmetic in generated code
+  * (the `gram_run_stats`/`rolling_kgram_hashes` precedent, measured 3–5×
+  * there; the serving scan is pure fold so the win is larger).
+  *
+  * BIT-EXACTNESS CONTRACT (what makes the swap oracle-free): each kernel
+  * reproduces its declarative form's value bit for bit —
+  *
+  *  - [[VecDot]] ≡ `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) *
+  *    CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)`: the
+  *    SAME sequential left fold (`((0+p₀)+p₁)+…` — the q21 convention both
+  *    engines share), float/int→double widenings exact, a ragged pair or a
+  *    NULL element yields NULL exactly as zip_with's null padding poisons
+  *    the declarative fold.
+  *  - [[VecNormalize]] ≡ `transform(v, x -> x / sqrt(aggregate(zip_with(
+  *    v, v, …), 0D, …)))` — the norm is computed ONCE instead of per
+  *    element (the interpreted form's O(d²) trap), but it is the same
+  *    value, so each emitted element is bit-identical; a NULL element
+  *    yields the same all-NULL array the null-poisoned fold produces.
+  *  - [[Int8Dot]] / [[Int8Norm2]]: pure long arithmetic — exact, engine
+  *    independent (q85's serving kernel). A ragged pair raises the same
+  *    loud error q85's CASE guard raised (the DuckDB twin keeps its
+  *    `error()` guard); overflow raises (`Math.addExact`, matching ANSI
+  *    loudness) but is unreachable for int8-ranged codec values at any
+  *    real dimensionality.
+  *  - [[Int8Decode]] ≡ `transform(q, x -> CAST(x AS DOUBLE) *
+  *    max_abs_micro / 127000000.0D)` element for element (two exact
+  *    long→double widenings, one multiply, one divide — same IEEE ops).
+  *    Sole (documented) divergence: a NULL scale yields a NULL ARRAY here
+  *    vs the transform form's array-of-NULLs — unreachable behind the
+  *    store paths' `max_abs_micro > 0` validity filter.
+  *
+  * All five are SQL-registered by [[GraftExtensions]] (`vec_dot`,
+  * `vec_normalize`, `int8_dot`, `int8_norm2`, `int8_decode`) and invoked
+  * from the operators via `call_function`, so the gate's SQL surface and
+  * the Column API share one definition.
+  */
+object VectorKernels {
+
+  /** Element-type code for [[VecDot]]'s typed accessors (resolved once at
+    * plan time, branched per element at runtime — JIT-hoisted). */
+  def code(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case other => throw new IllegalStateException(s"vec_dot: $other")
+  }
+
+  private def get(a: ArrayData, i: Int, t: Int): Double = t match {
+    case 0 => a.getFloat(i).toDouble
+    case 1 => a.getDouble(i)
+    case 2 => a.getInt(i).toDouble
+    case 3 => a.getLong(i).toDouble
+  }
+
+  /** Sequential-fold double dot product; NULL on ragged pair or NULL
+    * element (zip_with-pad semantics: NULL is terminal in the fold, so
+    * returning at first sight is value-identical). Called from generated
+    * code. */
+  def vecDot(a: ArrayData, b: ArrayData, ta: Int, tb: Int): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.max(na, nb)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (i >= na || i >= nb || a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, i, ta) * get(b, i, tb)
+      i += 1
+    }
+    acc
+  }
+
+  /** `v / sqrt(Σ v_i²)` with the norm computed once; all-NULL array of the
+    * same length when any element is NULL (the null-poisoned-fold twin —
+    * NaN is a VALUE, not a null: a NaN element flows through the sum and
+    * divides to NaN elements exactly as the declarative form does). */
+  def vecNormalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return new GenericArrayData(new Array[Any](n))
+      val x = v.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    val s = math.sqrt(ss)
+    val out = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      out(j) = v.getDouble(j) / s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact integer dot; raises loudly on a ragged pair (q85's guard — a
+    * partial dot must never be served), NULL on a NULL element
+    * (unreachable for codec rows; keeps the function total). */
+  def int8Dot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new RuntimeException(
+        "int8_dot: ragged quantized vectors — query/corpus dims differ")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  /** Exact integer Σ q_i² (|q_i| ≤ 127 and d ≤ 2⁴⁸ keep it in a long);
+    * NULL on a NULL element. */
+  def int8Norm2(a: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(x, x))
+      i += 1
+    }
+    acc
+  }
+
+  /** `q_i · max_abs_micro / 127e6` per element, NULL elements preserved. */
+  def int8Decode(q: ArrayData, mam: Long): ArrayData = {
+    val n = q.numElements()
+    val m = mam.toDouble
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!q.isNullAt(i)) out(i) = q.getLong(i).toDouble * m / 127000000.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[plans] def requireArray(dt: DataType, elems: Seq[DataType],
+      fn: String, pos: String): TypeCheckResult = dt match {
+    case ArrayType(e, _) if elems.contains(e) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn requires $pos to be array<${elems.map(_.simpleString).mkString("|")}>, got ${other.simpleString}")
+  }
+
+  private[plans] val Numerics: Seq[DataType] =
+    Seq(FloatType, DoubleType, IntegerType, LongType)
+}
+
+/** `vec_dot(a, b)`: see [[VectorKernels.vecDot]]. */
+case class VecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorKernels.requireArray(left.dataType, VectorKernels.Numerics,
+      "vec_dot", "its left argument")
+    if (l.isFailure) l
+    else VectorKernels.requireArray(right.dataType, VectorKernels.Numerics,
+      "vec_dot", "its right argument")
+  }
+
+  override def dataType: DataType = DoubleType
+  // NULL even for non-null inputs: ragged pair / NULL element
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private lazy val ta = VectorKernels.code(left.dataType)
+  private lazy val tb = VectorKernels.code(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      ta, tb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""java.lang.Double $tmp =
+         |  graft.plans.VectorKernels.vecDot($a, $b, $ta, $tb);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_normalize(v)`: see [[VectorKernels.vecNormalize]]. */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.requireArray(child.dataType, Seq(DoubleType),
+      "vec_normalize", "its argument")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.vecNormalize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.VectorKernels.vecNormalize($v)")
+
+  override protected def withNewChildInternal(nc: Expression): VecNormalize =
+    copy(child = nc)
+}
+
+/** `int8_dot(a, b)`: see [[VectorKernels.int8Dot]]. */
+case class Int8Dot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorKernels.requireArray(left.dataType, Seq(LongType),
+      "int8_dot", "its left argument")
+    if (l.isFailure) l
+    else VectorKernels.requireArray(right.dataType, Seq(LongType),
+      "int8_dot", "its right argument")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("idot")
+      s"""java.lang.Long $tmp = graft.plans.VectorKernels.int8Dot($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `int8_norm2(a)`: see [[VectorKernels.int8Norm2]]. */
+case class Int8Norm2(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.requireArray(child.dataType, Seq(LongType),
+      "int8_norm2", "its argument")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_norm2"
+
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.int8Norm2(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("in2")
+      s"""java.lang.Long $tmp = graft.plans.VectorKernels.int8Norm2($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(nc: Expression): Int8Norm2 =
+    copy(child = nc)
+}
+
+/** `int8_decode(q, max_abs_micro)`: see [[VectorKernels.int8Decode]]. */
+case class Int8Decode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorKernels.requireArray(left.dataType, Seq(LongType),
+      "int8_decode", "its left argument")
+    if (l.isFailure) l
+    else if (right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int8_decode requires a bigint scale, got ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "int8_decode"
+
+  override def nullSafeEval(q: Any, mam: Any): Any =
+    VectorKernels.int8Decode(q.asInstanceOf[ArrayData], mam.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, m) =>
+      s"graft.plans.VectorKernels.int8Decode($q, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Decode =
+    copy(left = newLeft, right = newRight)
+}

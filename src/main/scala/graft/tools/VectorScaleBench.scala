@@ -136,8 +136,7 @@ object VectorScaleBench {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           graft.functions.StableRound.stableRound(
-            expr("aggregate(zip_with(qv, v, (a, b) -> a * b), " +
-              "CAST(0 AS DOUBLE), (acc, p) -> acc + p)"), 4).as("cos_sim"))
+            call_function("vec_dot", col("qv"), col("v")), 4).as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .collect())
@@ -157,10 +156,8 @@ object VectorScaleBench {
     // scan — a measurement baseline, not a hashed relation.
     def exactLegRaw(raw: DataFrame): (Array[org.apache.spark.sql.Row], Double) = {
       val queries = raw.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("d"),
-          expr("sqrt(aggregate(zip_with(d, d, (a, b) -> a * b), " +
-            "CAST(0 AS DOUBLE), (acc, p) -> acc + p))").as("nrm"))
-        .select(col("query_id"), expr("transform(d, x -> x / nrm)").as("qv"))
+        .select(col("vec_id").as("query_id"),
+          call_function("vec_normalize", col("d")).as("qv"))
         .localCheckpoint(true)
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -168,10 +165,8 @@ object VectorScaleBench {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           graft.functions.StableRound.stableRound(
-            expr("aggregate(zip_with(qv, d, (a, b) -> a * b), " +
-              "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").cast("double") /
-              expr("sqrt(aggregate(zip_with(d, d, (a, b) -> a * b), " +
-                "CAST(0 AS DOUBLE), (acc, p) -> acc + p))"),
+            call_function("vec_dot", col("qv"), col("d")) /
+              sqrt(call_function("vec_dot", col("d"), col("d"))),
             4).as("cos_sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
@@ -181,7 +176,7 @@ object VectorScaleBench {
       if (int8AtRest) {
         val r = exactLegRaw(spark.read.parquet(floatPath)
           .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("d")))
+            col("embedding").cast("array<double>").as("d")))
         val fp = new org.apache.hadoop.fs.Path(floatPath)
         fp.getFileSystem(spark.sessionState.newHadoopConf()).delete(fp, true)
         Some(r)

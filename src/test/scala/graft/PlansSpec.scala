@@ -249,4 +249,106 @@ class PlansSpec extends AnyFunSuite {
     // key space (one winner per logical key, no keys lost or invented).
     assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)))
   }
+
+  test("vec_dot is bit-exact to the aggregate/zip_with fold it replaces " +
+    "(real embeddings + ragged/null/empty edges), across element types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real float corpus: the compiled fold must reproduce the interpreted
+    // sequential fold's double BIT PATTERN (same add order), not just its
+    // approximate value — compare raw bits
+    val drift = TripleStore.table(spark, sf, "embeddings")
+      .select(
+        expr("vec_dot(embedding, embedding)").as("a"),
+        expr("aggregate(zip_with(embedding, embedding, (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), " +
+          "(acc, v) -> acc + v)").as("b"))
+      .filter(!(isnull(col("a")) && isnull(col("b"))))
+      .filter(isnull(col("a")) =!= isnull(col("b")) ||
+        expr("CAST(a AS STRING) <> CAST(b AS STRING)"))
+      .count()
+    assert(drift == 0L, s"$drift rows drifted from the declarative fold")
+    val edges = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok,
+        |       vec_dot(array(1.0D), array(1.0D, 2.0D)) AS ragged,
+        |       vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS nul,
+        |       vec_dot(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS empty,
+        |       vec_dot(array(CAST(1.5 AS FLOAT)), array(2)) AS mixed""".stripMargin)
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double], Option[Double])].head()
+    assert(edges == ((Some(11.0), None, None, Some(0.0), Some(3.0))))
+  }
+
+  test("vec_normalize is bit-exact to the per-element transform/fold form " +
+    "and preserves null/NaN semantics") {
+    import org.apache.spark.sql.functions._
+    val v = TripleStore.table(spark, sf, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(expr("vec_dot(v, v)") > 0)
+    val drift = v.select(
+        expr("vec_normalize(v)").as("a"),
+        expr("transform(v, x -> x / sqrt(aggregate(zip_with(v, v, " +
+          "(p, q) -> p * q), CAST(0 AS DOUBLE), (acc, s) -> acc + s)))").as("b"))
+      .filter(expr("CAST(a AS STRING) <> CAST(b AS STRING)"))
+      .count()
+    assert(drift == 0L, s"$drift normalized rows drifted")
+    import spark.implicits._
+    val nul = spark.sql(
+      "SELECT vec_normalize(array(1.0D, CAST(NULL AS DOUBLE), 3.0D)) AS a")
+      .selectExpr("size(a)", "a[0] IS NULL", "a[2] IS NULL")
+      .as[(Int, Boolean, Boolean)].head()
+    assert(nul == ((3, true, true)), "null element must null the whole array")
+    assert(spark.sql("SELECT isnan(vec_normalize(array(CAST('NaN' AS DOUBLE)))[0])")
+      .head().getBoolean(0), "NaN is a value, not a null")
+  }
+
+  test("int8_dot / int8_norm2 are exact integer kernels: q85's declarative " +
+    "fold equivalence on the real codec rows, ragged raises loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val q = graft.operators.Vectors.quantizedStoreRows(
+      TripleStore.table(spark, sf, "embeddings"))
+      .filter(col("max_abs_micro") > 0)
+    val drift = q.select(
+        expr("int8_norm2(q)").as("a"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").as("b"),
+        expr("int8_dot(q, q)").as("c"))
+      .filter(col("a") =!= col("b") || col("a") =!= col("c"))
+      .count()
+    assert(drift == 0L, s"$drift codec rows drifted from the integer fold")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT int8_dot(array(1L, 2L), array(1L))").collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("ragged quantized vectors"),
+      s"ragged pair must raise the named guard, got: ${rootMsg(ex)}")
+    val nul = spark.sql(
+      "SELECT int8_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS d, " +
+        "int8_norm2(array(CAST(NULL AS BIGINT))) AS n")
+      .as[(Option[Long], Option[Long])].head()
+    assert(nul == ((None, None)))
+  }
+
+  test("int8_decode is bit-exact to the transform decode on the real store " +
+    "rows and preserves element nulls") {
+    import org.apache.spark.sql.functions._
+    val q = graft.operators.Vectors.quantizedStoreRows(
+      TripleStore.table(spark, sf, "embeddings"))
+      .filter(col("max_abs_micro") > 0)
+    val drift = q.select(
+        expr("int8_decode(q, max_abs_micro)").as("a"),
+        expr("transform(q, x -> CAST(x AS DOUBLE) * max_abs_micro" +
+          " / 127000000.0D)").as("b"))
+      .filter(expr("CAST(a AS STRING) <> CAST(b AS STRING)"))
+      .count()
+    assert(drift == 0L, s"$drift decoded rows drifted from the transform form")
+    import spark.implicits._
+    val nul = spark.sql(
+      "SELECT int8_decode(array(127L, CAST(NULL AS BIGINT)), 2000000L) AS d")
+      .selectExpr("d[0]", "d[1] IS NULL").as[(Double, Boolean)].head()
+    assert(nul == ((2.0, true)))
+  }
 }
