@@ -314,6 +314,10 @@ object SparkEntry {
     // vectors (q58's codec) — integer dot/norms, so the approximate codec's
     // query form still has an exact oracle; recall rides in q71.
     "q85_quantized_topk" -> (Vectors.q85QuantizedTopk(_, _)),
+    // The quantized-IVF serving combination — ivfProbeQuantized over the
+    // materialized int8-at-rest lists layout (the 100M rehearsal's probe
+    // path, previously spec/bench-only; q66 gates the float layout).
+    "q86_ivf_quantized" -> (Vectors.q86IvfQuantized(_, _)),
   )
 
   /** q34's boundary list: eight cut points inside the order range. */
@@ -464,5 +468,6 @@ object SparkEntry {
     "q83_stream_restart"    -> MergeOracleSql,
     "q84_layout_describe"   -> TripleStore.Q84Sql,
     "q85_quantized_topk"    -> Vectors.q85Sql,
+    "q86_ivf_quantized"     -> Vectors.q86Sql,
   )
 }

@@ -245,19 +245,35 @@ object Vectors {
     * relation is value-identical to the crossJoin form and the q66/q78
     * oracles' unrolled k-means CTEs carry over unchanged. Zero exchange,
     * whole-stage codegen. */
-  private def assignStep(e: DataFrame, cents: DataFrame): DataFrame = {
-    // bounded: the centroid table is k rows (the broadcast-sized quantizer)
+  private def assignStep(e: DataFrame, cents: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      nearestClusterCol(collectCentroids(cents), col("v")).as("cluster"),
+      col("v"))
+
+  /** The k-row centroid table onto the driver — bounded by construction
+    * (the quantizer is broadcast-sized; k is the whole point of IVF). */
+  private def collectCentroids(cents: DataFrame): Array[(Long, Seq[Double])] = {
     val cs = cents.select(col("cluster"), col("c")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(cs.nonEmpty, "assignStep: empty centroid table")
+    require(cs.nonEmpty, "collectCentroids: empty centroid table")
+    cs
+  }
+
+  /** The per-row argmax column over collected centroids:
+    * `greatest(struct(vec_dot(v, c_j), cluster_j))_j.cluster` — shared by
+    * [[assignStep]] and the store-scan assignment in
+    * [[ivfQuantizedIndexPath]] so the two cannot drift. Callers must pass
+    * a MATERIALIZED column for `v` (an attribute, not an inline
+    * expression): the argmax references it k times. */
+  private def nearestClusterCol(cs: Array[(Long, Seq[Double])],
+      v: Column): Column = {
     val scored = cs.toSeq.map { case (cl, c) =>
       struct(
-        call_function("vec_dot", col("v"), array(c.map(lit): _*)).as("sim"),
+        call_function("vec_dot", v, array(c.map(lit): _*)).as("sim"),
         lit(cl).as("cluster"))
     }
-    val best =
-      if (scored.size == 1) scored.head else greatest(scored: _*)
-    e.select(col("vec_id"), best.getField("cluster").as("cluster"), col("v"))
+    (if (scored.size == 1) scored.head else greatest(scored: _*))
+      .getField("cluster")
   }
 
   /** Spherical k-means coarse quantizer, fully declarative (no closures in
@@ -1292,6 +1308,129 @@ object Vectors {
        |        FROM n qn JOIN n en ON en.vec_id <> qn.vec_id
        |        WHERE qn.vec_id < $NumQueries))
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // --- Q86: the IVF probe over the INT8-AT-REST lists layout -----------------
+
+  /** Once-per-session materialization of the QUANTIZED IVF index — the
+    * 100 TB serving combination ([[ivfProbeQuantized]] over int8-at-rest
+    * lists) as an ETL artifact, closing the last production serving path
+    * without its own CORRECTNESS row (VERDICT r18 #3; q66 gates the float
+    * layout). The corpus of record is the int8 store
+    * ([[quantizedStorePath]]); k-means trains on its DEQUANTIZED view
+    * (the store is the source of truth — the VectorScaleBench int8 mode's
+    * build shape), and the lists rows are the store rows plus the
+    * assigned cluster.
+    *
+    * The assignment happens IN the store scan: one map-only pass computes
+    * decode → validity → normalize → [[nearestClusterCol]] argmax
+    * directly on the quantized rows, so the only exchange in the build is
+    * the cluster-clustered write's range partitioning — carrying int8
+    * payload, never a float64 list (VERDICT r18 #2's shape, applied to
+    * the layout this round adds). Membership is identical to routing the
+    * decoded view through [[assignStep]] (same normalize, same argmax
+    * kernel — PipelineSpec pins it). */
+  private val ivfQIndex =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), String]()
+
+  def ivfQuantizedIndexPath(spark: SparkSession, dir: String, k: Int,
+      iters: Int = 3): String =
+    ivfQIndex.computeIfAbsent((dir, k, iters), { _ =>
+      // pid-suffixed + shutdown hook: ivfIndexPath's discipline
+      val out = sys.props("java.io.tmpdir") +
+        s"/graft_ivfq_${k}_${iters}_p${ProcessHandle.current().pid()}" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val qstore = spark.read.parquet(quantizedStorePath(spark, dir))
+      val (_, centroids) =
+        ivfAssignVectors(dequantizedView(qstore), k, iters)
+      val cs = collectCentroids(centroids)
+      qstore.filter(col("max_abs_micro") > 0)
+        .withColumn("d",
+          call_function("int8_decode", col("q"), col("max_abs_micro")))
+        .filter(call_function("vec_dot", col("d"), col("d")) > 0)
+        .withColumn("v", call_function("vec_normalize", col("d")))
+        .select(col("vec_id"),
+          nearestClusterCol(cs, col("v")).as("cluster"),
+          col("max_abs_micro"), col("q"))
+        .repartitionByRange(col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite").parquet(s"$out/lists")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      sys.addShutdownHook {
+        graft.streaming.StreamingLww.deleteRecursively(new java.io.File(out))
+      }
+      out
+    })
+
+  /** Q86: [[ivfProbeQuantized]] over the materialized int8 lists layout —
+    * q66's query convention (k = [[IvfGateK]], nprobe = [[IvfGateNprobe]],
+    * top-[[IvfGateTopK]]) against the at-rest representation the 100M
+    * rehearsal serves. Deterministic end to end (codec exact in both
+    * engines, decode/normalize/dot bit-shared via the native kernels'
+    * contract, every argmax tie-broken), so the quantized index's query
+    * shape has an EXACT oracle: [[q86Sql]] rebuilds the codec rows,
+    * decodes, unrolls the same 3 k-means iterations over the decoded
+    * sphere, and scores candidates as `dot(qv, d) / ||d||` with the same
+    * sequential folds. */
+  def q86IvfQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val p = ivfQuantizedIndexPath(spark, dir, IvfGateK)
+    ivfProbeQuantized(spark.read.parquet(s"$p/lists"),
+        spark.read.parquet(s"$p/centroids"), IvfGateNprobe, IvfGateTopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val q86Sql: String =
+    s"""WITH eq AS (
+       |  SELECT vec_id, q, CAST(floor(mx * 1000000.0 + 0.5) AS BIGINT) AS mam
+       |  FROM (
+       |    SELECT vec_id, mx,
+       |           list_transform(embedding, v ->
+       |             CAST(floor(CAST(v AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)) AS q
+       |    FROM (SELECT vec_id, embedding,
+       |                 CASE WHEN $hasNullElemSql THEN NULL
+       |                 ELSE list_max(list_transform(embedding,
+       |                   v -> abs(CAST(v AS DOUBLE)))) END AS mx
+       |          FROM embeddings)
+       |    WHERE mx >= 0.000001 AND mx <= 1000000000000.0)),
+       |dec AS (
+       |  SELECT vec_id,
+       |         list_transform(q, x -> CAST(x AS DOUBLE) * mam / 127000000.0) AS d
+       |  FROM eq),
+       |en AS (
+       |  SELECT vec_id, list_transform(d, x -> x / sqrt(ss)) AS v
+       |  FROM (SELECT vec_id, d,
+       |               list_sum(list_transform(d, x -> x * x)) AS ss
+       |        FROM dec)
+       |  WHERE ss > 0),
+       |c0 AS (SELECT vec_id AS cluster, v AS c FROM en ORDER BY vec_id LIMIT $IvfGateK),
+       |a1 AS (${ivfAssignSql("en", "c0")}),
+       |c1 AS (${ivfUpdateSql("a1", "c0")}),
+       |a2 AS (${ivfAssignSql("en", "c1")}),
+       |c2 AS (${ivfUpdateSql("a2", "c1")}),
+       |a3 AS (${ivfAssignSql("en", "c2")}),
+       |c3 AS (${ivfUpdateSql("a3", "c2")}),
+       |idx AS (${ivfAssignSql("en", "c3")}),
+       |probes AS (
+       |  SELECT query_id, qv, cluster FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, c.cluster,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_sum(list_transform(range($Dim), i -> q.v[i+1] * c.c[i+1])) DESC,
+       |             c.cluster ASC) AS rk
+       |    FROM idx q CROSS JOIN c3 c WHERE q.vec_id < $NumQueries)
+       |  WHERE rk <= $IvfGateNprobe)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM (SELECT p.query_id, i.vec_id AS neighbor_id,
+       |               ${stableRoundSql(
+                         s"list_sum(list_transform(range($Dim), " +
+                           "j -> p.qv[j+1] * dc.d[j+1])) " +
+                           s"/ sqrt(list_sum(list_transform(range($Dim), " +
+                           "j -> dc.d[j+1] * dc.d[j+1])))", 4)} AS cos_sim
+       |        FROM probes p JOIN idx i USING (cluster)
+       |                      JOIN dec dc ON dc.vec_id = i.vec_id
+       |        WHERE i.vec_id <> p.query_id))
+       |WHERE rank <= $IvfGateTopK ORDER BY query_id, rank""".stripMargin
 
   val q58Sql: String =
     s"""WITH e AS (

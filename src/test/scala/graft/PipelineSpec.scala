@@ -868,6 +868,41 @@ class PipelineSpec extends AnyFunSuite {
       "store-served q85 diverged from the inline-quantized serving form")
   }
 
+  test("q86: the quantized-IVF gate row serves from the materialized int8 " +
+    "lists layout, its store-scan assignment matches the assignStep route, " +
+    "and the probe equals ivfProbeQuantized over the same layout") {
+    import org.apache.spark.sql.functions._
+    val df = Vectors.q86IvfQuantized(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the gate row reads the materialized quantized index, not a rebuild
+    assert(plan.contains("graft_ivfq"),
+      s"q86 must scan the materialized quantized IVF layout:\n$plan")
+    // probes broadcast; the lists side never shuffles whole
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q86 probe side not broadcast:\n$plan")
+    // membership identity: the one-scan store-side assignment (decode →
+    // validity → normalize → argmax inline on the quantized rows) must
+    // equal routing the decoded view through the shared assignStep kernel
+    val p = Vectors.ivfQuantizedIndexPath(spark, sf, Vectors.IvfGateK)
+    val lists = spark.read.parquet(s"$p/lists")
+    val inline = lists.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val viaAssign = Vectors.ivfAssignBatch(
+        Vectors.dequantizedView(spark.read.parquet(s"$p/lists")
+          .select("vec_id", "max_abs_micro", "q")),
+        spark.read.parquet(s"$p/centroids"))
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(inline == viaAssign,
+      "store-scan assignment diverged from the assignStep route")
+    // and the row count covers every codec-valid vector
+    val nValid = Vectors.quantizedStoreRows(
+        TripleStore.table(spark, sf, "embeddings"))
+      .filter(col("max_abs_micro") > 0).count()
+    assert(lists.count() == nValid,
+      "quantized lists dropped or invented vectors")
+  }
+
   test("multimodal: q82 serves the q77 relation through the REAL binaryFile " +
     "source — the executed plan carries the binaryFile scan and the values " +
     "match the typed-map ingest path row for row") {
