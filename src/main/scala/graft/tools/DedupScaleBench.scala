@@ -32,13 +32,23 @@ import graft.LocalSession
   * seconds and shuffle/broadcast volumes from task metrics, then a summary.
   *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.DedupScaleBench
-  *        [corpusRows] [batchRows]"
+  *        [corpusRows] [batchRows] [nShards] [hashChars]"
   */
 object DedupScaleBench {
 
   def main(args: Array[String]): Unit = {
     val corpusRows = if (args.length > 0) args(0).toLong else 10000000L
     val batchRows = if (args.length > 1) args(1).toLong else 100000L
+    // args(3) (r19, the 1B rung): content-hash WIDTH in hex chars. 64
+    // (full sha2 — the default, byte-identical to every earlier rung) at
+    // <=100M rows; 32 (128-bit keys, the MD5/fingerprint regime) at 1B,
+    // where full-width hex keys alone are ~43 GB of parquet and the
+    // anti-join's corpus shuffle another ~40 GB — past the sandbox disk.
+    // The claim under test (per-shard blob bytes, fetch counts) is
+    // key-width-INDEPENDENT: the bloom hashes xxhash64(key) whatever the
+    // key's width; only the anti-join comparison plan pays for wide keys,
+    // which is exactly the contrast the bench exists to show.
+    val hashChars = if (args.length > 3) args(3).toInt else 64
     val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     val shufWrite = new AtomicLong(0)
@@ -71,19 +81,21 @@ object DedupScaleBench {
     val batchPath = s"$tmp/graft_dedupscale_batch"
     spark.range(corpusRows)
       .select(col("id").as("doc_id"),
-        sha2(concat(lit("corpus_"), col("id")), 256).as("content_hash"))
+        substring(sha2(concat(lit("corpus_"), col("id")), 256), 1, hashChars)
+          .as("content_hash"))
       .write.mode("overwrite").parquet(corpusPath)
     // batch ids continue past the corpus; hash domain: 10% corpus dups
     // (id % 10 == 0 reuses a corpus hash), 1% within-batch dups (id % 100
     // == 1 collapses to a shared new hash), the rest genuinely new
     spark.range(batchRows)
       .select((col("id") + corpusRows).as("doc_id"),
-        when(col("id") % 10 === 0,
-          sha2(concat(lit("corpus_"), col("id") % corpusRows), 256))
-          .when(col("id") % 100 === 1,
-            sha2(concat(lit("batchdup_"), col("id") % 7), 256))
-          .otherwise(sha2(concat(lit("batch_"), col("id")), 256))
-          .as("content_hash"))
+        substring(
+          when(col("id") % 10 === 0,
+            sha2(concat(lit("corpus_"), col("id") % corpusRows), 256))
+            .when(col("id") % 100 === 1,
+              sha2(concat(lit("batchdup_"), col("id") % 7), 256))
+            .otherwise(sha2(concat(lit("batch_"), col("id")), 256)),
+          1, hashChars).as("content_hash"))
       .write.mode("overwrite").parquet(batchPath)
     val corpus = spark.read.parquet(corpusPath)
     val batch = spark.read.parquet(batchPath)
@@ -175,9 +187,23 @@ object DedupScaleBench {
     val shardedPath = s"$tmp/graft_dedupscale_index_sh"
     graft.operators.BloomIndex.buildSized(corpus.select("content_hash"),
       shardedPath, corpusRows, corpusRows * 10, nShards)
+    // per-task blob residency + fetch telemetry (r19, VERDICT #6): local
+    // mode shares one JVM, so the cache counters see every task. The
+    // admit's fetch count must stay <= probe tasks x shards (each task
+    // pays each probed shard once; the cache dedups within-task reuse),
+    // and resident bytes must hold at most one generation of blobs.
+    graft.operators.BloomIndex.ShardBlobCache.clear()
+    val loads0 = graft.operators.BloomIndex.ShardBlobCache.loads.get()
     val dSharded = run(s"q76_sharded_admit_n$nShards", () =>
       graft.operators.BloomIndex.admit(spark, shardedPath, batch, corpus)
         .select("doc_id", "content_hash", "n_in_batch"))
+    println(s"""{"plan":"shard_cache_telemetry","n_shards":$nShards,""" +
+      s""""fetches":${
+        graft.operators.BloomIndex.ShardBlobCache.loads.get() - loads0},""" +
+      s""""entries":${
+        graft.operators.BloomIndex.ShardBlobCache.entryCount()},""" +
+      s""""resident_bytes":${
+        graft.operators.BloomIndex.ShardBlobCache.residentBytes()}}""")
     def maxBlobBytes(path: String): Long =
       spark.read.parquet(s"$path/v0")
         .agg(max(length(col("bloom"))).cast("long")).head().getLong(0)

@@ -51,16 +51,21 @@ object VectorScaleBench {
   private val NumQueries = 5 // mirrors Vectors.NumQueries: vec_id < 5 probe
 
   /** center(id % nClusters) + noise, all hash-derived: deterministic,
-    * cluster-structured, buildable without a data file. */
+    * cluster-structured, buildable without a data file. Unrolled to one
+    * compiled expression per dimension (r19): the original
+    * `transform(sequence(0, 63), j -> …)` form is a CodegenFallback HOF —
+    * 12.8B interpreted lambda evals at 100M rows made corpus GENERATION
+    * the run's longest phase (~4 h projected). Each element is the SAME
+    * expression tree with `j` bound as a literal, so the corpus bytes are
+    * identical and recall numbers stay comparable across rounds. */
   private def synthVectors(spark: SparkSession, rows: Long,
       nClusters: Int, idOffset: Long = 0L): DataFrame =
     spark.range(rows)
-      .select((col("id") + idOffset).as("vec_id"), expr(
-        s"""transform(sequence(0, ${Dim - 1}), j ->
-           |  CAST((hash((id + $idOffset) % $nClusters, j) % 1000) / 500.0
-           |       + (hash(id + $idOffset, j) % 100) / 500.0 AS FLOAT))"""
-          .stripMargin)
-        .as("embedding"))
+      .select((col("id") + idOffset).as("vec_id"),
+        array((0 until Dim).map(j => expr(
+          s"CAST((hash((id + $idOffset) % $nClusters, $j) % 1000) / 500.0" +
+            s" + (hash(id + $idOffset, $j) % 100) / 500.0 AS FLOAT)")): _*)
+          .as("embedding"))
 
   private def recallOf(exact: Map[Long, Set[Long]],
       approx: Map[Long, Set[Long]]): Double = {
