@@ -81,13 +81,33 @@ object BloomIndex {
     * each shard's filter sized to its share of the geometry (a key set
     * split n ways needs expected/n capacity per shard for the same
     * false-positive rate; floors keep the degenerate tiny-corpus shard
-    * valid). Empty input ⇒ zero rows (groupBy emits no empty groups). */
+    * valid). Empty input ⇒ zero rows (groupBy emits no empty groups).
+    *
+    * Exchange shape (r19, the 1B rung): the default is ONE map-side
+    * partial-bloom pass — each map task emits its shards' partial
+    * filters into the merge exchange, i.e. up to `numBits/8` bytes PER
+    * MAP TASK. That is the right shape while the whole index is
+    * broadcast-small (gate geometry: KBs), but it scales with map-task
+    * count × index bytes: at 1B keys / 10 bits/key (~1.25 GB of filter)
+    * and ~200 map tasks it would ship ~250 GB of partials. Past a
+    * 256 MB single-index payload the build therefore pre-partitions the
+    * RAW hashes by shard (one exchange of ~key bytes) so each reduce
+    * task builds only its own shards' filters, with no partial-blob
+    * exchange at all. The built filter bytes are IDENTICAL either way:
+    * a bloom bitset is the OR of its keys' bit patterns, so neither
+    * partitioning nor merge order can change it. */
   private def shardedBlooms(hashes: DataFrame, expected: Long,
-      numBits: Long, numShards: Long): DataFrame =
-    hashes.groupBy(shardCol(numShards).as("shard"))
+      numBits: Long, numShards: Long): DataFrame = {
+    val keyed = hashes.select(col("content_hash"),
+      shardCol(numShards).as("shard"))
+    val src =
+      if (numBits / 8 <= (256L << 20)) keyed
+      else keyed.repartition(col("shard"))
+    src.groupBy("shard")
       .agg(call_function("bloom_build", xxhash64(col("content_hash")),
         lit(math.max(1L, expected / numShards)),
         lit(math.max(64L, numBits / numShards))).as("bloom"))
+  }
 
   /** The index is VERSIONED: every state is an immutable `v<N>` subdir
     * and readers resolve the latest at plan-construction time. No file is
@@ -130,7 +150,19 @@ object BloomIndex {
       .select(col("shard"), col("bloom"), lit(expected).as("expected"),
         lit(numBits).as("num_bits"), lit(0L).as("n_appends"),
         lit(numShards).as("num_shards"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/v0")
+      // one part file (v0 is tiny at gate geometry), but a 1 MB parquet
+      // block so every blob row past ~1 MB closes its OWN row group
+      // (r19, measured at 1B/N=256): fetchShardBlob prunes at row-group
+      // level, and the default ~128 MB blocks packed ~26 five-MB blobs
+      // per group — every shard fetch dragged its neighbors' column
+      // pages along (~33 GB read for 256 fetches, ~600 s of the 1B
+      // admit). With row-group-per-blob a fetch reads exactly one blob.
+      // Gate-geometry blobs are KBs, so small indexes still share one
+      // row group and nothing changes there; filter BYTES are identical
+      // in all cases — this is pure file layout.
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 1L << 20)
+      .parquet(s"$path/v0")
   }
 
   /** A shard blob's cache identity: the index root, the version NUMBER,
