@@ -552,7 +552,14 @@ object BloomIndex {
     // no coalesce(1): the merged rows carry per-shard blobs and should
     // write with whatever shard-parallelism the merge ran at (N files of
     // one bounded blob each is exactly the layout a 1T index wants)
-    merged.write.mode("overwrite").parquet(staging)
+    // same 1 MB parquet blocks as buildSized's v0 (r19): without it the
+    // append's versions regress to ~128 MB row groups packing many blobs,
+    // and fetchShardBlob's row-group pruning re-pays the neighbor-page
+    // amplification the v0 fix removed — on every index that has ever
+    // been appended to
+    merged.write.mode("overwrite")
+      .option("parquet.block.size", 1L << 20)
+      .parquet(staging)
     commitSlot(fs, new org.apache.hadoop.fs.Path(staging), target)
     // keep the latest THREE snapshots (this one + two back); GC the rest
     fs.listStatus(root).toSeq

@@ -244,7 +244,14 @@ object Vectors {
     * native [[graft.plans.VecDot]] sequential fold, so the assignment
     * relation is value-identical to the crossJoin form and the q66/q78
     * oracles' unrolled k-means CTEs carry over unchanged. Zero exchange,
-    * whole-stage codegen. */
+    * whole-stage codegen.
+    *
+    * NOTE the one visible behavior change vs the lazy crossJoin form:
+    * this is EAGER — the centroid table materializes (driver collect of
+    * k rows) at plan-CONSTRUCTION time, and an empty table raises loudly
+    * where the old form lazily produced an empty assignment. Every
+    * caller in the library hands it a materialized k-row table; a loud
+    * failure on a degenerate quantizer beats a silently empty index. */
   private def assignStep(e: DataFrame, cents: DataFrame): DataFrame =
     e.select(col("vec_id"),
       nearestClusterCol(collectCentroids(cents), col("v")).as("cluster"),
@@ -434,12 +441,28 @@ object Vectors {
         decode.as("d"))
       .select(col("query_id"), col("neighbor_id"),
         stableRound(
-          call_function("vec_dot", col("qv"), col("d")) /
-            sqrt(call_function("vec_dot", col("d"), col("d"))), 4)
+          // RAGGED-PAIR GUARD (q85's discipline, extended here with the
+          // q86 gate row): vec_dot alone would yield a silent NULL score
+          // (Spark sorts it last, DuckDB's range()-indexed twin would
+          // compute a PARTIAL dot instead) — both engines must fail
+          // LOUDLY with the same named error. Unreachable while every
+          // codec-valid vector is one dimensionality, which is exactly
+          // why it must be loud when that stops being true.
+          when(size(col("qv")) =!= size(col("d")),
+            raise_error(lit(RaggedMsg)))
+            .otherwise(call_function("vec_dot", col("qv"), col("d")) /
+              sqrt(call_function("vec_dot", col("d"), col("d")))), 4)
           .as("cos_sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= topk)
   }
+
+  /** The one ragged-pair error text all quantized serving paths share —
+    * [[graft.plans.Int8Dot]] raises it natively (q85), the quantized
+    * probe raises it via the CASE guard above (q86), and both DuckDB
+    * twins carry it in their `error()` branches. */
+  private[graft] val RaggedMsg =
+    "int8_dot: ragged quantized vectors — query/corpus dims differ"
 
   /** Build-then-probe in one call (the test/ad-hoc path; the serving path
     * probes the [[ivfIndexPath]] layout instead of rebuilding). */
@@ -1255,7 +1278,8 @@ object Vectors {
     // served relation is bit-identical and q85's oracle carries over
     // unchanged. The RAGGED-PAIR GUARD (r15 ADVICE) moved INTO int8_dot:
     // a length mismatch raises the same loud named error (never a partial
-    // dot), mirrored by the DuckDB twin's `error()` guard in [[q85Sql]].
+    // dot), mirrored verbatim by the DuckDB twin's `error()` guard in
+    // [[q85Sql]].
     val qv = qstore
       .filter(col("max_abs_micro") > 0)
       .select(col("vec_id"), col("q"),
@@ -1298,8 +1322,8 @@ object Vectors {
                          // ragged-pair guard: same named failure as the
                          // Spark side's raise_error (r15 ADVICE)
                          "CASE WHEN len(qn.q) <> len(en.q) " +
-                           "THEN CAST(error('q85: ragged quantized vectors " +
-                           "— query/corpus dims differ') AS DOUBLE) " +
+                           "THEN CAST(error('int8_dot: ragged quantized " +
+                           "vectors — query/corpus dims differ') AS DOUBLE) " +
                            "ELSE CAST(list_sum(list_transform(range(len(qn.q)), " +
                            "i -> qn.q[i+1] * en.q[i+1])) AS DOUBLE) " +
                            "/ (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(en.n2 AS DOUBLE))) END",
@@ -1423,10 +1447,17 @@ object Vectors {
        |           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM (SELECT p.query_id, i.vec_id AS neighbor_id,
        |               ${stableRoundSql(
-                         s"list_sum(list_transform(range($Dim), " +
+                         // ragged-pair guard: the same loud named error
+                         // as the Spark side's CASE (a range()-indexed
+                         // fold would otherwise SKIP the out-of-range
+                         // NULLs and score a partial dot)
+                         "CASE WHEN len(p.qv) <> len(dc.d) " +
+                           "THEN CAST(error('int8_dot: ragged quantized " +
+                           "vectors — query/corpus dims differ') AS DOUBLE) " +
+                           s"ELSE list_sum(list_transform(range($Dim), " +
                            "j -> p.qv[j+1] * dc.d[j+1])) " +
                            s"/ sqrt(list_sum(list_transform(range($Dim), " +
-                           "j -> dc.d[j+1] * dc.d[j+1])))", 4)} AS cos_sim
+                           "j -> dc.d[j+1] * dc.d[j+1]))) END", 4)} AS cos_sim
        |        FROM probes p JOIN idx i USING (cluster)
        |                      JOIN dec dc ON dc.vec_id = i.vec_id
        |        WHERE i.vec_id <> p.query_id))

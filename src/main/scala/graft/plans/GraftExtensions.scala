@@ -83,26 +83,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pillar's hot paths — bit-exact to the declarative forms they
     // replace (see VectorKernels' contract), so every oracle carries
     // over unchanged.
+    // arity checked up front: a wrong-arity SQL call must surface as an
+    // analysis-time error naming the function, not a raw
+    // IndexOutOfBoundsException from children(1)
+    def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+      if (children.size != n)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> n.toString,
+            "actualNum" -> children.size.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("vec_dot", 2, children)
+        VecDot(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("vec_normalize"),
       new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
-      (children: Seq[Expression]) => VecNormalize(children(0))))
+      (children: Seq[Expression]) => {
+        arity("vec_normalize", 1, children)
+        VecNormalize(children(0))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("int8_dot"),
       new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
-      (children: Seq[Expression]) => Int8Dot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("int8_dot", 2, children)
+        Int8Dot(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("int8_norm2"),
       new ExpressionInfo(classOf[Int8Norm2].getName, "int8_norm2"),
-      (children: Seq[Expression]) => Int8Norm2(children(0))))
+      (children: Seq[Expression]) => {
+        arity("int8_norm2", 1, children)
+        Int8Norm2(children(0))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("int8_decode"),
       new ExpressionInfo(classOf[Int8Decode].getName, "int8_decode"),
-      (children: Seq[Expression]) => Int8Decode(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        arity("int8_decode", 2, children)
+        Int8Decode(children(0), children(1))
+      }))
     // Spark's OWN bloom-filter expression pair (the machinery behind
     // runtime row-level filtering), surfaced as callable functions:
     // `bloom_build(xxhash64(key), est_items, num_bits)` aggregates a

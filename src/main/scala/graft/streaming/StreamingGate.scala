@@ -55,6 +55,8 @@ object StreamingGate {
     * session's full parallelism. */
   private val ReplayShufflePartitions = 8
 
+  private object ReplayConfLock
+
   /** The shared once-per-JVM replay scaffold both gate rows use: stage a
     * temp (in, store, ckpt) trio, run the export + streaming query to
     * completion (with the shuffle-partition clamp above), memoize the
@@ -72,11 +74,19 @@ object StreamingGate {
         StreamingLww.deleteRecursively(new java.io.File(base))
       }
       val storePath = s"$base/store"
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        ReplayShufflePartitions.toString)
-      try run(s"$base/in", storePath, s"$base/ckpt")
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // one global lock across ALL entries' replays: the memo maps are
+      // per-entry, so two different entries' first calls could otherwise
+      // interleave the save/set/restore of the session-global conf and
+      // leak the clamp (thread A saves 32, B saves A's 8, A restores 32,
+      // B "restores" 8). Serializing replays costs nothing — each runs
+      // once per JVM.
+      ReplayConfLock.synchronized {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions",
+          ReplayShufflePartitions.toString)
+        try run(s"$base/in", storePath, s"$base/ckpt")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       assert(Files.exists(Paths.get(storePath)), s"$prefix replay left no store")
       storePath
     })

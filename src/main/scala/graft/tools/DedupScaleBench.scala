@@ -97,7 +97,14 @@ object DedupScaleBench {
     // batch ids continue past the corpus; hash domain: 10% corpus dups
     // (id % 10 == 0 reuses a corpus hash), 1% within-batch dups (id % 100
     // == 1 collapses to a shared new hash), the rest genuinely new
-    if (!haveRows(batchPath, batchRows)) spark.range(batchRows)
+    // the batch's ids AND its corpus-dup hashes are functions of
+    // corpusRows, so reuse additionally requires the stored batch to
+    // start exactly at the current corpus boundary
+    def batchMatches: Boolean =
+      try spark.read.parquet(batchPath).agg(min(col("doc_id"))).head()
+        .getLong(0) == corpusRows
+      catch { case _: Throwable => false }
+    if (!(haveRows(batchPath, batchRows) && batchMatches)) spark.range(batchRows)
       .select((col("id") + corpusRows).as("doc_id"),
         substring(
           when(col("id") % 10 === 0,
