@@ -236,15 +236,17 @@ object Vectors {
     * groupBy form shuffled one row per VECTOR carrying the full float64
     * list — ~51 GB of exchange payload at 100M vectors, the measured
     * superlinear knee in the 100M build (hash-aggregate spill ~55 GB).
-    * This form embeds the k centroids as array literals (k is
-    * broadcast-sized by construction) and takes
-    * `greatest(struct(sim_j, cluster_j))_j` — Spark's struct ordering is
-    * exactly `max_by(cluster, struct(sim, cluster))`'s (lexicographic,
-    * NaN greatest, ties to the higher cluster id), and each `sim_j` is the
-    * native [[graft.plans.VecDot]] sequential fold, so the assignment
-    * relation is value-identical to the crossJoin form and the q66/q78
-    * oracles' unrolled k-means CTEs carry over unchanged. Zero exchange,
-    * whole-stage codegen.
+    * This form binds the k collected centroids into the per-row argmax
+    * (k is broadcast-sized by construction) via the native
+    * [[graft.plans.NearestCentroid]] kernel (r20) — each `sim_j` is the
+    * native [[graft.plans.VecDot]] sequential fold and the (sim, cluster)
+    * max rule is exactly `max_by(cluster, struct(sim, cluster))`'s
+    * (lexicographic, NaN greatest, ties to the higher cluster id), so the
+    * assignment relation is value-identical to the crossJoin form and the
+    * q66/q78 oracles' unrolled k-means CTEs carry over unchanged. Zero
+    * exchange, whole-stage codegen, and plan/codegen size O(1) in k (the
+    * r19 `greatest`-over-k-struct-literals form carried O(k·d) plan
+    * literals — the production-k ceiling VERDICT r19 #1 names).
     *
     * NOTE the one visible behavior change vs the lazy crossJoin form:
     * this is EAGER — the centroid table materializes (driver collect of
@@ -266,22 +268,23 @@ object Vectors {
     cs
   }
 
-  /** The per-row argmax column over collected centroids:
-    * `greatest(struct(vec_dot(v, c_j), cluster_j))_j.cluster` — shared by
-    * [[assignStep]] and the store-scan assignment in
-    * [[ivfQuantizedIndexPath]] so the two cannot drift. Callers must pass
-    * a MATERIALIZED column for `v` (an attribute, not an inline
-    * expression): the argmax references it k times. */
+  /** The per-row argmax column over collected centroids — the native
+    * [[graft.plans.NearestCentroid]] kernel with the centroid MATRIX and
+    * cluster-id vector each bound as ONE nested-array literal (r20,
+    * VERDICT r19 #1): plan size and generated code are O(1) in k, where
+    * the r19 `greatest(struct(vec_dot(v, c_j), cluster_j))_j.cluster`
+    * form carried O(k·d) literal nodes and a k-ary `greatest` — fine at
+    * the gate k=8 / rehearsal k=64, a 64 KB-codegen-limit ceiling at
+    * production k ≈ 10⁴⁺. Membership is bit-identical (the kernel's
+    * contract: same sequential-fold sims, same struct-ordering max rule —
+    * PlansSpec pins kernel ≡ greatest form on real embeddings), so the
+    * q66/q78/q86 oracles carry over unchanged. Shared by [[assignStep]]
+    * and the store-scan assignment in [[ivfQuantizedIndexPath]] so the
+    * two cannot drift. `v` is referenced exactly once. */
   private def nearestClusterCol(cs: Array[(Long, Seq[Double])],
-      v: Column): Column = {
-    val scored = cs.toSeq.map { case (cl, c) =>
-      struct(
-        call_function("vec_dot", v, array(c.map(lit): _*)).as("sim"),
-        lit(cl).as("cluster"))
-    }
-    (if (scored.size == 1) scored.head else greatest(scored: _*))
-      .getField("cluster")
-  }
+      v: Column): Column =
+    call_function("nearest_centroid", v,
+      typedlit(cs.toSeq.map(_._2)), typedlit(cs.toSeq.map(_._1)))
 
   /** Spherical k-means coarse quantizer, fully declarative (no closures in
     * the per-vector path): assignment is a crossJoin with the k-row
@@ -329,8 +332,14 @@ object Vectors {
           s"$trainSampleMod == 0) holds only $nTrain rows — fewer than " +
           s"k=$k clusters; lower trainSampleMod or k")
     }
+    // localCheckpoint BEFORE the first assignStep collects the seeds
+    // (ADVICE r19): the seed frame's lineage is the full sphereNormalized
+    // scan + a global sort-limit — without the checkpoint, iteration 1
+    // would execute that scan once just to seed the argmax literals and
+    // once more inside its own aggregation
     var centroids = train.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("c"))
+      .localCheckpoint(true)
     def assign(cents: DataFrame): DataFrame = assignStep(train, cents)
     for (_ <- 1 to iters) {
       val means = assign(centroids)
@@ -518,7 +527,13 @@ object Vectors {
     * list balance over time; the production cadence is incremental appends
     * per crawl batch + a periodic full [[ivfAssign]] rebuild (the same
     * compaction rhythm as q52's dedup store), with list-size skew deciding
-    * when. */
+    * when.
+    *
+    * EAGERNESS NOTE (ADVICE r19): although this returns a DataFrame, the
+    * call itself runs a Spark job — [[assignStep]] collects the k-row
+    * centroid table at plan-CONSTRUCTION time to bind the argmax matrix,
+    * and raises loudly on an empty table (a degenerate quantizer must
+    * never assign silently). */
   def ivfAssignBatch(batch: DataFrame, centroids: DataFrame): DataFrame =
     assignStep(sphereNormalized(batch), centroids)
       .select("vec_id", "cluster", "v")

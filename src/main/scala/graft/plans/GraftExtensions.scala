@@ -129,6 +129,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("int8_decode", 2, children)
         Int8Decode(children(0), children(1))
       }))
+    // r20: the IVF assignment argmax with the centroid MATRIX bound once —
+    // plan and codegen O(1) in k (the greatest-over-k-struct-literals form
+    // it replaces carried O(k·d) plan literals and a k-ary method, the
+    // production-k ceiling). Bit-identical membership (see the kernel's
+    // contract), so the q66/q78/q86 oracles carry over unchanged.
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (children: Seq[Expression]) => {
+        arity("nearest_centroid", 3, children)
+        NearestCentroid(children(0), children(1), children(2))
+      }))
     // Spark's OWN bloom-filter expression pair (the machinery behind
     // runtime row-level filtering), surfaced as callable functions:
     // `bloom_build(xxhash64(key), est_items, num_bits)` aggregates a

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -139,6 +139,50 @@ object VectorKernels {
       i += 1
     }
     acc
+  }
+
+  /** Argmax over a BOUND centroid matrix: the cluster id whose centroid
+    * maximizes `vecDot(v, cents_j)` — ties (and the all-NULL-sim case) to
+    * the HIGHEST cluster id, NULL sims ordered first. Bit-identical to the
+    * `greatest(struct(vec_dot(v, c_j), cluster_j))_j.cluster` plan form it
+    * replaces (r19's assignment shape): each `sim_j` is the SAME
+    * [[vecDot]] sequential fold, and the (sim, id) max rule reproduces
+    * Spark's struct ordering exactly — null fields first, doubles via the
+    * `x == y ? 0 : Double.compare` rule (−0.0 = 0.0, NaN greatest), then
+    * the id. The matrix binds ONCE (one nested-array literal in the plan,
+    * one codegen reference object), so plan size and generated code stay
+    * O(1) in k where the greatest form carried O(k·d) literal nodes and a
+    * k-ary method — the production-k ceiling (k ≈ 10⁴⁺ coarse lists at
+    * 10⁹⁺ vectors would blow the 64 KB codegen method limit). Raises
+    * loudly on k = 0, a NULL centroid row/id, or an ids/centroids length
+    * mismatch — a malformed quantizer must never assign silently. */
+  def nearestCentroid(v: ArrayData, cents: ArrayData, ids: ArrayData): Long = {
+    val k = cents.numElements()
+    if (k == 0 || ids.numElements() != k)
+      throw new RuntimeException(
+        s"nearest_centroid: ${ids.numElements()} cluster ids for $k centroids")
+    var bestSim: java.lang.Double = null
+    var bestId = 0L
+    var has = false
+    var j = 0
+    while (j < k) {
+      if (cents.isNullAt(j) || ids.isNullAt(j))
+        throw new RuntimeException(
+          s"nearest_centroid: NULL centroid row or cluster id at $j")
+      val sim = vecDot(v, cents.getArray(j), 1, 1)
+      val id = ids.getLong(j)
+      val c =
+        if (sim == null && bestSim == null) 0
+        else if (sim == null) -1
+        else if (bestSim == null) 1
+        else if (sim.doubleValue() == bestSim.doubleValue()) 0
+        else java.lang.Double.compare(sim.doubleValue(), bestSim.doubleValue())
+      if (!has || c > 0 || (c == 0 && id > bestId)) {
+        has = true; bestSim = sim; bestId = id
+      }
+      j += 1
+    }
+    bestId
   }
 
   /** `q_i · max_abs_micro / 127e6` per element, NULL elements preserved. */
@@ -307,4 +351,46 @@ case class Int8Decode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Int8Decode =
     copy(left = newLeft, right = newRight)
+}
+
+/** `nearest_centroid(v, centroids, cluster_ids)`: see
+  * [[VectorKernels.nearestCentroid]]. The hot path (IVF assignment) hands
+  * `centroids`/`cluster_ids` as SINGLE nested-array literals (one plan
+  * node, one codegen reference object each), which is the whole point:
+  * the assignment argmax stays O(1) in plan/codegen size however many
+  * coarse lists the quantizer carries. */
+case class NearestCentroid(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val v = VectorKernels.requireArray(first.dataType, Seq(DoubleType),
+      "nearest_centroid", "its vector argument")
+    if (v.isFailure) v
+    else second.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => third.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid requires its cluster-id argument to be " +
+            s"array<bigint>, got ${other.simpleString}")
+      }
+      case other => TypeCheckResult.TypeCheckFailure(
+        "nearest_centroid requires its centroid argument to be " +
+          s"array<array<double>>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any, cents: Any, ids: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], ids.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, i) =>
+      s"graft.plans.VectorKernels.nearestCentroid($v, $c, $i)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestCentroid =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -332,6 +332,66 @@ class PlansSpec extends AnyFunSuite {
     assert(nul == ((None, None)))
   }
 
+  test("nearest_centroid equals the greatest-over-k-struct-literals argmax " +
+    "it replaces, on real normalized embeddings at gate k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = TripleStore.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .filter(expr("vec_dot(v0, v0)") > 0)
+      .select(col("vec_id"), expr("vec_normalize(v0)").as("v"))
+      .localCheckpoint(true)
+    // gate convention: seeds are the k lowest vec_ids of the corpus
+    val cents = e.orderBy("vec_id").limit(graft.operators.Vectors.IvfGateK)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // the r19 plan form the kernel replaced, reconstructed verbatim:
+    // greatest over k struct(vec_dot(v, <literals>), cluster) columns
+    val greatestForm = greatest(cents.toSeq.map { case (cl, c) =>
+      struct(call_function("vec_dot", col("v"), array(c.map(lit): _*))
+        .as("sim"), lit(cl).as("cluster"))
+    }: _*).getField("cluster")
+    val kernel = call_function("nearest_centroid", col("v"),
+      typedlit(cents.toSeq.map(_._2)), typedlit(cents.toSeq.map(_._1)))
+    val drift = e.select(kernel.as("a"), greatestForm.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(drift == 0L, s"$drift rows assigned differently from the " +
+      "greatest form")
+    // edges, from pure SQL text: plain argmax; an exact tie goes to the
+    // HIGHER cluster id (struct-ordering rule); a ragged vector nulls
+    // every sim, so the all-null tie also goes to the higher id; k=1
+    // (where the greatest form special-cased) returns the only id;
+    // a NULL vector is NULL
+    val edges = spark.sql(
+      """SELECT nearest_centroid(array(1.0D, 0.0D),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
+        |         array(10L, 20L)) AS plain,
+        |       nearest_centroid(array(0.5D, 0.5D),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
+        |         array(10L, 20L)) AS tie,
+        |       nearest_centroid(array(1.0D),
+        |         array(array(1.0D, 0.0D), array(0.0D, 1.0D)),
+        |         array(10L, 20L)) AS ragged,
+        |       nearest_centroid(array(1.0D), array(array(-1.0D)),
+        |         array(7L)) AS single,
+        |       nearest_centroid(CAST(NULL AS ARRAY<DOUBLE>),
+        |         array(array(1.0D)), array(1L)) AS nul""".stripMargin)
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(edges == ((10L, 20L, 20L, 7L, None)))
+    // malformed quantizers fail loudly, never assign silently
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    val ex = intercept[Exception] {
+      spark.sql("SELECT nearest_centroid(array(1.0D), " +
+        "array(array(1.0D)), array(1L, 2L))").collect()
+    }
+    assert(rootMsg(ex).contains("2 cluster ids for 1 centroids"),
+      s"length mismatch must raise the named guard, got: ${rootMsg(ex)}")
+  }
+
   test("int8_decode is bit-exact to the transform decode on the real store " +
     "rows and preserves element nulls") {
     import org.apache.spark.sql.functions._
