@@ -55,17 +55,29 @@ object StreamingGate {
     * session's full parallelism. */
   private val ReplayShufflePartitions = 8
 
-  private object ReplayConfLock
-
   /** The shared once-per-JVM replay scaffold both gate rows use: stage a
     * temp (in, store, ckpt) trio, run the export + streaming query to
     * completion (with the shuffle-partition clamp above), memoize the
     * merged store path per sf dir (computeIfAbsent: concurrent first
     * calls block on ONE replay). Only the export and the sink vary
-    * between the entries. */
+    * between the entries; `run` receives the REPLAY session and must
+    * plan every replay job on it.
+    *
+    * Clamp scope (ADVICE r19): the clamp previously saved/set/restored
+    * the session-GLOBAL `spark.sql.shuffle.partitions` under a
+    * cross-replay lock — safe against other replays, but a NON-replay
+    * gate query planned concurrently in the shared session would
+    * silently pick up the 8-partition window (perf/plan-shape only, but
+    * enough to wobble a concurrently derived fingerprint or timing).
+    * Each replay now runs on a CLONED session (`newSession`: same
+    * SparkContext and extensions, own SQLConf — builder-level confs like
+    * the warehouse dir and nanosAsLong carry over) with the clamp set on
+    * the clone only, so nothing global ever mutates and the lock is
+    * gone. The memoized STORE is plain parquet, session-independent:
+    * gate entries keep reading it from the caller's session. */
   private def replayOnce(map: java.util.concurrent.ConcurrentHashMap[String, String],
       spark: SparkSession, dir: String, prefix: String)(
-      run: (String, String, String) => Unit): String =
+      run: (SparkSession, String, String, String) => Unit): String =
     map.computeIfAbsent(dir, { _ =>
       val base = Files.createTempDirectory(prefix).toString
       // ivfIndexPath's discipline: without this every JVM strands one
@@ -74,19 +86,10 @@ object StreamingGate {
         StreamingLww.deleteRecursively(new java.io.File(base))
       }
       val storePath = s"$base/store"
-      // one global lock across ALL entries' replays: the memo maps are
-      // per-entry, so two different entries' first calls could otherwise
-      // interleave the save/set/restore of the session-global conf and
-      // leak the clamp (thread A saves 32, B saves A's 8, A restores 32,
-      // B "restores" 8). Serializing replays costs nothing — each runs
-      // once per JVM.
-      ReplayConfLock.synchronized {
-        val prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-          ReplayShufflePartitions.toString)
-        try run(s"$base/in", storePath, s"$base/ckpt")
-        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-      }
+      val rs = spark.newSession()
+      rs.conf.set("spark.sql.shuffle.partitions",
+        ReplayShufflePartitions.toString)
+      run(rs, s"$base/in", storePath, s"$base/ckpt")
       assert(Files.exists(Paths.get(storePath)), s"$prefix replay left no store")
       storePath
     })
@@ -101,16 +104,16 @@ object StreamingGate {
     * overlap cost (~4 streaming micro-batch runs × 4 corpora per close). */
   def q67StreamMerge(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ran, spark, dir, "graft_stream_gate") {
-      (src, storePath, ckpt) =>
+      (rs, src, storePath, ckpt) =>
         // seed: the local store (q3's left side)
-        TripleStore.triples(spark, dir)
+        TripleStore.triples(rs, dir)
           .write.parquet(storePath)
         // the wire: remote changelog as JSONL files, several so the stream
         // actually micro-batches (repartition count = batch count)
         TripleStore.writeJsonl(
-          TripleStore.remoteChangelog(spark, dir).repartition(NumBatches), src)
+          TripleStore.remoteChangelog(rs, dir).repartition(NumBatches), src)
         StreamingLww.mergeIntoStore(
-            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            StreamingLww.jsonlSource(rs, src, maxFilesPerTrigger = 1),
             storePath, ckpt, Trigger.AvailableNow())
           .awaitTermination()
     }
@@ -128,12 +131,12 @@ object StreamingGate {
     * equivalence in-process, including checkpoint-replay no-ops). */
   def q70StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ranDedup, spark, dir, "graft_stream_dedup") {
-      (src, storePath, ckpt) =>
-        TripleStore.table(spark, dir, "documents")
+      (rs, src, storePath, ckpt) =>
+        TripleStore.table(rs, dir, "documents")
           .select("doc_id", "text")
           .repartition(NumBatches)
           .write.json(src)
-        val stream = spark.readStream
+        val stream = rs.readStream
           .schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", 1)
           .option("mode", "FAILFAST")
@@ -167,7 +170,7 @@ object StreamingGate {
     * whole-store rewriting fails the gate loudly. */
   def q79StreamMergePart(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ranPart, spark, dir, "graft_stream_part") {
-      (src, storePath, ckpt) =>
+      (rs, src, storePath, ckpt) =>
         // seed: the local store, laid out shard-partitioned with the SAME
         // boundaries the sink routes on. COMPACTED first (q31's invariant):
         // a materialized store holds at most one row per logical key. The
@@ -176,7 +179,7 @@ object StreamingGate {
         // never rewrites an untouched shard, so raw duplicate keys there
         // would survive to the final read (the adversarial corpus catches
         // exactly this — same class as the uncompacted q31 bucketed store)
-        TripleStore.triples(spark, dir)
+        TripleStore.triples(rs, dir)
           .transform(graft.operators.Lww.compact)
           .withColumn("shard",
             graft.plans.RangeBucket.shardId(col("subject"), PartBoundaries))
@@ -202,9 +205,9 @@ object StreamingGate {
         }
         val before = listing()
         TripleStore.writeJsonl(
-          TripleStore.remoteChangelog(spark, dir).repartition(NumBatches), src)
+          TripleStore.remoteChangelog(rs, dir).repartition(NumBatches), src)
         StreamingLww.mergeIntoStorePartitioned(
-            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            StreamingLww.jsonlSource(rs, src, maxFilesPerTrigger = 1),
             storePath, ckpt, PartBoundaries, Trigger.AvailableNow())
           .awaitTermination()
         val after = listing()
@@ -246,14 +249,14 @@ object StreamingGate {
     * missed, not the full history (`MasterServer.py:186-205`). */
   def q83StreamRestart(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ranRestart, spark, dir, "graft_stream_restart") {
-      (src, storePath, ckpt) =>
-        TripleStore.triples(spark, dir).write.parquet(storePath)
+      (rs, src, storePath, ckpt) =>
+        TripleStore.triples(rs, dir).write.parquet(storePath)
         // the full wire export, staged OUTSIDE the watched source dir and
         // released into it in two phases (the staging dir sits under the
         // same replay base, so the shared shutdown hook cleans it up)
         val stage = s"$src.stage"
         TripleStore.writeJsonl(
-          TripleStore.remoteChangelog(spark, dir).repartition(NumBatches),
+          TripleStore.remoteChangelog(rs, dir).repartition(NumBatches),
           stage)
         val parts = new java.io.File(stage).listFiles()
           .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
@@ -268,7 +271,7 @@ object StreamingGate {
         }.sum
         def runIncarnation(expectRows: Long, label: String): Unit = {
           val q = StreamingLww.mergeIntoStore(
-            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            StreamingLww.jsonlSource(rs, src, maxFilesPerTrigger = 1),
             storePath, ckpt, Trigger.AvailableNow())
           q.awaitTermination()
           val got = q.recentProgress.toSeq.map(_.numInputRows).sum
@@ -339,12 +342,12 @@ object StreamingGate {
     * final batches leave exactly the one sentinel key. */
   def q80StreamTtl(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ranTtl, spark, dir, "graft_stream_ttl") {
-      (src, storePath, ckpt) =>
-        import spark.implicits._
+      (rs, src, storePath, ckpt) =>
+        import rs.implicits._
         // gate-scale export (q74's documented driver-built pattern): the
         // changelog rows, batched by event-time slice + held-back rule
-        val rows = TripleStore.updates(spark, dir)
-          .unionByName(TripleStore.remoteChangelog(spark, dir))
+        val rows = TripleStore.updates(rs, dir)
+          .unionByName(TripleStore.remoteChangelog(rs, dir))
           .as[graft.Triple].collect().toSeq
         val mn = rows.map(_.ts_ms).min
         val span = rows.map(_.ts_ms).max - mn + 1
@@ -382,7 +385,7 @@ object StreamingGate {
         placer.placeLines("sentinel1.json", Seq(line(
           graft.Triple(TtlSentinelSubject, "<p>", "s1", sent0 + span))))
         val q = StreamingLww.winnersWithTtl(
-            StreamingLww.jsonlSource(spark, src, maxFilesPerTrigger = 1),
+            StreamingLww.jsonlSource(rs, src, maxFilesPerTrigger = 1),
             s"$d milliseconds", ttl)
           .writeStream
           .outputMode("update")
@@ -484,10 +487,10 @@ object StreamingGate {
     * disjoint intervals, so the order is total and the mapping exact). */
   def q74StreamSessions(spark: SparkSession, dir: String): DataFrame = {
     val store = replayOnce(ranSessions, spark, dir, "graft_stream_sessions") {
-      (src, storePath, ckpt) =>
-        import spark.implicits._
+      (rs, src, storePath, ckpt) =>
+        import rs.implicits._
         val gap = Relational.SessionGapMs
-        val raw = TripleStore.table(spark, dir, "events")
+        val raw = TripleStore.table(rs, dir, "events")
         val ev = raw.select(col("user_id"), col("event_id"),
           Relational.eventTsMs(raw).as("ts_ms"), col("value"))
         // ONE export job, sliced driver-side (r19, VERDICT #5): the
@@ -495,7 +498,17 @@ object StreamingGate {
         // jobs over the same gate-scale table — measured as ~7 s of
         // q74's ~16 s replay, the single largest share. Same rows, same
         // slice rule, same within-file scan order.
-        val all = ev.as[(Option[Long], Long, Long, Option[Double])].collect()
+        // ts decodes as Option (ADVICE r19): the generator contract is
+        // "no NULL event ts", but a violating corpus must surface as this
+        // named error, not as an opaque encoder NPE from a non-optional
+        // Long field
+        val all = ev.as[(Option[Long], Long, Option[Long], Option[Double])]
+          .collect()
+          .map { case (u, e, ts, v) =>
+            require(ts.isDefined, s"q74 replay: NULL ts_ms in events " +
+              s"(event_id=$e) — the corpus violates the no-NULL-ts contract")
+            (u, e, ts.get, v)
+          }
         val loTs = all.iterator.map(_._3).min
         val hiTs = all.iterator.map(_._3).max
         val span = hiTs - loTs + 1
@@ -519,7 +532,7 @@ object StreamingGate {
               }.toSeq)
         }
         SessionReplay.placeSentinels(placer, hiTs, gap)
-        SessionReplay.run(spark, src, gap, watermarkDelay = "10 minutes",
+        SessionReplay.run(rs, src, gap, watermarkDelay = "10 minutes",
           storePath, ckpt)
     }
     val w = Window.partitionBy("user_id").orderBy("session_start")

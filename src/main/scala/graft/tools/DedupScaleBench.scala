@@ -81,39 +81,58 @@ object DedupScaleBench {
     val batchPath = s"$tmp/graft_dedupscale_batch"
     // reuse a complete prior corpus of the same cardinality (the 1B
     // corpus is ~35 GB / ~10 min to regenerate; the generator is
-    // deterministic so identical rows come back either way)
-    def haveRows(path: String, rows: Long): Boolean =
-      try {
-        val df = spark.read.parquet(path)
-        df.select(length(col("content_hash"))).head().getInt(0) == hashChars &&
-          df.count() == rows
-      } catch { case _: Throwable => false }
-    if (!haveRows(corpusPath, corpusRows))
+    // deterministic so identical rows come back either way).
+    // Reuse keys on an explicit MANIFEST, not inferred properties
+    // (ADVICE r19): row count + first-row hash width would silently
+    // accept a fixture written by an OLDER generator formula (or a
+    // partial overwrite that happens to match) and skew the bench's
+    // agreement/size measurements. The manifest stamps the generator
+    // version and every parameter the rows are a function of, is written
+    // AFTER the parquet commit, and must match EXACTLY — bump GenVersion
+    // whenever a formula changes.
+    val GenVersion = "dedupscale-gen-v2-r19"
+    def manifestOf(kind: String, rows: Long): String =
+      s"$GenVersion kind=$kind rows=$rows hashChars=$hashChars " +
+        s"corpusRows=$corpusRows"
+    def manifestPath(dir: String) =
+      java.nio.file.Paths.get(dir, "_graft_manifest")
+    def manifestOk(dir: String, want: String): Boolean =
+      try new String(java.nio.file.Files.readAllBytes(manifestPath(dir)),
+        java.nio.charset.StandardCharsets.UTF_8) == want
+      catch { case _: Throwable => false }
+    def stamp(dir: String, m: String): Unit = {
+      java.nio.file.Files.write(manifestPath(dir),
+        m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    val corpusManifest = manifestOf("corpus", corpusRows)
+    if (!manifestOk(corpusPath, corpusManifest)) {
       spark.range(corpusRows)
         .select(col("id").as("doc_id"),
           substring(sha2(concat(lit("corpus_"), col("id")), 256), 1, hashChars)
             .as("content_hash"))
         .write.mode("overwrite").parquet(corpusPath)
+      stamp(corpusPath, corpusManifest)
+    }
     // batch ids continue past the corpus; hash domain: 10% corpus dups
     // (id % 10 == 0 reuses a corpus hash), 1% within-batch dups (id % 100
-    // == 1 collapses to a shared new hash), the rest genuinely new
+    // == 1 collapses to a shared new hash), the rest genuinely new.
     // the batch's ids AND its corpus-dup hashes are functions of
-    // corpusRows, so reuse additionally requires the stored batch to
-    // start exactly at the current corpus boundary
-    def batchMatches: Boolean =
-      try spark.read.parquet(batchPath).agg(min(col("doc_id"))).head()
-        .getLong(0) == corpusRows
-      catch { case _: Throwable => false }
-    if (!(haveRows(batchPath, batchRows) && batchMatches)) spark.range(batchRows)
-      .select((col("id") + corpusRows).as("doc_id"),
-        substring(
-          when(col("id") % 10 === 0,
-            sha2(concat(lit("corpus_"), col("id") % corpusRows), 256))
-            .when(col("id") % 100 === 1,
-              sha2(concat(lit("batchdup_"), col("id") % 7), 256))
-            .otherwise(sha2(concat(lit("batch_"), col("id")), 256)),
-          1, hashChars).as("content_hash"))
-      .write.mode("overwrite").parquet(batchPath)
+    // corpusRows, which the manifest carries for both fixtures.
+    val batchManifest = manifestOf("batch", batchRows)
+    if (!manifestOk(batchPath, batchManifest)) {
+      spark.range(batchRows)
+        .select((col("id") + corpusRows).as("doc_id"),
+          substring(
+            when(col("id") % 10 === 0,
+              sha2(concat(lit("corpus_"), col("id") % corpusRows), 256))
+              .when(col("id") % 100 === 1,
+                sha2(concat(lit("batchdup_"), col("id") % 7), 256))
+              .otherwise(sha2(concat(lit("batch_"), col("id")), 256)),
+            1, hashChars).as("content_hash"))
+        .write.mode("overwrite").parquet(batchPath)
+      stamp(batchPath, batchManifest)
+    }
     val corpus = spark.read.parquet(corpusPath)
     val batch = spark.read.parquet(batchPath)
 
