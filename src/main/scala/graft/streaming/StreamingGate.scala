@@ -384,6 +384,18 @@ object StreamingGate {
           graft.Triple(TtlSentinelSubject, "<p>", "s0", sent0))))
         placer.placeLines("sentinel1.json", Seq(line(
           graft.Triple(TtlSentinelSubject, "<p>", "s1", sent0 + span))))
+        // ONE store write (r20, VERDICT r19 #4 — q74's fewer-jobs
+        // discipline applied to the SINK, with NumBatches and the
+        // two-sentinel handshake untouched): the previous foreachBatch
+        // ran a parquet commit per micro-batch — 7 write jobs of KB-scale
+        // output, the committer a fixed share of each ~0.5–0.9 s addBatch
+        // (ReplayProbe r20 breakdown). Batches now collect into a driver
+        // buffer (gate-scale, bounded — the documented harness-collect
+        // class) tagged with their batch id; the store is written once
+        // after termination. Emission content per batch is unchanged, so
+        // the oracle and the state-metric asserts below carry over.
+        val buf =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Long, graft.Triple)]()
         val q = StreamingLww.winnersWithTtl(
             StreamingLww.jsonlSource(rs, src, maxFilesPerTrigger = 1),
             s"$d milliseconds", ttl)
@@ -393,12 +405,17 @@ object StreamingGate {
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.Triple],
               id: Long) =>
-            batch.toDF().withColumn("batch_id", lit(id))
-              .write.mode("append").parquet(storePath)
+            batch.collect().foreach(t => buf.add((id, t)))
             ()
           }
           .start()
         q.awaitTermination()
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toSeq
+          .map { case (id, t) =>
+            (id, t.subject, t.predicate, t.`object`, t.ts_ms) }
+          .toDF("batch_id", "subject", "predicate", "object", "ts_ms")
+          .write.parquet(storePath)
         // the eviction claim, asserted from the run's own state metrics
         val states = q.recentProgress.toSeq.flatMap(_.stateOperators.headOption)
         require(states.nonEmpty, "q80 replay reported no state metrics")
