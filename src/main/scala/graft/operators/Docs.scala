@@ -200,7 +200,14 @@ object Docs {
 
   /** Distinct 3-word shingles per document. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    shinglesOf(table(spark, dir, "documents"))
+
+  /** [[shingles]] over an explicit `(doc_id, text)` frame — exposed so the
+    * 10M-doc rehearsal (NeardupScaleBench) runs the PRODUCTION shingle
+    * kernel over its synthetic corpus, not a copy (the ivfAssignVectors
+    * convention). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -223,7 +230,17 @@ object Docs {
     // before returning, so repeated dedup sweeps in a long-lived session
     // don't accumulate storage-memory blocks.
     val sh = shingles(spark, dir).cache()
-    try {
+    try minhashVerify(minhashCandidates(sh), sh)
+    finally { sh.unpersist(); () }
+  }
+
+  /** q19's banding stage over a `(doc_id, s)` shingle frame: MinHash
+    * signatures → LSH bands → the candidate equi-join, MATERIALIZED
+    * (localCheckpoint — the pair set is bounded by the banding and feeds
+    * two consumers). Split out of [[q19MinhashPairs]] (r20) so the 10M-doc
+    * rehearsal measures the candidate volume between the production
+    * stages; the gate entry composes these pieces unchanged. */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
     // 8 hash functions from 2 md5 calls: each md5's 32 hex chars split into
     // 4 independent 8-char chunks (each a uniform hash of the shingle) —
     // md5 is the dominant per-shingle cost at scale.
@@ -238,7 +255,7 @@ object Docs {
       expr(s"stack($NumBands, ${(0 until NumBands).map(b =>
         s"'$b', md5(concat('$b|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")})" +
         " AS (band_idx, band_val)"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -248,10 +265,13 @@ object Docs {
       // intersection join AND the doc-id prune below — re-evaluating the
       // signature/banding subtree per consumer measurably dominates
       .localCheckpoint(true)
-    // verify-side prune: the exact-Jaccard joins only ever touch docs that
-    // appear in a candidate pair, so semi-join the shingle table down to
-    // them FIRST — at corpus scale the verify shuffle then carries the
-    // candidate docs' shingles (bounded by the banding), not the corpus
+  }
+
+  /** q19's verify stage: exact shingle Jaccard over the candidate pairs
+    * alone, with the shingle table semi-join-pruned to candidate docs
+    * FIRST — at corpus scale the verify shuffle carries the candidate
+    * docs' shingles (bounded by the banding), never the corpus. */
+  private[graft] def minhashVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
@@ -271,9 +291,8 @@ object Docs {
       .select(col("doc_a"), col("doc_b"), stableRound(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
       // eager: the near-dup pair set is tiny relative to the corpus;
-      // materializing it here lets the finally drop the shingle cache
+      // materializing it here lets the caller drop the shingle cache
       .localCheckpoint(true)
-    } finally { sh.unpersist(); () }
   }
 
   /** q19's pair derivation minus the presentation ORDER BY — reusable as a

@@ -240,8 +240,16 @@ object VectorScaleBench {
     val int8Recall = recallOf(exactSets, sets(int8Rows))
 
     // incremental ingest: one crawl batch through ivfAppendBatch (frozen
-    // centroids, file-level append), identity + replay both asserted
+    // centroids, file-level append), identity + replay both asserted.
+    // MATERIALIZED first (r20): feeding the generator frame directly
+    // inlines the 64-dim decimal expression tree into the assignment
+    // projection — at large k that single projection overflows janino's
+    // 64 KB method limit and the whole stage falls back to interpreted
+    // (observed at the k=4096 rung; a harness artifact — production
+    // batches arrive as parquet attributes, which is what the checkpoint
+    // restores here)
     val batch = synthVectors(spark, batchRows, k, idOffset = rows)
+      .localCheckpoint(true)
     def append(): Unit =
       if (int8AtRest) Vectors.ivfAppendBatchQuantized(spark, layout, batch,
         batchId = Some(0L), streamId = "vecscale")
