@@ -315,10 +315,85 @@ object DedupScaleBench {
     println(s"""{"plan":"shard_key_balance","n_shards":$nShards,""" +
       s""""max_keys":$balMax,"min_keys":$balMin,"mean_keys":${balMean.toLong},""" +
       s""""gated":$balGated,"balanced":$balanced}""")
+    // --- steady-state (multi-generation) mode: r20, VERDICT r19 #5 -------
+    // The 1B rung measured a FRESH v0 index; a real daily-crawl index is
+    // v0 + K appends with the 3-snapshot GC. This mode drives K crawl
+    // generations through the REAL admit→append cycle on the sharded
+    // index, then measures a final admit against the K-appended index:
+    // bounded blob residency across generations, fetch counts, GC leaving
+    // exactly 3 snapshots, and the final digest identical to the
+    // anti-join over the GROWN corpus.
+    val steadyK = if (args.length > 4) args(4).toInt else 0
+    var steadyOk = true
+    if (steadyK > 0) {
+      // generation g's batch: 10% original-corpus dups, 1% within-batch
+      // dups (7 shared new hashes), and for g >= 2 a 5% slice duplicating
+      // generation g-1's admitted PLAIN-NEW hashes (id ≡ 2 mod 20
+      // references g-1's id+1, which is ≡ 3 mod 20 — never a dup class
+      // there, so it was genuinely admitted and appended): the rows only
+      // the APPENDED generations can catch. The classes are disjoint
+      // (2 mod 20 is even and never ≡ 1 mod 100).
+      def genBatch(g: Int): DataFrame = spark.range(batchRows)
+        .select((col("id") + corpusRows + g.toLong * batchRows).as("doc_id"),
+          substring(
+            when(col("id") % 10 === 0,
+              sha2(concat(lit("corpus_"), col("id") % corpusRows), 256))
+              .when(col("id") % 100 === 1,
+                sha2(concat(lit(s"batchdup${g}_"), col("id") % 7), 256))
+              .when(lit(g >= 2) && col("id") % 20 === 2,
+                sha2(concat(lit(s"batch${g - 1}_"), col("id") + 1), 256))
+              .otherwise(sha2(concat(lit(s"batch${g}_"), col("id")), 256)),
+            1, hashChars).as("content_hash"))
+      var corpusAll = corpus
+      (1 to steadyK).foreach { g =>
+        val b = genBatch(g).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val admitted = graft.operators.BloomIndex
+          .admit(spark, shardedPath, b, corpusAll)
+        graft.operators.BloomIndex.append(spark, shardedPath,
+          admitted.select("content_hash"))
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"plan":"steady_gen$g","admitted":${admitted.count()},""" +
+          s""""admit_append_secs":${
+            String.format(java.util.Locale.ROOT, "%.2f", Double.box(secs))}}""")
+        corpusAll = corpusAll
+          .unionByName(admitted.select("doc_id", "content_hash"))
+      }
+      // GC contract: exactly the latest three snapshots remain
+      val versions = Option(new java.io.File(shardedPath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+        .map(_.getName.drop(1).toLong).sorted.toSeq
+      val wantVersions = (steadyK - 2 to steadyK).map(_.toLong)
+      val gcOk = steadyK < 2 || versions == wantVersions
+      println(s"""{"plan":"steady_gc","versions":${
+        versions.mkString("[", ",", "]")},"ok":$gcOk}""")
+      // the steady-state admit: a FRESH generation against the K-appended
+      // index, with cache telemetry, digest-checked against the anti-join
+      // over the grown corpus
+      val probeBatch = genBatch(steadyK + 1).localCheckpoint(true)
+      graft.operators.BloomIndex.ShardBlobCache.clear()
+      val loadsS0 = graft.operators.BloomIndex.ShardBlobCache.loads.get()
+      val dSteady = run(s"steady_admit_after_$steadyK", () =>
+        graft.operators.BloomIndex.admit(spark, shardedPath, probeBatch,
+          corpusAll).select("doc_id", "content_hash", "n_in_batch"))
+      println(s"""{"plan":"steady_cache_telemetry","n_shards":$nShards,""" +
+        s""""fetches":${
+          graft.operators.BloomIndex.ShardBlobCache.loads.get() - loadsS0},""" +
+        s""""entries":${
+          graft.operators.BloomIndex.ShardBlobCache.entryCount()},""" +
+        s""""resident_bytes":${
+          graft.operators.BloomIndex.ShardBlobCache.residentBytes()}}""")
+      val dSteadyTruth = run("steady_anti_join_truth", () =>
+        admit(probeBatch.join(corpusAll, Seq("content_hash"), "left_anti")))
+      steadyOk = gcOk && dSteady == dSteadyTruth
+      println(s"""{"plan":"steady_done","digests_agree":${
+        dSteady == dSteadyTruth},"gc_ok":$gcOk}""")
+    }
     val agree =
       (inlineDigests ++ storedDigests :+ dSharded).forall(_ == dAnti)
     println(s"""{"dedup_scale":"done","plans_agree":$agree}""")
     spark.stop()
-    if (!agree || !balanced) sys.exit(1)
+    if (!agree || !balanced || !steadyOk) sys.exit(1)
   }
 }
