@@ -129,13 +129,19 @@ object NeardupScaleBench {
       .write.mode("overwrite").parquet(s"$subDir/documents.parquet")
 
     // --- leg A: the q19 MinHash chain, stage-instrumented ----------------
-    val sh = Docs.shinglesOf(
-      spark.read.parquet(s"$fullDir/documents.parquet")).cache()
+    // the shingle table is materialized to PARQUET, not .cache()'d: at
+    // 10M docs it is ~380M rows, and an on-heap/disk block cache of that
+    // volume OOMs a 48g single-JVM driver (measured — Spark exit 52 while
+    // putting rdd blocks); a compressed parquet scan per consumer is the
+    // production shape anyway (the gate-scale q19 keeps its cache)
+    val shPath = s"$fullDir/shingles.parquet"
+    Docs.shinglesOf(spark.read.parquet(s"$fullDir/documents.parquet"))
+      .write.mode("overwrite").parquet(shPath)
+    val sh = spark.read.parquet(shPath)
     val (cand, tCand) = timed(Docs.minhashCandidates(sh))
     val nCand = cand.count()
     val (pairs, tVerify) = timed(Docs.minhashVerify(cand, sh))
     val nPairs = pairs.count()
-    sh.unpersist()
     val truePairs = docs / dupMod
     // recall over the PLANTED pairs specifically (other found pairs —
     // Zipf-induced genuine overlaps — are legitimate, just not planted)
