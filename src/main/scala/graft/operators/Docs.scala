@@ -239,21 +239,40 @@ object Docs {
     * (localCheckpoint — the pair set is bounded by the banding and feeds
     * two consumers). Split out of [[q19MinhashPairs]] (r20) so the 10M-doc
     * rehearsal measures the candidate volume between the production
-    * stages; the gate entry composes these pieces unchanged. */
-  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
-    // 8 hash functions from 2 md5 calls: each md5's 32 hex chars split into
+    * stages; the gate entry composes these pieces unchanged (the defaults
+    * ARE the gate config — 8 hashes in 4 bands of 2).
+    *
+    * `numHashes`/`bandRows` are the corpus-scale dials (r20, measured):
+    * a band of r hashes collides for a non-dup pair with probability
+    * ~J^r, and under a Zipf-skewed shingle distribution the gate's r=2
+    * bands collide QUADRATICALLY at 10M docs (shared head shingles
+    * dominate the minima; the 10M rehearsal OOMed a 60 GB driver on the
+    * candidate join before this dial existed). The documented scale
+    * config is 24 hashes in 6 bands of 4 — planted-dup recall at J≈0.85
+    * stays ≥0.99 (1−(1−J⁴)⁶) while Zipf false-candidate volume drops by
+    * the extra J² per band. */
+  private[graft] def minhashCandidates(sh: DataFrame,
+      numHashes: Int = NumHashes, bandRows: Int = 2): DataFrame = {
+    require(numHashes % 4 == 0 && numHashes % bandRows == 0,
+      s"minhashCandidates: $numHashes hashes must tile md5 quarters and " +
+        s"$bandRows-row bands")
+    // 4 hash functions per md5 call: each md5's 32 hex chars split into
     // 4 independent 8-char chunks (each a uniform hash of the shingle) —
     // md5 is the dominant per-shingle cost at scale.
-    val hashed = sh.select(col("doc_id"), col("s"),
-      md5(concat(lit("0:"), col("s"))).as("h0"),
-      md5(concat(lit("1:"), col("s"))).as("h1"))
-    val sigCols = (0 until NumHashes).map { k =>
+    val nMd5 = numHashes / 4
+    val hashed = sh.select(col("doc_id") +: col("s") +:
+      (0 until nMd5).map(j =>
+        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
+    val sigCols = (0 until numHashes).map { k =>
       min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
     }
     val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val numBands = numHashes / bandRows
     val bands = sig.select(col("doc_id"),
-      expr(s"stack($NumBands, ${(0 until NumBands).map(b =>
-        s"'$b', md5(concat('$b|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")})" +
+      expr(s"stack($numBands, ${(0 until numBands).map(b =>
+        s"'$b', md5(concat('$b|', ${(0 until bandRows)
+          .map(r => s"mh${bandRows * b + r}").mkString(", ")}))")
+        .mkString(", ")})" +
         " AS (band_idx, band_val)"))
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -112,6 +112,13 @@ object NeardupScaleBench {
     // maxBucket at 24 coarse planes and the guard's two 8-plane
     // refinement rounds bound it
     val noise = if (args.length > 7) args(7).toDouble else 0.25
+    // the MinHash SCALE banding (minhashCandidates' r20 dials): the gate's
+    // 4 bands of 2 collide quadratically under the Zipf head at 10M docs
+    // (measured: the candidate join OOMed a 60 GB driver); 24 hashes in
+    // 6 bands of 4 keep planted recall ≥0.99 at J≈0.85 while suppressing
+    // Zipf false candidates by J² more per band
+    val numHashes = if (args.length > 8) args(8).toInt else 24
+    val bandRows = if (args.length > 9) args(9).toInt else 4
     val spark = LocalSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     def timed[A](f: => A): (A, Double) = {
@@ -138,7 +145,7 @@ object NeardupScaleBench {
     Docs.shinglesOf(spark.read.parquet(s"$fullDir/documents.parquet"))
       .write.mode("overwrite").parquet(shPath)
     val sh = spark.read.parquet(shPath)
-    val (cand, tCand) = timed(Docs.minhashCandidates(sh))
+    val (cand, tCand) = timed(Docs.minhashCandidates(sh, numHashes, bandRows))
     val nCand = cand.count()
     val (pairs, tVerify) = timed(Docs.minhashVerify(cand, sh))
     val nPairs = pairs.count()
@@ -188,6 +195,7 @@ object NeardupScaleBench {
       timed(Vectors.candidatePairs(refined).count())
 
     println(s"""{"metric":"neardup_scale","docs":$docs,""" +
+      s""""num_hashes":$numHashes,"band_rows":$bandRows,""" +
       s""""words_per_doc":$wordsPerDoc,"vocab":$vocab,"dup_mod":$dupMod,""" +
       s""""true_pairs":$truePairs,"cand_pairs":$nCand,""" +
       s""""cand_sec":${f(tCand)},"verified_pairs":$nPairs,""" +
