@@ -144,6 +144,25 @@ object BloomIndex {
   def buildSized(corpusHashes: DataFrame, path: String, expected: Long,
       numBits: Long, numShards: Long = 1L): Unit = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    // A rebuild into a root that has been APPENDED to must clear the
+    // later snapshots first (r20, found by the steady-state bench): the
+    // overwrite below replaces only `v0`, and `latest()` resolves the
+    // HIGHEST version — so stale v1+ dirs from a previous index's appends
+    // would silently outrank the fresh build and every reader would keep
+    // serving the old corpus's blooms. A rebuild by definition supersedes
+    // all prior appends, so the stale snapshots (and any orphaned staging
+    // dirs) are deleted up front; the BlobKey content fingerprint already
+    // handles the in-place v0 replacement for cached readers (ADVICE r17).
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(
+        corpusHashes.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq
+          .filter(s => versionOf(s.getPath.getName).exists(_ > 0L) ||
+            s.getPath.getName.startsWith(".staging_v"))
+          .foreach(s => fs.delete(s.getPath, true))
+    }
     corpusHashes.sparkSession.range(numShards).select(col("id").as("shard"))
       .join(shardedBlooms(corpusHashes, expected, numBits, numShards),
         Seq("shard"), "left_outer")

@@ -215,6 +215,29 @@ class BloomIndexSpec extends AnyFunSuite {
       s"expected the latest three versions retained, got $kept")
   }
 
+  test("a REBUILD into an appended root clears the stale later snapshots " +
+    "— latest() must serve the fresh build, never an outranking old v>0") {
+    val idx = Files.createTempDirectory("graft_bloomidx").toString + "/i"
+    val oldCorpus = hashed((0L until 10L).map(i => (i, s"old $i")))
+    BloomIndex.build(oldCorpus.select("content_hash"), idx)
+    (1 to 2).foreach { i =>
+      BloomIndex.append(spark, idx,
+        hashed(Seq((100L + i, s"old epoch $i"))).select("content_hash"))
+    }
+    // rebuild from a DISJOINT corpus: without the stale-snapshot clear,
+    // latest() would still resolve v2 (the old index) and admit would
+    // bloom-route on the old corpus's keys
+    val newCorpus = hashed((0L until 10L).map(i => (i, s"new $i")))
+    BloomIndex.build(newCorpus.select("content_hash"), idx)
+    val kept = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(kept == Seq("v0"), s"stale snapshots must be cleared, got $kept")
+    // the rebuilt index must route on the NEW corpus: an old-corpus dup
+    // is now genuinely new and must be admitted
+    val batch = hashed(Seq((500L, "old 3"), (501L, "new 3")))
+    assert(admitted(idx, batch, newCorpus) == reference(batch, newCorpus))
+  }
+
   test("model check: a random MULTI-EPOCH ingest (admit → append per " +
     "epoch) tracks the NOT-EXISTS relation against the evolving corpus " +
     "at every step, and retention never exceeds three versions") {
