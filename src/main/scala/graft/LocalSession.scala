@@ -28,6 +28,15 @@ object LocalSession {
     * ReplayProbe's listener conf follows the streaming gate queries. */
   def create(cpus: String,
       extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    // builder-level extras can only be applied while CREATING the session
+    // — getOrCreate() against a pre-existing session drops static confs
+    // with nothing but a log warning, and the clone-inheritance guarantee
+    // above silently evaporates. Fail loudly instead (r20 review).
+    require(extraConfs.isEmpty ||
+      (SparkSession.getActiveSession.isEmpty &&
+        SparkSession.getDefaultSession.isEmpty),
+      "LocalSession.create(extraConfs): a SparkSession already exists in " +
+        "this JVM — builder-level extras cannot be applied retroactively")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -144,44 +144,55 @@ object BloomIndex {
   def buildSized(corpusHashes: DataFrame, path: String, expected: Long,
       numBits: Long, numShards: Long = 1L): Unit = {
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
-    // A rebuild into a root that has been APPENDED to must clear the
-    // later snapshots first (r20, found by the steady-state bench): the
-    // overwrite below replaces only `v0`, and `latest()` resolves the
-    // HIGHEST version — so stale v1+ dirs from a previous index's appends
-    // would silently outrank the fresh build and every reader would keep
-    // serving the old corpus's blooms. A rebuild by definition supersedes
-    // all prior appends, so the stale snapshots (and any orphaned staging
-    // dirs) are deleted up front; the BlobKey content fingerprint already
-    // handles the in-place v0 replacement for cached readers (ADVICE r17).
-    locally {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(
-        corpusHashes.sparkSession.sessionState.newHadoopConf())
-      if (fs.exists(root))
-        fs.listStatus(root).toSeq
-          .filter(s => versionOf(s.getPath.getName).exists(_ > 0L) ||
-            s.getPath.getName.startsWith(".staging_v"))
-          .foreach(s => fs.delete(s.getPath, true))
-    }
-    corpusHashes.sparkSession.range(numShards).select(col("id").as("shard"))
+    // A rebuild must be CRASH-SAFE against the root's history (r20, two
+    // review passes): `latest()` resolves the HIGHEST version, so a fresh
+    // build cannot land in the fixed `v0` of a previously-appended root —
+    // the stale v1+ snapshots would silently outrank it and readers would
+    // keep serving the old corpus's blooms. And clearing those snapshots
+    // BEFORE the new build commits would leave a superset-violating old
+    // v0 behind a mid-build crash (bloom-negative rows skip the exact
+    // check — the one silent-dup class the module forbids). So a rebuild
+    // lands like an append: staged, committed into the NEXT free version
+    // slot (readers flip atomically; a crash before the commit leaves the
+    // old index fully intact), and only AFTER the commit are all older
+    // snapshots and orphaned staging dirs GC'd — a rebuild supersedes
+    // every prior version by definition. A fresh root still yields the
+    // conventional v0.
+    val spark = corpusHashes.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val next: Long =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq
+        .flatMap(s => versionOf(s.getPath.getName))
+        .maxOption.map(_ + 1L).getOrElse(0L)
+    val staging = new org.apache.hadoop.fs.Path(path, s".staging_v$next")
+    spark.range(numShards).select(col("id").as("shard"))
       .join(shardedBlooms(corpusHashes, expected, numBits, numShards),
         Seq("shard"), "left_outer")
       .select(col("shard"), col("bloom"), lit(expected).as("expected"),
         lit(numBits).as("num_bits"), lit(0L).as("n_appends"),
         lit(numShards).as("num_shards"))
-      // one part file (v0 is tiny at gate geometry), but a 1 MB parquet
-      // block so every blob row past ~1 MB closes its OWN row group
-      // (r19, measured at 1B/N=256): fetchShardBlob prunes at row-group
-      // level, and the default ~128 MB blocks packed ~26 five-MB blobs
-      // per group — every shard fetch dragged its neighbors' column
-      // pages along (~33 GB read for 256 fetches, ~600 s of the 1B
-      // admit). With row-group-per-blob a fetch reads exactly one blob.
-      // Gate-geometry blobs are KBs, so small indexes still share one
-      // row group and nothing changes there; filter BYTES are identical
-      // in all cases — this is pure file layout.
+      // one part file (a version is tiny at gate geometry), but a 1 MB
+      // parquet block so every blob row past ~1 MB closes its OWN row
+      // group (r19, measured at 1B/N=256): fetchShardBlob prunes at
+      // row-group level, and the default ~128 MB blocks packed ~26
+      // five-MB blobs per group — every shard fetch dragged its
+      // neighbors' column pages along (~33 GB read for 256 fetches,
+      // ~600 s of the 1B admit). With row-group-per-blob a fetch reads
+      // exactly one blob. Gate-geometry blobs are KBs, so small indexes
+      // still share one row group and nothing changes there; filter
+      // BYTES are identical in all cases — this is pure file layout.
       .coalesce(1).write.mode("overwrite")
       .option("parquet.block.size", 1L << 20)
-      .parquet(s"$path/v0")
+      .parquet(staging.toString)
+    commitSlot(fs, staging, new org.apache.hadoop.fs.Path(path, s"v$next"))
+    fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        versionOf(n).exists(_ < next) || n.startsWith(".staging_v")
+      }
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** A shard blob's cache identity: the index root, the version NUMBER,

@@ -195,7 +195,12 @@ object Docs {
   // --- Q19: MinHash + LSH near-dup pairs ------------------------------------
 
   private val NumHashes = 8
-  private val NumBands = 4 // bands of 2 hashes each
+  // the GATE banding config: bands of 2 hashes. One pair of constants
+  // drives BOTH the Scala path (q19MinhashPairs passes them to
+  // minhashCandidates) and the DuckDB oracle's band expressions
+  // (q19Core), so a retune cannot drift the two apart (r20 review).
+  private val GateBandRows = 2
+  private val NumBands = NumHashes / GateBandRows
   val JaccardThreshold = 0.6
 
   /** Distinct 3-word shingles per document. */
@@ -230,7 +235,7 @@ object Docs {
     // before returning, so repeated dedup sweeps in a long-lived session
     // don't accumulate storage-memory blocks.
     val sh = shingles(spark, dir).cache()
-    try minhashVerify(minhashCandidates(sh), sh)
+    try minhashVerify(minhashCandidates(sh, NumHashes, GateBandRows), sh)
     finally { sh.unpersist(); () }
   }
 
@@ -321,7 +326,9 @@ object Docs {
       .map(k => s"min(substr(md5('${k / 4}:' || s), ${(k % 4) * 8 + 1}, 8)) AS mh$k")
       .mkString(", ")
     val bandRows = (0 until NumBands)
-      .map(b => s"('$b', md5('$b|' || mh${2 * b} || mh${2 * b + 1}))").mkString(", ")
+      .map(b => s"('$b', md5('$b|' || ${(0 until GateBandRows)
+        .map(r => s"mh${GateBandRows * b + r}").mkString(" || ")}))")
+      .mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text,' ') AS w FROM documents
        |  WHERE len(string_split(text,' ')) >= 3),

@@ -32,7 +32,10 @@ import graft.LocalSession
   * seconds and shuffle/broadcast volumes from task metrics, then a summary.
   *
   * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.DedupScaleBench
-  *        [corpusRows] [batchRows] [nShards] [hashChars]"
+  *        [corpusRows] [batchRows] [nShards] [hashChars] [steadyAppends]"
+  * `steadyAppends` > 0 adds the steady-state rung (r20): that many crawl
+  * generations through the real admit→append cycle on the sharded index,
+  * then GC/telemetry/digest checks on the final admit.
   */
 object DedupScaleBench {
 
@@ -96,17 +99,23 @@ object DedupScaleBench {
         s"corpusRows=$corpusRows"
     def manifestPath(dir: String) =
       java.nio.file.Paths.get(dir, "_graft_manifest")
-    def manifestOk(dir: String, want: String): Boolean =
-      try new String(java.nio.file.Files.readAllBytes(manifestPath(dir)),
-        java.nio.charset.StandardCharsets.UTF_8) == want
-      catch { case _: Throwable => false }
+    // the manifest SUPPLEMENTS the data check, it does not replace it
+    // (r20 review): a tmp cleaner can prune individual old part files
+    // while the small manifest survives — reuse requires the manifest to
+    // match AND the parquet to still hold the declared row count
+    def manifestOk(dir: String, want: String, rows: Long): Boolean =
+      try {
+        new String(java.nio.file.Files.readAllBytes(manifestPath(dir)),
+          java.nio.charset.StandardCharsets.UTF_8) == want &&
+          spark.read.parquet(dir).count() == rows
+      } catch { case _: Throwable => false }
     def stamp(dir: String, m: String): Unit = {
       java.nio.file.Files.write(manifestPath(dir),
         m.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
     val corpusManifest = manifestOf("corpus", corpusRows)
-    if (!manifestOk(corpusPath, corpusManifest)) {
+    if (!manifestOk(corpusPath, corpusManifest, corpusRows)) {
       spark.range(corpusRows)
         .select(col("id").as("doc_id"),
           substring(sha2(concat(lit("corpus_"), col("id")), 256), 1, hashChars)
@@ -120,7 +129,7 @@ object DedupScaleBench {
     // the batch's ids AND its corpus-dup hashes are functions of
     // corpusRows, which the manifest carries for both fixtures.
     val batchManifest = manifestOf("batch", batchRows)
-    if (!manifestOk(batchPath, batchManifest)) {
+    if (!manifestOk(batchPath, batchManifest, batchRows)) {
       spark.range(batchRows)
         .select((col("id") + corpusRows).as("doc_id"),
           substring(
@@ -272,9 +281,14 @@ object DedupScaleBench {
         graft.operators.BloomIndex.ShardBlobCache.entryCount()},""" +
       s""""resident_bytes":${
         graft.operators.BloomIndex.ShardBlobCache.residentBytes()}}""")
-    def maxBlobBytes(path: String): Long =
-      spark.read.parquet(s"$path/v0")
+    // reads the LATEST version dir (a rebuild into a reused root now
+    // lands in the next free slot, not a fixed v0)
+    def maxBlobBytes(path: String): Long = {
+      val v = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+      spark.read.parquet(s"$path/v$v")
         .agg(max(length(col("bloom"))).cast("long")).head().getLong(0)
+    }
     // the smaller build keeps corpus/shard PROPORTIONS exact for any
     // nShards (a floor-divided shard count with an unadjusted corpus
     // would make per-shard geometry differ BY DESIGN — e.g. nShards=6:

@@ -224,14 +224,17 @@ class BloomIndexSpec extends AnyFunSuite {
       BloomIndex.append(spark, idx,
         hashed(Seq((100L + i, s"old epoch $i"))).select("content_hash"))
     }
-    // rebuild from a DISJOINT corpus: without the stale-snapshot clear,
-    // latest() would still resolve v2 (the old index) and admit would
-    // bloom-route on the old corpus's keys
+    // rebuild from a DISJOINT corpus: without the next-slot commit +
+    // post-commit GC, latest() would still resolve v2 (the old index) and
+    // admit would bloom-route on the old corpus's keys. The rebuild lands
+    // in the NEXT slot (crash before its commit leaves the old index
+    // intact) and then GCs every older snapshot.
     val newCorpus = hashed((0L until 10L).map(i => (i, s"new $i")))
     BloomIndex.build(newCorpus.select("content_hash"), idx)
     val kept = new java.io.File(idx).listFiles()
       .map(_.getName).filter(_.startsWith("v")).sorted.toSeq
-    assert(kept == Seq("v0"), s"stale snapshots must be cleared, got $kept")
+    assert(kept == Seq("v3"),
+      s"rebuild must occupy the next slot and GC the rest, got $kept")
     // the rebuilt index must route on the NEW corpus: an old-corpus dup
     // is now genuinely new and must be admitted
     val batch = hashed(Seq((500L, "old 3"), (501L, "new 3")))
