@@ -161,24 +161,110 @@ object VectorKernels {
     if (k == 0 || ids.numElements() != k)
       throw new RuntimeException(
         s"nearest_centroid: ${ids.numElements()} cluster ids for $k centroids")
+    // PER-TASK primitive conversion (r20): the matrix literal deserializes
+    // as boxed rows (GenericArrayData of java.lang.Double), so the generic
+    // loop pays k·d unboxings PER ROW — at k=4096, d=64 that is ~262k
+    // `Object → double` loads per assigned vector. The literal instance is
+    // the same object for every row a task processes, so each task thread
+    // converts it to primitive double[][] ONCE (identity-keyed, one entry
+    // per thread — ~8·k·d bytes held for the task's lifetime) and runs the
+    // fold on primitive loads. Bit-exact: same values, same sequential add
+    // order, same max rule; a matrix with a NULL ELEMENT inside a row
+    // (SQL-reachable, never from the library's collect) falls back to the
+    // generic path whose vecDot nulls that sim.
+    val cached = primCache.get()
+    if (cached != null && (cached.cents eq cents) && (cached.ids eq ids))
+      return nearestCentroidPrim(v, cached.matrix, cached.clusterIds)
+    val conv = tryConvert(cents, ids, k)
+    if (conv != null) {
+      primCache.set(conv)
+      return nearestCentroidPrim(v, conv.matrix, conv.clusterIds)
+    }
     var bestSim: java.lang.Double = null
     var bestId = 0L
     var has = false
     var j = 0
     while (j < k) {
+      // re-checked here: tryConvert bails at the FIRST null element and
+      // may not have validated later rows
       if (cents.isNullAt(j) || ids.isNullAt(j))
         throw new RuntimeException(
           s"nearest_centroid: NULL centroid row or cluster id at $j")
       val sim = vecDot(v, cents.getArray(j), 1, 1)
       val id = ids.getLong(j)
-      val c =
-        if (sim == null && bestSim == null) 0
-        else if (sim == null) -1
-        else if (bestSim == null) 1
-        else if (sim.doubleValue() == bestSim.doubleValue()) 0
-        else java.lang.Double.compare(sim.doubleValue(), bestSim.doubleValue())
+      val c = compareSim(sim, bestSim)
       if (!has || c > 0 || (c == 0 && id > bestId)) {
         has = true; bestSim = sim; bestId = id
+      }
+      j += 1
+    }
+    bestId
+  }
+
+  /** null-first, then `x == y ? 0 : Double.compare` (−0.0 = 0.0, NaN
+    * greatest) — the struct-ordering sim rule both argmax paths share. */
+  private def compareSim(sim: java.lang.Double, best: java.lang.Double): Int =
+    if (sim == null && best == null) 0
+    else if (sim == null) -1
+    else if (best == null) 1
+    else if (sim.doubleValue() == best.doubleValue()) 0
+    else java.lang.Double.compare(sim.doubleValue(), best.doubleValue())
+
+  private final class PrimCentroids(val cents: ArrayData, val ids: ArrayData,
+    val matrix: Array[Array[Double]], val clusterIds: Array[Long])
+
+  private val primCache = new ThreadLocal[PrimCentroids]
+
+  /** Primitive conversion of the centroid literal; throws on a NULL row or
+    * id (the malformed-quantizer guard, identical to the generic path);
+    * returns null — generic fallback — when a row holds a NULL ELEMENT. */
+  private def tryConvert(cents: ArrayData, ids: ArrayData,
+      k: Int): PrimCentroids = {
+    val m = new Array[Array[Double]](k)
+    val cl = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (cents.isNullAt(j) || ids.isNullAt(j))
+        throw new RuntimeException(
+          s"nearest_centroid: NULL centroid row or cluster id at $j")
+      val row = cents.getArray(j)
+      val d = row.numElements()
+      var i = 0
+      while (i < d) {
+        if (row.isNullAt(i)) return null
+        i += 1
+      }
+      m(j) = row.toDoubleArray()
+      cl(j) = ids.getLong(j)
+      j += 1
+    }
+    new PrimCentroids(cents, ids, m, cl)
+  }
+
+  /** The argmax over a converted primitive matrix: per centroid, the SAME
+    * sequential left fold as [[vecDot]] over two double arrays (centroid
+    * elements non-null by [[tryConvert]]), the same (sim, id) max rule. */
+  private def nearestCentroidPrim(v: ArrayData, m: Array[Array[Double]],
+      cl: Array[Long]): Long = {
+    val nv = v.numElements()
+    var bestSim: java.lang.Double = null
+    var bestId = 0L
+    var has = false
+    var j = 0
+    while (j < m.length) {
+      val c = m(j)
+      val n = math.max(nv, c.length)
+      var acc = 0.0
+      var i = 0
+      var nul = false
+      while (i < n && !nul) {
+        if (i >= nv || i >= c.length || v.isNullAt(i)) nul = true
+        else { acc += v.getDouble(i) * c(i); i += 1 }
+      }
+      val sim: java.lang.Double = if (nul) null else Double.box(acc)
+      val cmp = compareSim(sim, bestSim)
+      if (!has || cmp > 0 || (cmp == 0 && cl(j) > bestId)) {
+        has = true; bestSim = sim; bestId = cl(j)
       }
       j += 1
     }

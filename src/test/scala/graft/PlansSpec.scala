@@ -378,6 +378,20 @@ class PlansSpec extends AnyFunSuite {
         |         array(array(1.0D)), array(1L)) AS nul""".stripMargin)
       .as[(Long, Long, Long, Long, Option[Long])].head()
     assert(edges == ((10L, 20L, 20L, 7L, None)))
+    // a NULL ELEMENT inside a centroid row routes the kernel off the
+    // primitive-converted fast path onto the generic fallback: the null
+    // row's sim is NULL (ordered first), and an all-null-sim matrix ties
+    // to the highest cluster id — greatest-form semantics either way
+    val nulElem = spark.sql(
+      """SELECT nearest_centroid(array(1.0D),
+        |         array(array(CAST(NULL AS DOUBLE)), array(1.0D)),
+        |         array(9L, 5L)) AS one_valid,
+        |       nearest_centroid(array(1.0D),
+        |         array(array(CAST(NULL AS DOUBLE)),
+        |               array(CAST(NULL AS DOUBLE))),
+        |         array(9L, 5L)) AS all_null""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(nulElem == ((5L, 9L)))
     // malformed quantizers fail loudly, never assign silently
     def rootMsg(t: Throwable): String = {
       var c: Throwable = t
