@@ -203,21 +203,27 @@ object Docs {
   private val NumBands = NumHashes / GateBandRows
   val JaccardThreshold = 0.6
 
-  /** Distinct 3-word shingles per document. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    shinglesOf(table(spark, dir, "documents"))
-
-  /** [[shingles]] over an explicit `(doc_id, text)` frame — exposed so the
+  /** Distinct 3-word shingles per document, ONE array row per doc — the
+    * form [[minhashCandidates]]' map-only signature kernel consumes (and
+    * [[shinglesOf]] explodes for the verify-stage joins). Exposed so the
     * 10M-doc rehearsal (NeardupScaleBench) runs the PRODUCTION shingle
     * kernel over its synthetic corpus, not a copy (the ivfAssignVectors
     * convention). */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleArraysOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-        .as("s"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("ss"))
+
+  /** [[shingleArraysOf]] exploded to the `(doc_id, s)` row form the exact
+    * Jaccard verify joins on. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    explodeShingles(shingleArraysOf(docs))
+
+  private def explodeShingles(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc_id"), explode(col("ss")).as("s"))
 
   /** Near-duplicate pairs via MinHash signatures + LSH banding, verified
     * with exact shingle Jaccard.
@@ -229,23 +235,36 @@ object Docs {
     * hex strings, so the DuckDB oracle derives the identical signatures,
     * bands, and candidate set. */
   def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the shingle subtree feeds signatures, sizes, and the
-    // intersection join (4 plan occurrences). Scoped to THIS call: the final
-    // (small) pair set is materialized eagerly below and the cache dropped
-    // before returning, so repeated dedup sweeps in a long-lived session
-    // don't accumulate storage-memory blocks.
-    val sh = shingles(spark, dir).cache()
-    try minhashVerify(minhashCandidates(sh, NumHashes, GateBandRows), sh)
-    finally { sh.unpersist(); () }
+    // cached: the shingle-array subtree feeds the (map-only) signature
+    // pass and, exploded, the verify stage's sizes + intersection joins
+    // (4 plan occurrences of the split/transform scan). Scoped to THIS
+    // call: the final (small) pair set is materialized eagerly below and
+    // the cache dropped before returning, so repeated dedup sweeps in a
+    // long-lived session don't accumulate storage-memory blocks.
+    val arrs = shingleArraysOf(table(spark, dir, "documents")).cache()
+    try minhashVerify(minhashCandidates(arrs, NumHashes, GateBandRows),
+      explodeShingles(arrs))
+    finally { arrs.unpersist(); () }
   }
 
-  /** q19's banding stage over a `(doc_id, s)` shingle frame: MinHash
-    * signatures → LSH bands → the candidate equi-join, MATERIALIZED
-    * (localCheckpoint — the pair set is bounded by the banding and feeds
-    * two consumers). Split out of [[q19MinhashPairs]] (r20) so the 10M-doc
-    * rehearsal measures the candidate volume between the production
-    * stages; the gate entry composes these pieces unchanged (the defaults
-    * ARE the gate config — 8 hashes in 4 bands of 2).
+  /** q19's banding stage over a `(doc_id, ss)` shingle-ARRAY frame
+    * ([[shingleArraysOf]]): MinHash signatures → LSH bands → the candidate
+    * equi-join, MATERIALIZED (localCheckpoint — the pair set is bounded by
+    * the banding and feeds two consumers). Split out of
+    * [[q19MinhashPairs]] (r20) so the 10M-doc rehearsal measures the
+    * candidate volume between the production stages; the gate entry
+    * composes these pieces unchanged (the defaults ARE the gate config —
+    * 8 hashes in 4 bands of 2).
+    *
+    * The signature pass is the native one-pass
+    * [[graft.plans.MinhashSignature minhash_signature]] kernel (r21,
+    * guide §2.3/§2.4): signatures are a per-document function, so the
+    * explode + `groupBy(doc_id).agg(min × k)` formulation this replaces
+    * shuffled the corpus's whole shingle stream (~L rows/doc, the 10M
+    * rehearsal's 890 s wall) into a k-way min aggregate for a map-only
+    * answer. The kernel computes the IDENTICAL md5-quarter minima (the
+    * DuckDB oracle is unchanged), with zero exchange and zero per-shingle
+    * string allocation.
     *
     * `numHashes`/`bandRows` are the corpus-scale dials (r20, measured):
     * a band of r hashes collides for a non-dup pair with probability
@@ -256,27 +275,24 @@ object Docs {
     * config is 24 hashes in 6 bands of 4 — planted-dup recall at J≈0.85
     * stays ≥0.99 (1−(1−J⁴)⁶) while Zipf false-candidate volume drops by
     * the extra J² per band. */
-  private[graft] def minhashCandidates(sh: DataFrame,
-      numHashes: Int = NumHashes, bandRows: Int = 2): DataFrame = {
+  private[graft] def minhashCandidates(arrs: DataFrame,
+      numHashes: Int = NumHashes, bandRows: Int = GateBandRows): DataFrame = {
     require(numHashes % 4 == 0 && numHashes % bandRows == 0,
       s"minhashCandidates: $numHashes hashes must tile md5 quarters and " +
         s"$bandRows-row bands")
-    // 4 hash functions per md5 call: each md5's 32 hex chars split into
-    // 4 independent 8-char chunks (each a uniform hash of the shingle) —
-    // md5 is the dominant per-shingle cost at scale.
-    val nMd5 = numHashes / 4
-    val hashed = sh.select(col("doc_id") +: col("s") +:
-      (0 until nMd5).map(j =>
-        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
-    val sigCols = (0 until numHashes).map { k =>
-      min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
-    }
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // map-only: all numHashes md5-quarter minima in one compiled pass per
+    // document (4 hash functions per md5 call — each md5's 32 hex chars
+    // split into 4 independent 8-char chunks; md5 is the dominant
+    // per-shingle cost at scale, and the kernel pays exactly the same
+    // digest count as the aggregate form it replaced, minus its exchange)
+    val sig = arrs.select(col("doc_id"),
+      call_function("minhash_signature",
+        col("ss"), lit(numHashes)).as("mh"))
     val numBands = numHashes / bandRows
     val bands = sig.select(col("doc_id"),
       expr(s"stack($numBands, ${(0 until numBands).map(b =>
         s"'$b', md5(concat('$b|', ${(0 until bandRows)
-          .map(r => s"mh${bandRows * b + r}").mkString(", ")}))")
+          .map(r => s"mh[${bandRows * b + r}]").mkString(", ")}))")
         .mkString(", ")})" +
         " AS (band_idx, band_val)"))
     bands.as("x").join(bands.as("y"),
@@ -465,26 +481,22 @@ object Docs {
     * sum is >= 0. Near-dup docs differ in few bits (small Hamming
     * distance). Each group of 32 bits draws from one md5 per token (hash 0
     * is the plain `md5(t)` the q20 gate fixes; hash j salts with `"j:"`,
-    * the same multi-hash derivation as q19's MinHash). Pure hash-agg:
-    * shuffles (doc_id, `bits` small ints) after map-side partial
-    * aggregation. */
-  def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val nHashes = (bits + 31) / 32
-    val toks = (1 until nHashes).foldLeft(
-      table(spark, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h0", md5(col("t")))) { (df, j) =>
-      df.withColumn(s"h$j", md5(concat(lit(s"$j:"), col("t"))))
-    }
-    val dims = (0 until bits).map(k =>
-      sum(when(substring(col(s"h${k / 32}"), k % 32 + 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-        .as(s"d$k"))
-    toks.groupBy("doc_id").agg(dims.head, dims.tail: _*)
+    * the same multi-hash derivation as q19's MinHash).
+    *
+    * MAP-ONLY via the native one-pass
+    * [[graft.plans.SimhashBits simhash_bits]] kernel (r21, guide
+    * §2.3/§2.4): a SimHash is a per-document function, so the previous
+    * explode + `groupBy(doc_id).agg(sum × bits)` formulation shuffled the
+    * corpus's whole token stream (with a 32-hex-string projection per
+    * token) into a `bits`-way sum aggregate for a per-row answer. The
+    * kernel computes the IDENTICAL fingerprint (same md5 family, same
+    * ±1/threshold rule — the oracle carries over unchanged) with zero
+    * exchange and zero per-token hex-string materialization. */
+  def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"),
-        concat((0 until bits).map(k =>
-          when(col(s"d$k") >= 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+        call_function("simhash_bits",
+          split(col("text"), " "), lit(bits)).as("simhash"))
 
   def q20Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashBits(spark, dir, SimBits).orderBy("doc_id")
@@ -529,9 +541,9 @@ object Docs {
     val stackArgs = (0 until numBands)
       .map(b => s"'$b', substring(simhash, ${b * w + 1}, $w)").mkString(", ")
     // NOTE: the fingerprint subtree feeds both sides of the self-join, but
-    // its expensive part (token explode + md5) sits below the doc_id
-    // shuffle, which ReuseExchange dedupes — measured, an explicit
-    // materialization barrier here is slightly SLOWER, not faster
+    // its expensive part (the per-doc simhash_bits kernel) sits below the
+    // band-bucket shuffle, which ReuseExchange dedupes — measured, an
+    // explicit materialization barrier here is slightly SLOWER, not faster
     val bands = simhashBits(spark, dir, simBits).select(
       col("doc_id"), col("simhash"),
       expr(s"stack($numBands, $stackArgs) AS (band_idx, band_val)"))
@@ -568,16 +580,20 @@ object Docs {
     * expression — O(1) arithmetic per character. The previous
     * `md5(substring(...))`-per-position formulation paid a digest + string
     * allocation per character and was the whole suite's most expensive
-    * stage (8.3 s at sf0.1 → 2.9 s). The oracle computes the identical
-    * polynomial as a direct per-gram sum with the same modulus. */
+    * stage (8.3 s at sf0.1 → 2.9 s). The window minima are the native
+    * one-pass [[graft.plans.WindowMins window_mins]] monotonic deque (r21,
+    * guide step 4): the `transform + array_min(slice(...))` form it
+    * replaces was an interpreted O(L·w) loop allocating a fresh w-element
+    * slice per character — same values, O(L), zero per-position
+    * allocation. The oracle computes the identical polynomial as a direct
+    * per-gram sum with the same modulus. */
   def q26Winnowing(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .filter(length(col("text")) >= WinK + WinW - 1)
       .select(col("doc_id"),
         expr(s"rolling_kgram_hashes(text, $WinK)").as("h"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(0, size(h) - $WinW), j -> array_min(slice(h, j + 1, $WinW)))")))
-        .as("fp"))
+      .select(col("doc_id"), explode(array_distinct(
+        call_function("window_mins", col("h"), lit(WinW)))).as("fp"))
       .orderBy("doc_id", "fp")
 
   val q26Sql: String = {

@@ -275,16 +275,22 @@ object Vectors {
     * the r19 `greatest(struct(vec_dot(v, c_j), cluster_j))_j.cluster`
     * form carried O(k·d) literal nodes and a k-ary `greatest` — fine at
     * the gate k=8 / rehearsal k=64, a 64 KB-codegen-limit ceiling at
-    * production k ≈ 10⁴⁺. Membership is bit-identical (the kernel's
-    * contract: same sequential-fold sims, same struct-ordering max rule —
-    * PlansSpec pins kernel ≡ greatest form on real embeddings), so the
-    * q66/q78/q86 oracles carry over unchanged. Shared by [[assignStep]]
-    * and the store-scan assignment in [[ivfQuantizedIndexPath]] so the
-    * two cannot drift. `v` is referenced exactly once. */
+    * production k ≈ 10⁴⁺. Above the
+    * [[graft.plans.NearestCentroidBc]] element threshold (r21 — the
+    * literal's remaining cost: ~14 MB of task binary per stage at
+    * k=4096·d=64, a few hundred MB at production k ≈ 10⁵) the binding
+    * switches to a BROADCAST VARIABLE fetched once per executor.
+    * Membership is bit-identical in both modes (the kernels' contract:
+    * same sequential-fold sims, same struct-ordering max rule — PlansSpec
+    * pins kernel ≡ greatest form AND broadcast ≡ literal on real
+    * embeddings), so the q66/q78/q86 oracles carry over unchanged. Shared
+    * by [[assignStep]] and the store-scan assignment in
+    * [[ivfQuantizedIndexPath]] so the two cannot drift. `v` is referenced
+    * exactly once. */
   private def nearestClusterCol(cs: Array[(Long, Seq[Double])],
       v: Column): Column =
-    call_function("nearest_centroid", v,
-      typedlit(cs.toSeq.map(_._2)), typedlit(cs.toSeq.map(_._1)))
+    graft.plans.NearestCentroidBc.assignColumn(
+      org.apache.spark.sql.SparkSession.active, cs, v)
 
   /** Spherical k-means coarse quantizer, fully declarative (no closures in
     * the per-vector path): assignment is a crossJoin with the k-row

@@ -53,6 +53,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         GramRunStats(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName,
+        "minhash_signature"),
+      (children: Seq[Expression]) =>
+        MinhashSignature(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
+      (children: Seq[Expression]) =>
+        SimhashBits(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("window_mins"),
+      new ExpressionInfo(classOf[WindowMins].getName, "window_mins"),
+      (children: Seq[Expression]) =>
+        WindowMins(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("rolling_kgram_hashes"),
       new ExpressionInfo(classOf[RollingKgramHashes].getName,
         "rolling_kgram_hashes"),

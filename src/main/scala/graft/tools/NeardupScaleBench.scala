@@ -11,7 +11,7 @@ import graft.operators.{Docs, Vectors}
   * while dedup is at 1B and ANN at 100M). Runs the PRODUCTION kernels,
   * not copies (the ivfAssignVectors convention):
   *
-  *   - q19 MinHash chain, stage-instrumented: `Docs.shinglesOf` →
+  *   - q19 MinHash chain, stage-instrumented: `Docs.shingleArraysOf` →
   *     `Docs.minhashCandidates` (banding candidate volume MEASURED) →
   *     `Docs.minhashVerify` (the semi-join-pruned exact-Jaccard verify).
   *     The corpus plants a controlled dup rate (every `dupMod`-th doc has
@@ -141,11 +141,13 @@ object NeardupScaleBench {
     // volume OOMs a 48g single-JVM driver (measured — Spark exit 52 while
     // putting rdd blocks); a compressed parquet scan per consumer is the
     // production shape anyway (the gate-scale q19 keeps its cache)
-    val shPath = s"$fullDir/shingles.parquet"
-    Docs.shinglesOf(spark.read.parquet(s"$fullDir/documents.parquet"))
+    val shPath = s"$fullDir/shingle_arrays.parquet"
+    Docs.shingleArraysOf(spark.read.parquet(s"$fullDir/documents.parquet"))
       .write.mode("overwrite").parquet(shPath)
-    val sh = spark.read.parquet(shPath)
-    val (cand, tCand) = timed(Docs.minhashCandidates(sh, numHashes, bandRows))
+    val arrs = spark.read.parquet(shPath)
+    val sh = arrs.select(col("doc_id"), explode(col("ss")).as("s"))
+    val (cand, tCand) =
+      timed(Docs.minhashCandidates(arrs, numHashes, bandRows))
     val nCand = cand.count()
     val (pairs, tVerify) = timed(Docs.minhashVerify(cand, sh))
     val nPairs = pairs.count()
@@ -159,10 +161,11 @@ object NeardupScaleBench {
 
     // --- leg B: digest cross-check vs the gate path on the subset --------
     val stagedDigest = digest {
-      val shS = Docs.shinglesOf(
+      val arrsS = Docs.shingleArraysOf(
         spark.read.parquet(s"$subDir/documents.parquet")).cache()
-      try Docs.minhashVerify(Docs.minhashCandidates(shS), shS)
-      finally { shS.unpersist(); () }
+      try Docs.minhashVerify(Docs.minhashCandidates(arrsS),
+        arrsS.select(col("doc_id"), explode(col("ss")).as("s")))
+      finally { arrsS.unpersist(); () }
     }
     val gateDigest = digest(Docs.q19MinhashPairs(spark, subDir))
     val digestOk = stagedDigest == gateDigest

@@ -406,6 +406,52 @@ class PlansSpec extends AnyFunSuite {
       s"length mismatch must raise the named guard, got: ${rootMsg(ex)}")
   }
 
+  test("nearest_centroid broadcast binding ≡ literal binding on real " +
+    "embeddings, and assignColumn switches on the element threshold") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.NearestCentroidBc
+    import org.apache.spark.sql.GraftColumnBridge
+    val e = TripleStore.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
+      .filter(expr("vec_dot(v0, v0)") > 0)
+      .select(col("vec_id"), expr("vec_normalize(v0)").as("v"))
+      .localCheckpoint(true)
+    val cents = e.orderBy("vec_id").limit(graft.operators.Vectors.IvfGateK)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val literal = call_function("nearest_centroid", col("v"),
+      typedlit(cents.toSeq.map(_._2)), typedlit(cents.toSeq.map(_._1)))
+    val bc = GraftColumnBridge.column(NearestCentroidBc(
+      GraftColumnBridge.expression(col("v")),
+      NearestCentroidBc.bcCentroids(spark, cents)))
+    val drift = e.select(literal.as("a"), bc.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(drift == 0L,
+      s"$drift rows assigned differently under the broadcast binding")
+    // NULL vector is NULL in both binding modes (nullSafeEval)
+    val nul = e.select(lit(null).cast("array<double>").as("v"))
+      .limit(1).select(bc.isNull.as("n")).head().getBoolean(0)
+    assert(nul, "NULL vector must yield NULL under the broadcast binding")
+    // assignColumn switches: below the threshold the plan carries the
+    // literal kernel, above it the broadcast form
+    def planOf(c: org.apache.spark.sql.Column): String =
+      e.select(c.as("cl")).queryExecution.executedPlan.toString
+    assert(planOf(NearestCentroidBc.assignColumn(spark, cents, col("v")))
+      .contains("nearest_centroid("),
+      "gate-sized matrices must keep the literal binding")
+    spark.conf.set("spark.graft.centroidBroadcastElems", "1")
+    try
+      assert(planOf(NearestCentroidBc.assignColumn(spark, cents, col("v")))
+        .contains("nearest_centroid_bc"),
+        "above-threshold matrices must take the broadcast binding")
+    finally spark.conf.unset("spark.graft.centroidBroadcastElems")
+    // the driver-side malformed-quantizer guard
+    val ex = intercept[IllegalArgumentException] {
+      NearestCentroidBc.bcCentroids(spark, Array.empty)
+    }
+    assert(ex.getMessage.contains("empty centroid table"))
+  }
+
   test("int8_decode is bit-exact to the transform decode on the real store " +
     "rows and preserves element nulls") {
     import org.apache.spark.sql.functions._
@@ -424,5 +470,161 @@ class PlansSpec extends AnyFunSuite {
       "SELECT int8_decode(array(127L, CAST(NULL AS BIGINT)), 2000000L) AS d")
       .selectExpr("d[0]", "d[1] IS NULL").as[(Double, Boolean)].head()
     assert(nul == ((2.0, true)))
+  }
+
+  test("minhash_signature is value-identical to the explode + min-aggregate " +
+    "md5-quarter form it replaces (q19's signature stage) on real documents") {
+    import org.apache.spark.sql.functions._
+    val numHashes = 8
+    val arrs = graft.operators.Docs.shingleArraysOf(
+      TripleStore.table(spark, sf, "documents"))
+    val kernel = arrs.select(col("doc_id"),
+      expr(s"minhash_signature(ss, $numHashes)").as("mh"))
+    // the replaced aggregate formulation, verbatim
+    val sh = arrs.select(col("doc_id"), explode(col("ss")).as("s"))
+    val hashed = sh.select(col("doc_id") +: col("s") +:
+      (0 until numHashes / 4).map(j =>
+        md5(concat(lit(s"$j:"), col("s"))).as(s"h$j")): _*)
+    val sigCols = (0 until numHashes).map { k =>
+      min(substring(col(s"h${k / 4}"), (k % 4) * 8 + 1, 8)).as(s"mh$k")
+    }
+    val agg = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(k => col(s"mh$k")): _*).as("mh_agg"))
+    val joined = kernel.join(agg, Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("mh").isNull || col("mh_agg").isNull).count() == 0L,
+      "kernel and aggregate form must cover the same doc set")
+    val drift = joined
+      .filter(expr("CAST(mh AS STRING) <> CAST(mh_agg AS STRING)")).count()
+    assert(drift == 0L, s"$drift docs drifted from the aggregate signatures")
+  }
+
+  test("minhash_signature edge semantics: empty/all-NULL shingle sets yield " +
+    "NULL (no aggregate row), NULL elements are skipped, bad widths raise") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT minhash_signature(array('a b c'), 8) AS one,
+        |       minhash_signature(CAST(array() AS ARRAY<STRING>), 8) AS empty,
+        |       minhash_signature(array(CAST(NULL AS STRING)), 8) AS allnull,
+        |       minhash_signature(array('a b c', CAST(NULL AS STRING)), 8)
+        |         AS skipnull,
+        |       minhash_signature(CAST(NULL AS ARRAY<STRING>), 8) AS nul"""
+        .stripMargin)
+      .selectExpr("size(one)", "one[0] = substring(md5('0:a b c'), 1, 8)",
+        "one[7] = substring(md5('1:a b c'), 25, 8)",
+        "empty IS NULL", "allnull IS NULL",
+        "CAST(skipnull AS STRING) = CAST(one AS STRING)", "nul IS NULL")
+      .as[(Int, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].head()
+    assert(r == ((8, true, true, true, true, true, true)))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('x'), 6)").collect()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c = e
+      while (c.getCause != null && !c.getMessage.contains("md5 quarters"))
+        c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("md5 quarters"),
+      s"non-quarter width must raise the named guard, got: ${rootMsg(ex)}")
+  }
+
+  test("simhash_bits is value-identical to the explode + sum-aggregate form " +
+    "it replaces (q20's relation) on real documents, incl. the salted " +
+    "64-bit family") {
+    import org.apache.spark.sql.functions._
+    for (bits <- Seq(32, 64)) {
+      val docs = TripleStore.table(spark, sf, "documents")
+      val kernel = docs.select(col("doc_id"),
+        expr(s"simhash_bits(split(text, ' '), $bits)").as("simhash"))
+      // the replaced aggregate formulation, verbatim
+      val nHashes = (bits + 31) / 32
+      val toks = (1 until nHashes).foldLeft(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .withColumn("h0", md5(col("t")))) { (df, j) =>
+        df.withColumn(s"h$j", md5(concat(lit(s"$j:"), col("t"))))
+      }
+      val dims = (0 until bits).map(k =>
+        sum(when(substring(col(s"h${k / 32}"), k % 32 + 1, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+          .as(s"d$k"))
+      val agg = toks.groupBy("doc_id").agg(dims.head, dims.tail: _*)
+        .select(col("doc_id"),
+          concat((0 until bits).map(k =>
+            when(col(s"d$k") >= 0, "1").otherwise("0")): _*).as("sim_agg"))
+      val joined = kernel.join(agg, Seq("doc_id"), "full_outer")
+      assert(joined.filter(col("simhash").isNull || col("sim_agg").isNull)
+        .count() == 0L, s"bits=$bits: doc coverage must match")
+      val drift = joined.filter(col("simhash") =!= col("sim_agg")).count()
+      assert(drift == 0L,
+        s"bits=$bits: $drift docs drifted from the aggregate fingerprints")
+    }
+  }
+
+  test("simhash_bits edge semantics: NULL tokens count -1 per dim (the " +
+    "otherwise branch), empty arrays are all-1, sub-32 widths prefix, " +
+    "non-positive widths raise") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT simhash_bits(array(CAST(NULL AS STRING)), 4) AS nulltok,
+        |       simhash_bits(CAST(array() AS ARRAY<STRING>), 4) AS empty,
+        |       simhash_bits(array('a'), 32) AS full,
+        |       simhash_bits(array('a'), 4) AS prefix""".stripMargin)
+      .selectExpr("nulltok", "empty",
+        "prefix = substring(full, 1, 4)").as[(String, String, Boolean)].head()
+    assert(r == (("0000", "1111", true)))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT simhash_bits(array('x'), 0)").collect()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c = e
+      while (c.getCause != null && !c.getMessage.contains("non-positive"))
+        c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("non-positive width"),
+      s"width 0 must raise the named guard, got: ${rootMsg(ex)}")
+  }
+
+  test("window_mins is value-identical to the transform + array_min(slice) " +
+    "form it replaces (q26's winnowing windows) on real rolling hashes") {
+    import org.apache.spark.sql.functions._
+    val w = 4
+    val hs = TripleStore.table(spark, sf, "documents")
+      .filter(length(col("text")) >= 8 + w - 1)
+      .select(col("doc_id"), expr("rolling_kgram_hashes(text, 8)").as("h"))
+    val drift = hs.select(
+        expr(s"window_mins(h, $w)").as("a"),
+        expr(s"transform(sequence(0, size(h) - $w), " +
+          s"j -> array_min(slice(h, j + 1, $w)))").as("b"))
+      .filter(expr("CAST(a AS STRING) <> CAST(b AS STRING)"))
+      .count()
+    assert(drift == 0L, s"$drift docs drifted from the transform-form minima")
+  }
+
+  test("window_mins edge semantics: NULLs skipped inside windows, all-NULL " +
+    "windows yield NULL, short arrays yield empty, non-positive w raises") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT window_mins(array(3L, CAST(NULL AS BIGINT), 1L), 2) AS nl,
+        |       window_mins(array(CAST(NULL AS BIGINT),
+        |                         CAST(NULL AS BIGINT)), 2) AS an,
+        |       window_mins(array(5L), 3) AS short,
+        |       window_mins(array(4L, 2L, 7L, 1L), 2) AS plain""".stripMargin)
+      .selectExpr("nl[0]", "nl[1]", "an[0] IS NULL", "size(short)",
+        "CAST(plain AS STRING)")
+      .as[(Long, Long, Boolean, Int, String)].head()
+    assert(r == ((3L, 1L, true, 0, "[2, 2, 1]")))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT window_mins(array(1L), 0)").collect()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c = e
+      while (c.getCause != null && !c.getMessage.contains("non-positive"))
+        c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(ex).contains("non-positive window"),
+      s"window 0 must raise the named guard, got: ${rootMsg(ex)}")
   }
 }
