@@ -158,6 +158,17 @@ object BloomIndex {
     // snapshots and orphaned staging dirs GC'd — a rebuild supersedes
     // every prior version by definition. A fresh root still yields the
     // conventional v0.
+    //
+    // READER-SAFETY CONTRACT (ADVICE r20): unlike append — whose GC
+    // retains the latest THREE snapshots so an admit that pinned its
+    // version at plan construction still completes — a rebuild deletes
+    // ALL older versions immediately, because it replaces the corpus:
+    // serving a pre-rebuild bloom would be wrong, not merely stale. An
+    // in-flight admit that pinned a pre-rebuild version fails LOUDLY
+    // (FileNotFound on its next blob fetch) rather than completing
+    // against the wrong corpus. Callers that need the graceful window
+    // must quiesce admits around rebuilds; appends keep the pinned-reader
+    // guarantee.
     val spark = corpusHashes.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -196,15 +207,15 @@ object BloomIndex {
   }
 
   /** A shard blob's cache identity: the index root, the version NUMBER,
-    * the version directory's CONTENT fingerprint, and the shard. The
-    * fingerprint (part-file names + lengths + mtimes, hashed) is what
-    * makes an in-place rebuild visible: [[buildSized]] overwrites the
-    * fixed `v0` path, so a (path, shard) key alone would keep serving the
-    * PRE-rebuild blooms — and a stale bloom answering `false` skips the
-    * exact corpus check entirely, silently admitting duplicates (the one
-    * failure class the module's superset contract forbids; ADVICE r17).
-    * Appends never need it (they bump the version number), but rebuilds
-    * reuse the slot. */
+    * the version directory's CONTENT fingerprint, and the shard. Since
+    * the r20 staged-commit rebuild, every writer (append AND rebuild)
+    * lands in a fresh next version slot, so the version number alone
+    * distinguishes corpora on healthy roots; the fingerprint (part-file
+    * names + lengths + mtimes, hashed) stays in the key as
+    * defense-in-depth against any out-of-band overwrite of a version
+    * directory — a stale bloom answering `false` skips the exact corpus
+    * check entirely, silently admitting duplicates (the one failure class
+    * the module's superset contract forbids; ADVICE r17/r20). */
   private[graft] final case class BlobKey(root: String, version: Long,
       fingerprint: String, shard: Long)
 

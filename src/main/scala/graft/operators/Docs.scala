@@ -491,9 +491,20 @@ object Docs {
     * token) into a `bits`-way sum aggregate for a per-row answer. The
     * kernel computes the IDENTICAL fingerprint (same md5 family, same
     * ±1/threshold rule — the oracle carries over unchanged) with zero
-    * exchange and zero per-token hex-string materialization. */
+    * exchange and zero per-token hex-string materialization.
+    *
+    * The NULL-text filter is row-domain parity with the aggregate form it
+    * replaced, not an optimization: `explode(split(NULL, ' '))` emits no
+    * rows, so a NULL-text doc had NO aggregate row (and the oracle's
+    * `unnest(string_split(text))` drops it identically) — where a bare
+    * map-only projection would EMIT the doc with a NULL fingerprint. The
+    * adversarial-corpus replay caught exactly this drift (36 vs 35 rows)
+    * when the kernel first landed without the filter; `split` never
+    * returns an empty or null-element array for non-NULL text ("" →
+    * [""]), so `text IS NOT NULL` is the exact row-domain condition. */
   def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame =
     table(spark, dir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         call_function("simhash_bits",
           split(col("text"), " "), lit(bits)).as("simhash"))

@@ -242,7 +242,13 @@ object Vectors {
     * native [[graft.plans.VecDot]] sequential fold and the (sim, cluster)
     * max rule is exactly `max_by(cluster, struct(sim, cluster))`'s
     * (lexicographic, NaN greatest, ties to the higher cluster id), so the
-    * assignment relation is value-identical to the crossJoin form and the
+    * assignment relation is value-identical to the crossJoin form FOR
+    * NON-NULL VECTORS — the only kind the library paths produce
+    * ([[sphereNormalized]] drops NULL/zero vectors). A NULL vector
+    * (SQL-reachable) now yields a NULL cluster via the kernel's
+    * nullSafeEval, where the retired greatest form assigned it to the
+    * highest cluster id (all-NULL-sim tie rule) — a deliberate
+    * improvement, pinned as intended in PlansSpec (ADVICE r20). The
     * q66/q78 oracles' unrolled k-means CTEs carry over unchanged. Zero
     * exchange, whole-stage codegen, and plan/codegen size O(1) in k (the
     * r19 `greatest`-over-k-struct-literals form carried O(k·d) plan

@@ -210,6 +210,17 @@ object VectorKernels {
     else if (sim.doubleValue() == best.doubleValue()) 0
     else java.lang.Double.compare(sim.doubleValue(), best.doubleValue())
 
+  // Cache-footprint bound (ADVICE r20): one PrimCentroids (~8·k·d bytes)
+  // is retained per executor-pool THREAD for the thread's lifetime, not
+  // the task's — but since r21 every matrix above the
+  // NearestCentroidBc.BroadcastElemsDefault element threshold binds as a
+  // broadcast (which never touches this cache), the retained entry is
+  // ≤ threshold·8 bytes ≈ 512 KB per thread by construction. The
+  // identity-keyed (eq) hit test assumes the literal's ArrayData instance
+  // is stable across a task's rows (true for plan literals — the only
+  // intended hot path); a per-row-varying centroid argument misses every
+  // row and re-converts, which is allocation on top of the generic
+  // path's cost, not an error.
   private final class PrimCentroids(val cents: ArrayData, val ids: ArrayData,
     val matrix: Array[Array[Double]], val clusterIds: Array[Long])
 
@@ -247,8 +258,12 @@ object VectorKernels {
     * Shared by the literal form (after its per-task conversion) and the
     * broadcast form ([[NearestCentroidBc]], which ships the matrix
     * ALREADY primitive) — one argmax, so the two binding modes cannot
-    * drift. */
-  private[plans] def nearestCentroidPrim(v: ArrayData, m: Array[Array[Double]],
+    * drift. PUBLIC because it is called from GENERATED code: a
+    * `private[plans]` object method gets no static forwarder, so janino
+    * cannot resolve `VectorKernels.nearestCentroidPrim` and the whole
+    * stage silently falls back to interpreted eval (caught live on the
+    * k=4096 rung this round — correct values, interpreted speed). */
+  def nearestCentroidPrim(v: ArrayData, m: Array[Array[Double]],
       cl: Array[Long]): Long = {
     val nv = v.numElements()
     var bestSim: java.lang.Double = null

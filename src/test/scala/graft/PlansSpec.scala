@@ -424,8 +424,19 @@ class PlansSpec extends AnyFunSuite {
     val bc = GraftColumnBridge.column(NearestCentroidBc(
       GraftColumnBridge.expression(col("v")),
       NearestCentroidBc.bcCentroids(spark, cents)))
-    val drift = e.select(literal.as("a"), bc.as("b"))
-      .filter(col("a") =!= col("b")).count()
+    // CODEGEN_ONLY + fallback off: a broken generated-code path must FAIL
+    // here, not silently run interpreted (the r21 static-forwarder bug —
+    // a private[plans] helper is invisible to janino — surfaced only as a
+    // "falling back to interpreter" WARN on the k=4096 rung)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val drift =
+      try e.select(literal.as("a"), bc.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
     assert(drift == 0L,
       s"$drift rows assigned differently under the broadcast binding")
     // NULL vector is NULL in both binding modes (nullSafeEval)
@@ -559,6 +570,23 @@ class PlansSpec extends AnyFunSuite {
       assert(drift == 0L,
         s"bits=$bits: $drift docs drifted from the aggregate fingerprints")
     }
+  }
+
+  test("q20's relation drops NULL-text docs exactly like the aggregate " +
+    "form (the adversarial-corpus row-domain regression r21 caught live)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = LocalSession.warehouseDir("graft_simhash_nulldoc")
+    Seq((1L, "a b c"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Docs.q20Simhash(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 2 (NULL text) has no exploded token row, so the replaced
+    // groupBy form — and the DuckDB oracle — emit nothing for it;
+    // doc 3 ("" splits to [""]) IS emitted by both
+    assert(rows == Seq(1L, 3L),
+      s"q20 must emit exactly the docs the aggregate form did, got $rows")
   }
 
   test("simhash_bits edge semantics: NULL tokens count -1 per dim (the " +
