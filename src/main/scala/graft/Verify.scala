@@ -17,6 +17,26 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = LocalSession.create(cpus)
     new java.io.File(outDir).mkdirs()
+    // Itemized session warmup for FULL-gate replays (r22, VERDICT r21 #6 /
+    // r20 #5): without it the first entry in iteration order (q49 since
+    // r19) absorbed the session's one-off costs — JVM/codegen/parquet
+    // startup plus the sharded-store ETL — and the close's trim-audit
+    // table ranked that entry by roster POSITION, not by its marginal
+    // cost (q49's own plan is a map-only scan + sort; Bench times it at
+    // ~0.2 s mid-list, the replay table showed ~5 s/corpus). Bench has
+    // warmed up explicitly since r11 (same two steps); this line makes
+    // the replay table's per-entry seconds positional-independent and the
+    // warmup itself a visible, itemized row. Targeted (subset) runs skip
+    // it: the builder's iteration loop wants the fastest possible
+    // turnaround, and its timings feed no ranking.
+    if (only.isEmpty) {
+      val tw = System.nanoTime()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+      TripleStore.shardedPath(spark, sfDir)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[verify] warmup (session startup + sharded-store ETL) in %.1fs",
+        Double.box((System.nanoTime() - tw) / 1e9)))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

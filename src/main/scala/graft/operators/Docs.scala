@@ -234,17 +234,71 @@ object Docs {
     * candidate set alone. MinHash values are `min(md5(seed || shingle))`
     * hex strings, so the DuckDB oracle derives the identical signatures,
     * bands, and candidate set. */
-  def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the shingle-array subtree feeds the (map-only) signature
-    // pass and, exploded, the verify stage's sizes + intersection joins
-    // (4 plan occurrences of the split/transform scan). Scoped to THIS
-    // call: the final (small) pair set is materialized eagerly below and
-    // the cache dropped before returning, so repeated dedup sweeps in a
-    // long-lived session don't accumulate storage-memory blocks.
-    val arrs = shingleArraysOf(table(spark, dir, "documents")).cache()
-    try minhashVerify(minhashCandidates(arrs, NumHashes, GateBandRows),
-      explodeShingles(arrs))
-    finally { arrs.unpersist(); () }
+  def q19MinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    neardupPairs(spark, dir)
+
+  /** Corpus-size threshold (bytes of `documents.parquet`) above which
+    * [[neardupPairs]] stages the shingle-array frame to scratch parquet
+    * instead of `.cache()`-ing it (conf `spark.graft.shingleStageBytes`).
+    * The default keeps every gate/bench SF on the cached path (sf0.1's
+    * documents are ~0.6 MB — three orders below) while anything near the
+    * 10M-doc rehearsal's ~GBs stages: the array frame explodes to ~L
+    * shingle rows per doc, and an on-heap/disk block cache of that volume
+    * OOM'd a 48 GB single-JVM driver at 10M docs (Spark exit 52 while
+    * putting rdd blocks — BENCH_NOTES r20/r21), where a compressed
+    * parquet scan per consumer runs the same pipeline bounded. The cutoff
+    * is input-size arithmetic (guide §5: caching competes with execution
+    * memory and must not scale with the corpus), not a local[32] tunable. */
+  private[graft] val ShingleStageBytesDefault: Long = 256L << 20
+
+  /** THE near-dup production path — q19's relation at any banding config:
+    * shingle arrays → [[minhashCandidates]] → [[minhashVerify]]. The
+    * shingle-array subtree feeds the (map-only) signature pass and,
+    * exploded, the verify stage's sizes + intersection joins (4 plan
+    * occurrences of the split/transform scan), so it is materialized
+    * once — `.cache()` below [[ShingleStageBytesDefault]], scratch
+    * parquet above it (r22, VERDICT r21 #2; NeardupScaleBench validated
+    * the staged shape at 10M docs in r20/r21 and now drives THIS method
+    * end-to-end). Both shapes are scoped to the call: the final (small)
+    * pair set is materialized eagerly by [[minhashVerify]] and the
+    * cache/stage dropped before returning, so repeated dedup sweeps in a
+    * long-lived session accumulate neither storage blocks nor tmp files. */
+  private[graft] def neardupPairs(spark: SparkSession, dir: String,
+      numHashes: Int = NumHashes, bandRows: Int = GateBandRows,
+      family: String = "md5"): DataFrame = {
+    val src = s"$dir/documents.parquet"
+    val threshold = spark.conf.getOption("spark.graft.shingleStageBytes")
+      .map(_.toLong).getOrElse(ShingleStageBytesDefault)
+    def pairs(arrs: DataFrame): DataFrame =
+      minhashVerify(minhashCandidates(arrs, numHashes, bandRows, family),
+        explodeShingles(arrs))
+    if (inputBytes(spark, src) <= threshold) {
+      val arrs = shingleArraysOf(table(spark, dir, "documents")).cache()
+      try pairs(arrs) finally { arrs.unpersist(); () }
+    } else {
+      // pid+nano suffix: concurrent sweeps in one JVM (or two drivers on
+      // one tmpdir) must not overwrite each other's staging
+      val stage = sys.props("java.io.tmpdir") +
+        s"/graft_shingle_stage_p${ProcessHandle.current().pid()}_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      shingleArraysOf(table(spark, dir, "documents"))
+        .write.mode("overwrite").parquet(stage)
+      try pairs(spark.read.parquet(stage))
+      finally {
+        graft.streaming.StreamingLww.deleteRecursively(
+          new java.io.File(stage))
+        ()
+      }
+    }
+  }
+
+  /** Driver-side byte size of an input path (file-listing metadata only —
+    * no Spark job, so the gate's cached path stays at its exact job
+    * count). */
+  private def inputBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
   /** q19's banding stage over a `(doc_id, ss)` shingle-ARRAY frame
@@ -276,24 +330,59 @@ object Docs {
     * stays ≥0.99 (1−(1−J⁴)⁶) while Zipf false-candidate volume drops by
     * the extra J² per band. */
   private[graft] def minhashCandidates(arrs: DataFrame,
-      numHashes: Int = NumHashes, bandRows: Int = GateBandRows): DataFrame = {
-    require(numHashes % 4 == 0 && numHashes % bandRows == 0,
-      s"minhashCandidates: $numHashes hashes must tile md5 quarters and " +
-        s"$bandRows-row bands")
-    // map-only: all numHashes md5-quarter minima in one compiled pass per
-    // document (4 hash functions per md5 call — each md5's 32 hex chars
-    // split into 4 independent 8-char chunks; md5 is the dominant
-    // per-shingle cost at scale, and the kernel pays exactly the same
-    // digest count as the aggregate form it replaced, minus its exchange)
-    val sig = arrs.select(col("doc_id"),
-      call_function("minhash_signature",
-        col("ss"), lit(numHashes)).as("mh"))
+      numHashes: Int = NumHashes, bandRows: Int = GateBandRows,
+      family: String = "md5"): DataFrame =
+    minhashCandidatePlan(arrs, numHashes, bandRows, family)
+      // materialized: the pair set (bounded by the banding) now feeds the
+      // intersection join AND the doc-id prune below — re-evaluating the
+      // signature/banding subtree per consumer measurably dominates
+      .localCheckpoint(true)
+
+  /** [[minhashCandidates]]' LAZY plan (split out r22 so the plan-dump
+    * evidence tool can render the banding stage per family — the eager
+    * checkpoint above otherwise hides it behind a LogicalRDD scan). */
+  private[graft] def minhashCandidatePlan(arrs: DataFrame,
+      numHashes: Int, bandRows: Int, family: String): DataFrame = {
+    require(numHashes % bandRows == 0 && (family != "md5" || numHashes % 4 == 0),
+      s"minhashCandidates: $numHashes hashes must tile $bandRows-row bands" +
+        (if (family == "md5") " and md5 quarters" else ""))
+    require(family == "md5" || family == "xx64",
+      s"minhashCandidates: unknown hash family '$family' (md5 | xx64)")
+    // map-only: all numHashes minima in one compiled pass per document.
+    // `family` is a CORPUS-SCALE dial like numHashes/bandRows (r22,
+    // VERDICT r21 #1): the gate (and its DuckDB oracle) fix the md5
+    // family — 4 hash functions per md5 call, each digest's 32 hex chars
+    // split into 4 independent 8-char chunks, exactly the aggregate form
+    // the kernel replaced — while 'xx64' swaps in one XXH64 round per
+    // (shingle, hash) and long-typed signatures/bands for corpora where
+    // MessageDigest arithmetic is the banding wall (10M-doc rehearsal:
+    // ~all of the 279 s post-kernel banding). Banding semantics are
+    // family-agnostic (any uniform hash is a MinHash permutation);
+    // NeardupScaleBench re-measures planted recall per family.
+    val sig = family match {
+      case "md5" => arrs.select(col("doc_id"),
+        call_function("minhash_signature",
+          col("ss"), lit(numHashes)).as("mh"))
+      case _ => arrs.select(col("doc_id"),
+        call_function("minhash_signature_xx64",
+          col("ss"), lit(numHashes)).as("mh"))
+    }
     val numBands = numHashes / bandRows
+    // band value: md5 re-digests the band's hex signature slice (the gate
+    // relation); xx64 folds the band's longs through the codegen'd
+    // built-in xxhash64 (band index as the leading argument keeps bands
+    // independent) — no digest, and an 8-byte band key instead of a
+    // 32-char hex string through the candidate exchange
+    def bandVal(b: Int): String = {
+      val cols = (0 until bandRows).map(r => s"mh[${bandRows * b + r}]")
+      family match {
+        case "md5" => s"md5(concat('$b|', ${cols.mkString(", ")}))"
+        case _ => s"xxhash64($b, ${cols.mkString(", ")})"
+      }
+    }
     val bands = sig.select(col("doc_id"),
       expr(s"stack($numBands, ${(0 until numBands).map(b =>
-        s"'$b', md5(concat('$b|', ${(0 until bandRows)
-          .map(r => s"mh[${bandRows * b + r}]").mkString(", ")}))")
-        .mkString(", ")})" +
+        s"'$b', ${bandVal(b)}").mkString(", ")})" +
         " AS (band_idx, band_val)"))
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -301,10 +390,6 @@ object Docs {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      // materialized: the pair set (bounded by the banding) now feeds the
-      // intersection join AND the doc-id prune below — re-evaluating the
-      // signature/banding subtree per consumer measurably dominates
-      .localCheckpoint(true)
   }
 
   /** q19's verify stage: exact shingle Jaccard over the candidate pairs
@@ -502,12 +587,23 @@ object Docs {
     * when the kernel first landed without the filter; `split` never
     * returns an empty or null-element array for non-NULL text ("" →
     * [""]), so `text IS NOT NULL` is the exact row-domain condition. */
-  def simhashBits(spark: SparkSession, dir: String, bits: Int): DataFrame =
+  def simhashBits(spark: SparkSession, dir: String, bits: Int,
+      family: String = "md5"): DataFrame = {
+    // `family` is the corpus-scale dial simBits/numBands already are
+    // (r22, VERDICT r21 #1): the gate (q20/q24) and its oracle fix the
+    // md5 family; 'xx64' draws all 64 dims of a group from ONE XXH64
+    // round per token for corpora where the fingerprint pass is walled
+    // on MessageDigest arithmetic. Same row domain, same bit-string
+    // emission — banding/hamming compose unchanged.
+    require(family == "md5" || family == "xx64",
+      s"simhashBits: unknown hash family '$family' (md5 | xx64)")
+    val fn = if (family == "md5") "simhash_bits" else "simhash_bits_xx64"
     table(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        call_function("simhash_bits",
+        call_function(fn,
           split(col("text"), " "), lit(bits)).as("simhash"))
+  }
 
   def q20Simhash(spark: SparkSession, dir: String): DataFrame =
     simhashBits(spark, dir, SimBits).orderBy("doc_id")
@@ -545,7 +641,7 @@ object Docs {
     * population shrinks ~2× per added band bit; asserted in PipelineSpec). */
   def simhashNeardupPairs(spark: SparkSession, dir: String,
       simBits: Int = SimBits, numBands: Int = 2,
-      maxHamming: Long = 1L): DataFrame = {
+      maxHamming: Long = 1L, family: String = "md5"): DataFrame = {
     require(simBits % numBands == 0, s"$numBands bands must tile $simBits bits")
     require(maxHamming < numBands, "banding is lossless only for hamming < numBands")
     val w = simBits / numBands
@@ -555,7 +651,7 @@ object Docs {
     // its expensive part (the per-doc simhash_bits kernel) sits below the
     // band-bucket shuffle, which ReuseExchange dedupes — measured, an
     // explicit materialization barrier here is slightly SLOWER, not faster
-    val bands = simhashBits(spark, dir, simBits).select(
+    val bands = simhashBits(spark, dir, simBits, family).select(
       col("doc_id"), col("simhash"),
       expr(s"stack($numBands, $stackArgs) AS (band_idx, band_val)"))
     val cand = bands.as("x").join(bands.as("y"),

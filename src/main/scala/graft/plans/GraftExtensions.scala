@@ -63,6 +63,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimhashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) =>
         SimhashBits(children(0), children(1))))
+    // r22: the cheap-hash (xxhash64-family) twins of the two near-dup
+    // kernels — the corpus-scale `family` dial of Docs.minhashCandidates /
+    // simhashNeardupPairs. The GATE queries keep the md5 family (and its
+    // DuckDB oracles) untouched; these exist so a 10⁹⁺-doc corpus run is
+    // not walled on MessageDigest arithmetic (VERDICT r21 #1).
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature_xx64"),
+      new ExpressionInfo(classOf[MinhashSignatureXx64].getName,
+        "minhash_signature_xx64"),
+      (children: Seq[Expression]) =>
+        MinhashSignatureXx64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits_xx64"),
+      new ExpressionInfo(classOf[SimhashBitsXx64].getName,
+        "simhash_bits_xx64"),
+      (children: Seq[Expression]) =>
+        SimhashBitsXx64(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("window_mins"),
       new ExpressionInfo(classOf[WindowMins].getName, "window_mins"),

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** `minhash_signature_xx64(shingles, numHashes)`: the cheap-hash MinHash
+  * family for CORPUS-SCALE banding — element j (0-based) is
+  *
+  *   `min over shingles s of xxhash64(j, s)`   (signed-long order,
+  *    exactly Spark's built-in `xxhash64` seeded the built-in way:
+  *    `hashInt(j, 42)` folded into `hashUTF8String`)
+  *
+  * This is the OFF-GATE twin of [[MinhashSignature]] (VERDICT r21 #1):
+  * the md5 family is what q19/q60/q65 declare and what the DuckDB oracle
+  * recomputes, so the gate keeps it byte-for-byte — but at 10⁷–10¹⁰ docs
+  * the banding wall is pure MessageDigest arithmetic (the 10M-doc
+  * rehearsal's 279 s post-kernel banding is ~all md5: numHashes/4 digests
+  * per shingle). One XXH64 round per (shingle, hash) replaces one md5 per
+  * (shingle, 4 hashes) at ~10× less arithmetic per output value, and the
+  * signature rides as `array<long>` (8 B/hash) instead of 8-char hex
+  * strings. Selectable ONLY through
+  * [[graft.operators.Docs.minhashCandidates]]'s corpus-scale `family`
+  * dial, the same dial `numHashes`/`bandRows` already are; MinHash theory
+  * is family-agnostic (any fixed total order over a uniform 64-bit hash
+  * is a random permutation of the shingle set), so banding recall/candidate
+  * math carries over — NeardupScaleBench re-measures recall at 10M docs.
+  *
+  * Edge semantics mirror [[MinhashSignature]] exactly (same row-domain
+  * rules, so [[graft.operators.Docs.minhashVerify]] composes unchanged):
+  * NULL array elements are skipped; an empty or all-NULL array yields a
+  * NULL signature; `numHashes` must be positive (no md5-quarter tiling
+  * constraint — each hash is its own XXH64 seed).
+  */
+case class MinhashSignatureXx64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature_xx64 requires (array<string>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  // NULL for an empty/all-NULL shingle set even when inputs are non-null
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "minhash_signature_xx64"
+
+  override def nullSafeEval(shingles: Any, n: Any): Any =
+    MinhashSignatureXx64.signature(
+      shingles.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) => {
+      val tmp = ctx.freshName("mhsigxx")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.plans.MinhashSignatureXx64.signature($s, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSignatureXx64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashSignatureXx64 {
+
+  /** Per-family seeds j = 0 .. n-1, derived exactly as the built-in
+    * `xxhash64(j, s)` folds its first (int) argument: `hashInt(j, 42)` —
+    * so the kernel is pinnable against the built-in expression. Cached per
+    * width (tiny; one width per banding config). */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def seeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n,
+      n => Array.tabulate(n)(j => XXH64.hashInt(j, 42L)))
+
+  /** One pass over the shingle array; called from generated code. */
+  def signature(shingles: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes > 0,
+      s"minhash_signature_xx64: non-positive width $numHashes")
+    val sd = seeds(numHashes)
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    var seen = false
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        seen = true
+        val s = shingles.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = XXH64.hashUTF8String(s, sd(j))
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}

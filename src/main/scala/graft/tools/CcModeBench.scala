@@ -30,9 +30,29 @@ object CcModeBench {
     val spark = graft.LocalSession.create(cpus)
 
     val jobs = new AtomicLong(0)
+    // Per-JOB shuffle/task tallies (r22, VERDICT r21 #4): ccStar runs ONE
+    // driver-blocking job per round, so job-granular metrics ARE
+    // round-granular — the audit's question is whether the later rounds'
+    // exchanges shrink (bytes) and coalesce (task counts) as the
+    // contracted edge set collapses geometrically, or whether a fixed
+    // partition count keeps paying full-width rounds on near-empty data.
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobShuf = new java.util.concurrent.ConcurrentHashMap[Long, AtomicLong]()
+    val jobTasks = new java.util.concurrent.ConcurrentHashMap[Long, AtomicLong]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        js.stageInfos.foreach(si => stageJob.put(si.stageId, js.jobId.toLong))
+        ()
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val j = stageJob.getOrDefault(sc.stageInfo.stageId, -1L)
+        jobShuf.computeIfAbsent(j, _ => new AtomicLong)
+          .addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        jobTasks.computeIfAbsent(j, _ => new AtomicLong)
+          .addAndGet(sc.stageInfo.numTasks.toLong)
+        ()
       }
     })
     def settled(): Long = {
@@ -82,6 +102,23 @@ object CcModeBench {
     // the labels were consumed (count) — this caller owns the checkpoint
     // dir's lifecycle now, per ccStar's scaladoc
     org.apache.commons.io.FileUtils.deleteDirectory(ckDir.toFile)
+
+    // one more instrumented local run with the per-job maps reset: its
+    // ordered per-job rows are the per-ROUND shuffle-byte/task profile
+    // (the first jobs are the input/canon materializations, the last the
+    // label join; everything between is one star round per job)
+    settled()
+    stageJob.clear(); jobShuf.clear(); jobTasks.clear()
+    run(None)
+    settled()
+    val perRound = jobShuf.keySet().toArray(Array.empty[java.lang.Long])
+      .map(_.toLong).sorted.map { j =>
+        val mb = jobShuf.get(j).get() / 1e6
+        s"""{"job":$j,"tasks":${jobTasks.get(j).get()},"shuffle_mb":${
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(mb))}}"""
+      }.mkString("[", ",", "]")
+    println(s"""{"metric":"cc_round_profile","edges":$nEdges,""" +
+      s""""per_job":$perRound}""")
 
     def sec(v: Double) = // Locale.ROOT: comma-decimal locales break JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
