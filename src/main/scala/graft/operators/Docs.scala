@@ -354,11 +354,14 @@ object Docs {
     // family — 4 hash functions per md5 call, each digest's 32 hex chars
     // split into 4 independent 8-char chunks, exactly the aggregate form
     // the kernel replaced — while 'xx64' swaps in one XXH64 round per
-    // (shingle, hash) and long-typed signatures/bands for corpora where
-    // MessageDigest arithmetic is the banding wall (10M-doc rehearsal:
-    // ~all of the 279 s post-kernel banding). Banding semantics are
-    // family-agnostic (any uniform hash is a MinHash permutation);
-    // NeardupScaleBench re-measures planted recall per family.
+    // (shingle, hash) with long-typed signatures and band keys. Measured
+    // at 10M docs (OPTIMIZATION_r22.md §1b): wall-equivalent there (the
+    // quarter trick already amortized md5 well), but 16% fewer Zipf
+    // false candidates at identical 0.990 recall, 8-byte band keys
+    // through the candidate exchange instead of 32-char hex, and a
+    // per-hash arithmetic term that only compounds at 10⁹⁺ docs. Banding
+    // semantics are family-agnostic (any uniform hash is a MinHash
+    // permutation); NeardupScaleBench re-measures recall per family.
     val sig = family match {
       case "md5" => arrs.select(col("doc_id"),
         call_function("minhash_signature",

@@ -65,9 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimhashBits(children(0), children(1))))
     // r22: the cheap-hash (xxhash64-family) twins of the two near-dup
     // kernels — the corpus-scale `family` dial of Docs.minhashCandidates /
-    // simhashNeardupPairs. The GATE queries keep the md5 family (and its
-    // DuckDB oracles) untouched; these exist so a 10⁹⁺-doc corpus run is
-    // not walled on MessageDigest arithmetic (VERDICT r21 #1).
+    // simhashNeardupPairs (VERDICT r21 #1). The GATE queries keep the md5
+    // family (and its DuckDB oracles) untouched; the measured wins are
+    // count-backed (fewer false candidates at equal recall, long band
+    // keys) plus arithmetic terms that compound at 10⁹⁺ docs — see
+    // OPTIMIZATION_r22.md §1b for the same-session family comparison.
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature_xx64"),
       new ExpressionInfo(classOf[MinhashSignatureXx64].getName,

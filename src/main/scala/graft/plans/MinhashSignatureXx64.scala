@@ -15,13 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   *
   * This is the OFF-GATE twin of [[MinhashSignature]] (VERDICT r21 #1):
   * the md5 family is what q19/q60/q65 declare and what the DuckDB oracle
-  * recomputes, so the gate keeps it byte-for-byte — but at 10⁷–10¹⁰ docs
-  * the banding wall is pure MessageDigest arithmetic (the 10M-doc
-  * rehearsal's 279 s post-kernel banding is ~all md5: numHashes/4 digests
-  * per shingle). One XXH64 round per (shingle, hash) replaces one md5 per
-  * (shingle, 4 hashes) at ~10× less arithmetic per output value, and the
-  * signature rides as `array<long>` (8 B/hash) instead of 8-char hex
-  * strings. Selectable ONLY through
+  * recomputes, so the gate keeps it byte-for-byte. What the swap buys
+  * (r22, measured — OPTIMIZATION_r22.md §1b): per-hash arithmetic drops
+  * ~1.6× (one XXH64 round per hash vs one md5 per FOUR hashes — the
+  * quarter trick already amortized the digest well, so this term is
+  * modest and only compounds at 10⁹⁺ docs), signatures and band keys
+  * ride as longs (8 B/hash) instead of hex strings (no per-signature
+  * formatting, narrower candidate-exchange keys), and — the count-backed
+  * win — xxhash64's better-mixed minima cut Zipf false candidates ~16%
+  * at identical 0.990 planted recall on the 10M rehearsal. Selectable
+  * ONLY through
   * [[graft.operators.Docs.minhashCandidates]]'s corpus-scale `family`
   * dial, the same dial `numHashes`/`bandRows` already are; MinHash theory
   * is family-agnostic (any fixed total order over a uniform 64-bit hash
